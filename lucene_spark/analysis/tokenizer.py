@@ -1,0 +1,119 @@
+"""StandardAnalyzer-equivalent text analysis (clean-room, Python/regex).
+
+Behavioral parity targets in the reference:
+
+- ``analysis/standard/StandardTokenizer.java:29-77`` + grammar
+  ``StandardTokenizerImpl.jflex:211-251`` — UAX#29 word-break tokenization.
+  The consequences we reproduce (the ones that matter for code/text corpora):
+
+  * ``_`` is ExtendNumLet: a plain word character (``foo_bar`` is ONE token)
+  * ``.`` ``'`` ``:`` between letters join (MidLetter/MidNumLet): ``a.b``,
+    ``can't``, ``a:b`` stay single tokens
+  * ``.`` ``,`` ``'`` between digits join (MidNum/MidNumLet): ``1,000``,
+    ``3.14`` stay single tokens
+  * ``-`` ``/`` ``(`` etc. split
+  * tokens longer than ``max_token_length`` (default 255,
+    ``StandardAnalyzer.java:37``) are DROPPED but still count a position
+    (``StandardTokenizer.java:163-173``)
+
+- ``analysis/LowerCaseFilter.java:38`` — per-codepoint
+  ``Character.toLowerCase(int)`` (NOT full case folding; differs from
+  ``str.lower`` on e.g. U+0130).
+
+- ``analysis/StopFilter.java:96`` — empty default stop set (no-op), but when
+  a stop set is supplied, removal leaves position gaps
+  (``FilteringTokenFilter.java:49-58``).
+
+Field length for BM25 norms = number of emitted tokens minus overlaps
+(``index/FieldInvertState.java:38-43``); this chain never emits overlaps.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+__all__ = ["StandardAnalyzer", "Token", "DEFAULT_MAX_TOKEN_LENGTH"]
+
+DEFAULT_MAX_TOKEN_LENGTH = 255
+
+# Word chars: Unicode letters, digits, underscore (ExtendNumLet glue).
+# Mid-token separators are context-sensitive:
+#   letters on both sides -> . : '      (MidLetter + MidNumLet)
+#   digits on both sides  -> . , '      (MidNum + MidNumLet)
+_SEP_LETTER = r"(?<=[^\W\d])[.:'’](?=[^\W\d])"
+_SEP_DIGIT = r"(?<=\d)[.,'’](?=\d)"
+_TOKEN_RE = re.compile(rf"\w+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT})\w+)*", re.UNICODE)
+
+# Java Character.toLowerCase(int) is per-codepoint; Python str.lower() does
+# full (sometimes 1->N) case mapping.  Pin the divergent codepoints we care
+# about; otherwise take str.lower() when it is a 1:1 mapping.
+_JAVA_LOWER_EXCEPTIONS = {
+    "İ": "i",  # LATIN CAPITAL LETTER I WITH DOT ABOVE -> plain 'i' in Java
+}
+
+
+def java_lower(text: str) -> str:
+    """Per-codepoint lowercase consistent with java.lang.Character."""
+    if text.isascii():
+        return text.lower()
+    out = []
+    for ch in text:
+        low = _JAVA_LOWER_EXCEPTIONS.get(ch)
+        if low is None:
+            low = ch.lower()
+            if len(low) != 1:
+                low = ch  # Java maps only codepoint->codepoint; keep as-is
+        out.append(low)
+    return "".join(out)
+
+
+@dataclass(frozen=True)
+class Token:
+    term: str
+    position: int
+    start_offset: int
+    end_offset: int
+
+
+@dataclass
+class StandardAnalyzer:
+    """Tokenize + lowercase (+ optional stop removal with position gaps)."""
+
+    max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+
+    def tokens(self, text: str) -> list[Token]:
+        out: list[Token] = []
+        pos = -1
+        for m in _TOKEN_RE.finditer(text):
+            raw = m.group()
+            if len(raw) > self.max_token_length:
+                pos += 1  # skipped over-long token still counts a position
+                continue
+            pos += 1
+            term = java_lower(raw)
+            if term in self.stopwords:
+                continue  # removed, but the position gap stays
+            out.append(Token(term, pos, m.start(), m.end()))
+        return out
+
+    def terms(self, text: str) -> list[str]:
+        return [t.term for t in self.tokens(text)]
+
+    def field_length(self, text: str) -> int:
+        """Emitted-token count (BM25 norm input). Overlaps never occur here."""
+        return len(self.tokens(text))
+
+    def inverted(self, text: str) -> tuple[dict[str, list[int]], int]:
+        """Per-doc inversion: term -> sorted positions, plus field length.
+
+        This is the per-document unit of work of the index build
+        (reference: ``index/IndexingChain.java:1888-2040`` invert loop).
+        """
+        postings: dict[str, list[int]] = {}
+        n = 0
+        for tok in self.tokens(text):
+            n += 1
+            postings.setdefault(tok.term, []).append(tok.position)
+        return postings, n

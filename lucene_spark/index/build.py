@@ -1,0 +1,365 @@
+"""Distributed inverted-index build: corpus DataFrame -> postings/doclens/stats.
+
+Spark-native re-expression of the reference indexing chain:
+
+- per-task inversion (tokenize + per-doc term/positions map) mirrors the
+  DWPT invert loop (``index/IndexingChain.java:1888-2040``) as one
+  ``mapInPandas`` pass — each Spark task plays the role of one
+  DocumentsWriterPerThread (``index/DocumentsWriterPerThread.java:52``);
+- postings grouped by ``(seg_id, field, term)`` and packed into 256-doc
+  blocks with delta+FOR doc gaps, PFor freqs, raw norms, FOR positions and
+  per-block competitive impacts ``(max_freq, min_norm)``
+  (``codecs/lucene104/Lucene104PostingsWriter.java:389``,
+  ``codecs/CompetitiveImpactAccumulator.java:64``);
+- ``seg_id = doc_id // docs_per_segment`` bounds every shuffle group:
+  hot terms ("the", "if", "return") split across segments, so no single
+  reducer ever sees more than one segment's worth of a term — the skew
+  answer that replaces Lucene's single-node DWPT+merge;
+- searcher-wide stats are full-corpus aggregates shared by every scoring
+  task (``search/IndexSearcher.java:1130-1159``).
+
+Row invariant: ``sha256(content)`` is carried on the docs table and checked
+against the source in ``checkindex.verify_index``.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field, replace
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lucene_spark.analysis.tokenizer import StandardAnalyzer
+from lucene_spark.index import forutil
+from lucene_spark.index.docids import with_doc_ids
+from lucene_spark.search.similarity import FieldStats
+from lucene_spark.util.smallfloat import encode_lengths
+
+__all__ = ["IndexConfig", "InvertedIndex", "build_index", "load_index"]
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    text_col: str = "content"
+    field_name: str = "content"
+    doc_id_col: str | None = None  # None -> derive dense IDs from order_by
+    order_by: tuple[str, ...] = ("repo", "path", "commit")
+    docs_per_segment: int = 1 << 20
+    block_size: int = forutil.BLOCK_SIZE
+    with_positions: bool = True
+    max_token_length: int = 255
+    stopwords: frozenset[str] = field(default_factory=frozenset)
+    num_partitions: int | None = None
+
+
+_INVERTED_SCHEMA = StructType(
+    [
+        StructField("seg_id", LongType()),
+        StructField("term", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("freq", IntegerType()),
+        StructField("norm", IntegerType()),
+        StructField("positions", ArrayType(IntegerType())),
+    ]
+)
+
+_DOCLEN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("field", StringType()),
+        StructField("length", IntegerType()),
+        StructField("norm", IntegerType()),
+    ]
+)
+
+POSTINGS_SCHEMA = StructType(
+    [
+        StructField("field", StringType()),
+        StructField("seg_id", LongType()),
+        StructField("term", StringType()),
+        StructField("block_ord", IntegerType()),
+        StructField("num_docs", IntegerType()),
+        StructField("first_doc", LongType()),
+        StructField("last_doc", LongType()),
+        StructField("max_freq", IntegerType()),
+        StructField("min_norm", IntegerType()),
+        StructField("ttf_block", LongType()),
+        StructField("doc_gaps", BinaryType()),
+        StructField("freqs", BinaryType()),
+        StructField("norms", BinaryType()),
+        StructField("positions", BinaryType()),
+    ]
+)
+
+
+@dataclass
+class InvertedIndex:
+    """Handle over the index tables (all lazy DataFrames except fieldstats)."""
+
+    docs: DataFrame  # source rows + doc_id + content_sha256
+    postings: DataFrame  # POSTINGS_SCHEMA
+    doclens: DataFrame  # _DOCLEN_SCHEMA
+    termstats: DataFrame  # (field, term, df, ttf)
+    fieldstats: dict[str, FieldStats]  # per field, collected (tiny)
+    config: IndexConfig
+    build_metrics: dict = field(default_factory=dict)
+
+    def save(self, index_dir: str) -> None:
+        """Persist as a parquet 'segment directory' (Iceberg-shaped layout).
+
+        Postings are range-partitioned and sorted by (term) so parquet
+        row-group min/max stats prune term lookups — the role of the
+        block-tree .tip index (Lucene103BlockTreeTermsWriter.java:82-110).
+        """
+        spark = self.docs.sparkSession
+        t0 = time.time()
+        (
+            self.postings.repartitionByRange(
+                max(8, spark.sparkContext.defaultParallelism), "term", "seg_id"
+            )
+            .sortWithinPartitions("term", "seg_id", "block_ord")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/postings")
+        )
+        self.docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
+        self.doclens.write.mode("overwrite").parquet(f"{index_dir}/doclens")
+        self.termstats.write.mode("overwrite").parquet(f"{index_dir}/termstats")
+        fs_rows = [
+            {
+                "field": fname,
+                "max_doc": fs.max_doc,
+                "doc_count": fs.doc_count,
+                "sum_total_term_freq": fs.sum_total_term_freq,
+                "sum_doc_freq": fs.sum_doc_freq,
+            }
+            for fname, fs in self.fieldstats.items()
+        ]
+        spark.createDataFrame(fs_rows).write.mode("overwrite").parquet(
+            f"{index_dir}/fieldstats"
+        )
+        # lineage: one row per postings partition (checkpoint/resume unit)
+        lineage = (
+            self.postings.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("block_rows"),
+                F.sum("num_docs").alias("postings"),
+                F.min("first_doc").alias("min_doc"),
+                F.max("last_doc").alias("max_doc"),
+            )
+        )
+        lineage.write.mode("overwrite").parquet(f"{index_dir}/_lineage")
+        metrics = dict(self.build_metrics)
+        metrics["save_sec"] = time.time() - t0
+        spark.createDataFrame(
+            [{"key": k, "value": float(v)} for k, v in metrics.items()]
+        ).write.mode("overwrite").parquet(f"{index_dir}/_metrics")
+
+
+def _make_inverter(cfg: IndexConfig):
+    analyzer = StandardAnalyzer(
+        max_token_length=cfg.max_token_length, stopwords=cfg.stopwords
+    )
+    text_col, dps = cfg.text_col, cfg.docs_per_segment
+
+    def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_term: list[str] = []
+            rows_pos: list[list[int]] = []
+            terms_per_doc = np.zeros(len(pdf), dtype=np.int64)
+            lengths = np.zeros(len(pdf), dtype=np.int64)
+            texts = pdf[text_col].fillna("")
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            for i, text in enumerate(texts):
+                inv, n = analyzer.inverted(text)
+                lengths[i] = n
+                terms_per_doc[i] = len(inv)
+                rows_term.extend(inv.keys())
+                rows_pos.extend(inv.values())
+            norms = encode_lengths(lengths).astype(np.int32)
+            rows_doc = np.repeat(doc_ids, terms_per_doc)
+            out = pd.DataFrame(
+                {
+                    "seg_id": rows_doc // dps,
+                    "term": pd.Series(rows_term, dtype="object"),
+                    "doc_id": rows_doc,
+                    "freq": pd.Series(
+                        [len(p) for p in rows_pos], dtype="int32"
+                    ),
+                    "norm": np.repeat(norms, terms_per_doc),
+                    "positions": pd.Series(rows_pos, dtype="object"),
+                }
+            )
+            yield out
+
+    return invert
+
+
+def _make_block_packer(cfg: IndexConfig):
+    block_size, field_name, with_positions = (
+        cfg.block_size,
+        cfg.field_name,
+        cfg.with_positions,
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        seg_id = int(pdf["seg_id"].iloc[0])
+        term = pdf["term"].iloc[0]
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        freqs = pdf["freq"].to_numpy(dtype=np.uint32)
+        norms = pdf["norm"].to_numpy(dtype=np.uint8)
+        positions = pdf["positions"].to_numpy() if with_positions else None
+        out = []
+        for ord_, start in enumerate(range(0, len(doc_ids), block_size)):
+            end = min(start + block_size, len(doc_ids))
+            d = doc_ids[start:end]
+            f = freqs[start:end]
+            nm = norms[start:end]
+            first, gaps = forutil.delta_encode(d)
+            if with_positions:
+                flat = (
+                    np.concatenate([np.asarray(p) for p in positions[start:end]])
+                    .astype(np.uint32)
+                    if end > start
+                    else np.empty(0, dtype=np.uint32)
+                )
+                pos_buf = forutil.for_encode(flat)
+            else:
+                pos_buf = b""
+            out.append(
+                {
+                    "field": field_name,
+                    "seg_id": seg_id,
+                    "term": term,
+                    "block_ord": ord_,
+                    "num_docs": int(end - start),
+                    "first_doc": int(first),
+                    "last_doc": int(d[-1]),
+                    "max_freq": int(f.max()),
+                    "min_norm": int(nm.min()),
+                    "ttf_block": int(f.sum()),
+                    "doc_gaps": forutil.for_encode(gaps),
+                    "freqs": forutil.pfor_encode(f),
+                    "norms": nm.tobytes(),
+                    "positions": pos_buf,
+                }
+            )
+        return pd.DataFrame(out)
+
+    return pack
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    cfg: IndexConfig | None = None,
+    index_dir: str | None = None,
+) -> InvertedIndex:
+    cfg = cfg or IndexConfig()
+    t0 = time.time()
+    if cfg.doc_id_col is None:
+        docs = with_doc_ids(corpus, cfg.order_by, num_partitions=cfg.num_partitions)
+    elif cfg.doc_id_col != "doc_id":
+        docs = corpus.withColumn("doc_id", F.col(cfg.doc_id_col).cast("long"))
+    else:
+        docs = corpus.withColumn("doc_id", F.col("doc_id").cast("long"))
+    docs = docs.withColumn(
+        "content_sha256", F.sha2(F.coalesce(F.col(cfg.text_col), F.lit("")), 256)
+    )
+
+    inverted = docs.select("doc_id", cfg.text_col).mapInPandas(
+        _make_inverter(cfg), schema=_INVERTED_SCHEMA
+    )
+    inverted.persist()
+
+    postings = inverted.groupBy("seg_id", "term").applyInPandas(
+        _make_block_packer(cfg), schema=POSTINGS_SCHEMA
+    )
+
+    lens = inverted.groupBy("doc_id").agg(
+        F.sum("freq").cast("int").alias("length"), F.first("norm").alias("norm")
+    )
+    doclens = (
+        docs.select("doc_id")
+        .join(lens, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.lit(cfg.field_name).alias("field"),
+            F.coalesce("length", F.lit(0)).alias("length"),
+            F.coalesce("norm", F.lit(0)).alias("norm"),
+        )
+    )
+
+    termstats = (
+        inverted.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("freq").alias("ttf"),
+        )
+        .select(F.lit(cfg.field_name).alias("field"), "term", "df", "ttf")
+    )
+
+    agg = inverted.agg(
+        F.countDistinct("doc_id").alias("doc_count"),
+        F.sum("freq").alias("sum_ttf"),
+        F.count("*").alias("sum_df"),
+    ).collect()[0]
+    max_doc = docs.count()
+    fieldstats = {
+        cfg.field_name: FieldStats(
+            max_doc=int(max_doc),
+            doc_count=int(agg["doc_count"] or 0),
+            sum_total_term_freq=int(agg["sum_ttf"] or 0),
+            sum_doc_freq=int(agg["sum_df"] or 0),
+        )
+    }
+
+    idx = InvertedIndex(
+        docs=docs,
+        postings=postings,
+        doclens=doclens,
+        termstats=termstats,
+        fieldstats=fieldstats,
+        config=cfg,
+        build_metrics={"build_sec": time.time() - t0, "max_doc": float(max_doc)},
+    )
+    if index_dir is not None:
+        idx.save(index_dir)
+        return load_index(spark, index_dir, cfg)
+    return idx
+
+
+def load_index(
+    spark: SparkSession, index_dir: str, cfg: IndexConfig | None = None
+) -> InvertedIndex:
+    cfg = cfg or IndexConfig()
+    fs_rows = spark.read.parquet(f"{index_dir}/fieldstats").collect()
+    fieldstats = {
+        r["field"]: FieldStats(
+            max_doc=int(r["max_doc"]),
+            doc_count=int(r["doc_count"]),
+            sum_total_term_freq=int(r["sum_total_term_freq"]),
+            sum_doc_freq=int(r["sum_doc_freq"]),
+        )
+        for r in fs_rows
+    }
+    return InvertedIndex(
+        docs=spark.read.parquet(f"{index_dir}/docs"),
+        postings=spark.read.parquet(f"{index_dir}/postings"),
+        doclens=spark.read.parquet(f"{index_dir}/doclens"),
+        termstats=spark.read.parquet(f"{index_dir}/termstats"),
+        fieldstats=fieldstats,
+        config=cfg,
+    )

@@ -1,0 +1,231 @@
+"""Query AST (the programmatic surface of ``search/Query.java`` subclasses).
+
+Each dataclass mirrors one reference query type (citations inline); the
+planner in ``searcher.py`` lowers the AST to DataFrame plans.  v1 exposes the
+AST programmatically; the classic query-string parser is a thin later layer
+(reference grammar ``queryparser/classic/QueryParser.jj:196-224``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Sequence
+
+__all__ = [
+    "Query",
+    "Occur",
+    "BooleanClause",
+    "TermQuery",
+    "BooleanQuery",
+    "PhraseQuery",
+    "PrefixQuery",
+    "WildcardQuery",
+    "RegexpQuery",
+    "FuzzyQuery",
+    "TermRangeQuery",
+    "TermInSetQuery",
+    "SynonymQuery",
+    "DisjunctionMaxQuery",
+    "ConstantScoreQuery",
+    "BoostQuery",
+    "MatchAllDocsQuery",
+    "MatchNoDocsQuery",
+    "PointRangeQuery",
+    "FieldExistsQuery",
+]
+
+
+class Query:
+    """Marker base class."""
+
+
+class Occur(Enum):
+    """BooleanClause occurs (``search/BooleanClause.java``)."""
+
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    FILTER = "FILTER"
+    MUST_NOT = "MUST_NOT"
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    """Exact term, BM25-scored (``search/TermQuery.java:39``)."""
+
+    field: str
+    term: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    query: Query
+    occur: Occur
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    """MUST/SHOULD/FILTER/MUST_NOT with minimumNumberShouldMatch
+    (``search/BooleanQuery.java:40``)."""
+
+    clauses: tuple[BooleanClause, ...]
+    minimum_should_match: int = 0
+
+    @staticmethod
+    def of(
+        must: Sequence[Query] = (),
+        should: Sequence[Query] = (),
+        filter: Sequence[Query] = (),
+        must_not: Sequence[Query] = (),
+        minimum_should_match: int = 0,
+    ) -> "BooleanQuery":
+        clauses = (
+            tuple(BooleanClause(q, Occur.MUST) for q in must)
+            + tuple(BooleanClause(q, Occur.SHOULD) for q in should)
+            + tuple(BooleanClause(q, Occur.FILTER) for q in filter)
+            + tuple(BooleanClause(q, Occur.MUST_NOT) for q in must_not)
+        )
+        return BooleanQuery(clauses, minimum_should_match)
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    """Terms at consecutive positions; scored on phrase freq with summed
+    term idfs (``search/PhraseQuery.java:71``, ``ExactPhraseMatcher.java:37``)."""
+
+    field: str
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    """Constant-score OR of dictionary terms with prefix
+    (``search/PrefixQuery.java:29``; CONSTANT_SCORE rewrite
+    ``MultiTermQuery.java:80-103``)."""
+
+    field: str
+    prefix: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    """``?``/``*`` wildcard over the term dictionary
+    (``search/WildcardQuery.java:38``)."""
+
+    field: str
+    pattern: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    """Regex-intersected dictionary terms (``search/RegexpQuery.java:42``)."""
+
+    field: str
+    regex: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    """Terms within Levenshtein distance <= max_edits
+    (``search/FuzzyQuery.java:52``)."""
+
+    field: str
+    term: str
+    max_edits: int = 2
+    prefix_length: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    """Lexicographic term range (``search/TermRangeQuery.java:37``)."""
+
+    field: str
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    """Constant-score term-set membership (``search/TermInSetQuery.java:73``)."""
+
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Terms scored as ONE pseudo-term: df=max, ttf=sum, per-doc freqs summed
+    then a single BM25 evaluation (``search/SynonymQuery.java:52,:211-227``)."""
+
+    field: str
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """score = max(clauses) + tie_breaker * sum(others)
+    (``search/DisjunctionMaxQuery.java:44``)."""
+
+    queries: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    """Wrapped query matches, fixed score (``search/ConstantScoreQuery.java:28``)."""
+
+    query: Query
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    """score * boost (``search/BoostQuery.java:29``)."""
+
+    query: Query
+    boost: float
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    """(``search/MatchAllDocsQuery.java:23``) — constant score 1*boost."""
+
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    """(``search/MatchNoDocsQuery.java:23``)."""
+
+
+@dataclass(frozen=True)
+class PointRangeQuery(Query):
+    """Numeric range on a docs-table column; BKD analog is parquet min/max
+    pruning (``search/PointRangeQuery.java:54``). Constant-score."""
+
+    column: str
+    lower: float | int | None
+    upper: float | int | None
+    include_lower: bool = True
+    include_upper: bool = True
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FieldExistsQuery(Query):
+    """Docs with a non-null value (``search/FieldExistsQuery.java:41``)."""
+
+    column: str
+    boost: float = 1.0

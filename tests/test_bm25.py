@@ -1,0 +1,76 @@
+"""BM25 unit fixtures + property tests (TestBM25Similarity /
+BaseSimilarityTestCase style, reference tests/search/similarities/)."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, strategies as st
+
+from lucene_spark.search.similarity import BM25Similarity
+from lucene_spark.util.smallfloat import int_to_byte4
+
+SIM = BM25Similarity()
+f32 = np.float32
+
+
+def _score(doc_count, df, sum_ttf, field_len, freq, boost=1.0):
+    idf = SIM.idf(df, doc_count)
+    w = SIM.weight(boost, idf)
+    avgdl = SIM.avgdl(sum_ttf, doc_count)
+    cache = SIM.norm_inv_cache(avgdl)
+    return SIM.score(
+        np.array([freq], dtype=np.float32),
+        cache[np.array([int_to_byte4(field_len)])],
+        w,
+    )[0]
+
+
+def test_idf_formula_float32():
+    # idf computed in float64, cast to float32
+    assert SIM.idf(1, 100) == f32(math.log(1.0 + (100 - 1 + 0.5) / 1.5))
+    assert SIM.idf(100, 100) == f32(math.log(1.0 + 0.5 / 100.5))
+    assert SIM.idf(0, 0) == f32(math.log(1.0 + 0.5 / 0.5))
+
+
+def test_score_known_fixture():
+    # hand-computed: docCount=2, df=1, sumTTF=8 -> avgdl=4; len=4, freq=2
+    idf = f32(math.log(1.0 + (2 - 1 + 0.5) / 1.5))
+    inv = f32(f32(1.0) / (f32(1.2) * ((f32(1.0) - f32(0.75)) + f32(0.75) * f32(4.0) / f32(4.0))))
+    expected = f32(idf - idf / (f32(1.0) + f32(2.0) * inv))
+    assert _score(2, 1, 8, 4, 2) == expected
+
+
+@given(
+    doc_count=st.integers(1, 10**9),
+    df_frac=st.floats(0.0, 1.0),
+    sum_ttf_mult=st.integers(1, 1000),
+    field_len=st.integers(0, 10**6),
+    freq=st.integers(1, 10**4),
+)
+def test_score_properties(doc_count, df_frac, sum_ttf_mult, field_len, freq):
+    df = max(1, int(doc_count * df_frac))
+    sum_ttf = doc_count * sum_ttf_mult
+    s = _score(doc_count, df, sum_ttf, field_len, freq)
+    assert np.isfinite(s) and s >= 0  # BaseSimilarityTestCase invariants
+    # monotone increasing in freq
+    s2 = _score(doc_count, df, sum_ttf, field_len, freq + 1)
+    assert s2 >= s
+    # monotone decreasing in field length
+    s3 = _score(doc_count, df, sum_ttf, field_len + 1000, freq)
+    assert s3 <= s
+
+
+def test_block_upper_bound_dominates():
+    avgdl = SIM.avgdl(10_000, 1_000)
+    w = SIM.weight(1.0, SIM.idf(50, 1000))
+    cache = SIM.norm_inv_cache(avgdl)
+    ub = SIM.score_max(max_freq=7, min_len_norm_byte=int_to_byte4(3), avgdl=avgdl, weight=w)
+    for freq in (1, 3, 7):
+        for ln in (3, 10, 500):
+            s = SIM.score(
+                np.array([freq], np.float32),
+                cache[np.array([int_to_byte4(ln)])],
+                w,
+            )[0]
+            assert s <= ub

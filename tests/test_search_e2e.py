@@ -1,0 +1,126 @@
+"""End-to-end: build the index on Spark over a deterministic synthetic corpus,
+run queries, require rank-identical (doc_id, float32 score) vs the pure-Python
+oracle (CheckHits / quality-harness style, SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.index.build import IndexConfig, build_index
+from lucene_spark.search import query as Q
+from lucene_spark.search.searcher import IndexSearcher
+from lucene_spark.testing.corpus import generate_corpus
+from tests.oracle import OracleIndex
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    pdf = generate_corpus(N_DOCS, seed=7)
+    corpus = spark.createDataFrame(pdf)
+    cfg = IndexConfig(docs_per_segment=64)  # several segments at 300 docs
+    idx = build_index(spark, corpus, cfg)
+    idx.postings.persist()
+    idx.docs.persist()
+    # oracle over the SAME doc_id assignment (dense rank of repo,path,commit)
+    ordered = pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    oracle = OracleIndex({i: t for i, t in enumerate(ordered["content"])})
+    return idx, IndexSearcher(idx), oracle
+
+
+def _assert_topk_identical(spark_df, oracle_topk, k):
+    got = [(int(r["doc_id"]), float(r["score"])) for r in spark_df.collect()]
+    assert got == oracle_topk, f"\n got={got}\nwant={oracle_topk}"
+
+
+def test_fieldstats_match_oracle(built):
+    idx, _, oracle = built
+    fs = idx.fieldstats["content"]
+    assert fs.max_doc == oracle.max_doc
+    assert fs.doc_count == oracle.doc_count
+    assert fs.sum_total_term_freq == oracle.sum_ttf
+    assert fs.sum_doc_freq == oracle.sum_df
+    # FieldStats javadoc invariants
+    assert fs.doc_count <= fs.max_doc
+    assert fs.doc_count <= fs.sum_doc_freq <= fs.sum_total_term_freq
+
+
+@pytest.mark.parametrize("term", ["the", "if", "return", "index", "nosuchterm"])
+def test_term_query_rank_identical(built, term):
+    _, searcher, oracle = built
+    res = searcher.search(Q.TermQuery("content", term), k=10)
+    _assert_topk_identical(res, oracle.top_k(oracle.term_scores(term), 10), 10)
+
+
+def test_term_query_pruned_equals_unpruned(built):
+    _, searcher, oracle = built
+    q = Q.TermQuery("content", "the")
+    pruned = searcher.search(q, k=5, prune=True).collect()
+    full = searcher.search(q, k=5, prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in pruned] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+
+
+def test_boolean_or(built):
+    _, searcher, oracle = built
+    q = Q.BooleanQuery.of(should=[Q.TermQuery("content", "the"), Q.TermQuery("content", "index")])
+    res = searcher.search(q, k=10, prune=False)
+    _assert_topk_identical(res, oracle.top_k(oracle.or_scores(["the", "index"]), 10), 10)
+
+
+def test_boolean_and(built):
+    _, searcher, oracle = built
+    q = Q.BooleanQuery.of(must=[Q.TermQuery("content", "the"), Q.TermQuery("content", "return")])
+    res = searcher.search(q, k=10)
+    _assert_topk_identical(res, oracle.top_k(oracle.and_scores(["the", "return"]), 10), 10)
+
+
+def test_boolean_must_not(built):
+    _, searcher, oracle = built
+    q = Q.BooleanQuery.of(
+        must=[Q.TermQuery("content", "the")], must_not=[Q.TermQuery("content", "if")]
+    )
+    res = searcher.search(q, k=10)
+    want = {
+        d: s
+        for d, s in oracle.term_scores("the").items()
+        if d not in oracle.postings.get("if", {})
+    }
+    _assert_topk_identical(res, oracle.top_k(want, 10), 10)
+
+
+def test_phrase_query(built):
+    _, searcher, oracle = built
+    # pick a bigram that actually occurs
+    docs_texts = {d: None for d in oracle.postings.get("the", {})}
+    q = Q.PhraseQuery("content", ("the", "if"))
+    res = searcher.search(q, k=10)
+    _assert_topk_identical(res, oracle.top_k(oracle.phrase_scores(["the", "if"]), 10), 10)
+
+
+def test_search_after_pagination(built):
+    _, searcher, oracle = built
+    q = Q.TermQuery("content", "the")
+    page1 = searcher.search(q, k=5).collect()
+    anchor = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    page2 = searcher.search(q, k=5, after=anchor).collect()
+    full = oracle.top_k(oracle.term_scores("the"), 10)
+    got = [(int(r["doc_id"]), float(r["score"])) for r in page1 + page2]
+    assert got == full
+
+
+def test_count_pushdown(built):
+    _, searcher, oracle = built
+    assert searcher.count(Q.TermQuery("content", "the")) == oracle.df("the")
+    assert searcher.count(Q.MatchAllDocsQuery()) == oracle.max_doc
+
+
+def test_sha256_invariant(built):
+    idx, _, _ = built
+    import pyspark.sql.functions as F
+
+    bad = idx.docs.filter(
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256) != F.col("content_sha256")
+    ).count()
+    assert bad == 0

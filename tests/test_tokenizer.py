@@ -1,0 +1,70 @@
+"""Analyzer golden tests per StandardAnalyzer semantics (reference
+analysis/standard/StandardTokenizer.java + StandardTokenizerImpl.jflex
+consequences; see SURVEY §1.3)."""
+
+import pytest
+
+from lucene_spark.analysis.tokenizer import StandardAnalyzer
+
+A = StandardAnalyzer()
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("foo bar", ["foo", "bar"]),
+        ("Foo BAR", ["foo", "bar"]),
+        ("foo_bar", ["foo_bar"]),  # _ is ExtendNumLet: one token
+        ("foo.bar", ["foo.bar"]),  # MidNumLet between letters
+        ("a.b.c", ["a.b.c"]),
+        ("org.apache.lucene.search", ["org.apache.lucene.search"]),
+        ("1,000", ["1,000"]),  # MidNum between digits
+        ("3.14", ["3.14"]),
+        ("foo-bar", ["foo", "bar"]),  # hyphen splits
+        ("foo/bar", ["foo", "bar"]),
+        ("C++", ["c"]),
+        ("can't", ["can't"]),  # apostrophe between letters
+        ("a:b", ["a:b"]),  # colon is MidLetter
+        ("foo,bar", ["foo", "bar"]),  # comma does NOT join letters
+        ("a.4", ["a", "4"]),  # dot needs same class both sides
+        ("x = foo(bar, baz);", ["x", "foo", "bar", "baz"]),
+        ("snake_case.method_name", ["snake_case.method_name"]),
+        ("", []),
+        ("   ", []),
+        ("trailing. dot", ["trailing", "dot"]),
+    ],
+)
+def test_golden_tokens(text, expected):
+    assert A.terms(text) == expected
+
+
+def test_long_token_skipped_but_counts_position():
+    long_tok = "x" * 256
+    toks = A.tokens(f"alpha {long_tok} beta")
+    assert [t.term for t in toks] == ["alpha", "beta"]
+    assert [t.position for t in toks] == [0, 2]  # gap where the long token was
+    # exactly 255 chars is kept
+    ok = "y" * 255
+    assert A.terms(ok) == [ok]
+
+
+def test_field_length_excludes_skipped():
+    long_tok = "x" * 300
+    assert A.field_length(f"a {long_tok} b") == 2
+
+
+def test_stopwords_leave_position_gaps():
+    a = StandardAnalyzer(stopwords=frozenset({"the"}))
+    toks = a.tokens("the quick the fox")
+    assert [(t.term, t.position) for t in toks] == [("quick", 1), ("fox", 3)]
+
+
+def test_inverted():
+    inv, n = A.inverted("big cat big dog big")
+    assert n == 5
+    assert inv == {"big": [0, 2, 4], "cat": [1], "dog": [3]}
+
+
+def test_unicode_lowercase_dotted_capital_i():
+    # Java Character.toLowerCase(U+0130) == 'i' (one codepoint)
+    assert A.terms("İstanbul") == ["istanbul"]
