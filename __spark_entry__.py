@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship BM25 query on sf0.001;
+``queries()`` / ``oracle_sql()`` pairs map SURVEY.md §2 operators to
+engine DataFrame plans + DuckDB oracles (implementation and float32-parity
+notes in ``lucene_spark/entry_impl.py``).
 """
 
 from __future__ import annotations
@@ -13,26 +12,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from lucene_spark import entry_impl
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 for TermQuery('spark') over sf0.001 documents,
+    joined back to the stored fields (doc retrieval)."""
+    import pyspark.sql.functions as F
+
+    from lucene_spark.search import query as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx, searcher = entry_impl.get_searcher(spark, sf_dir)
+    top = searcher.search(Q.TermQuery("text", "spark"), k=10)
+    return top.join(idx.docs.select("doc_id", "lang", "source"), "doc_id").select(
+        "doc_id", "score", "lang", "source"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return entry_impl.build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return entry_impl.build_oracles()

@@ -1,0 +1,789 @@
+"""Driver-contract implementation: queries() + oracle_sql() pairs.
+
+Each entry maps one operator family from SURVEY.md §2 to (a) an engine-side
+DataFrame plan over the documents/TPC-H/embeddings test tables and (b) a
+DuckDB ANSI-SQL oracle computing the same result — including bit-identical
+float32 BM25 scores (the oracle casts every intermediate to FLOAT in
+Lucene's operation order; see search/similarity.py for the contract).
+
+The documents corpus is lowercase ``[a-z ]`` text, so the engine tokenizer
+and the oracle's ``regexp_extract_all('[a-z0-9_]+')`` produce identical
+token streams (the full UAX#29 behavior is covered by tokenizer goldens).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window
+
+from lucene_spark.index.build import IndexConfig, InvertedIndex, build_index
+from lucene_spark.search import query as Q
+from lucene_spark.search.searcher import IndexSearcher
+from lucene_spark.util.smallfloat import LENGTH_TABLE_INT
+
+# --------------------------------------------------------------------------
+# engine-side index cache (one build per sf_dir per session)
+# --------------------------------------------------------------------------
+
+_CACHE: dict[str, tuple[InvertedIndex, IndexSearcher]] = {}
+
+DOC_CFG = IndexConfig(
+    text_col="text",
+    field_name="text",
+    doc_id_col="doc_id",
+    docs_per_segment=1024,
+)
+
+
+def get_searcher(spark: SparkSession, sf_dir: str) -> tuple[InvertedIndex, IndexSearcher]:
+    if sf_dir not in _CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = build_index(spark, docs, DOC_CFG)
+        idx.postings.persist()
+        idx.docs.persist()
+        idx.termstats.persist()
+        idx.doclens.persist()
+        _CACHE[sf_dir] = (idx, IndexSearcher(idx))
+    return _CACHE[sf_dir]
+
+
+def _docs(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# float32-exact SQL expression builders (DuckDB FLOAT ops mirror numpy f32)
+# --------------------------------------------------------------------------
+
+
+def _fc(e: str) -> str:
+    return f"CAST({e} AS FLOAT)"
+
+
+def _fmul(a: str, b: str) -> str:
+    return _fc(f"({a} * {b})")
+
+
+def _fdiv(a: str, b: str) -> str:
+    return _fc(f"({a} / {b})")
+
+
+def _fadd(a: str, b: str) -> str:
+    return _fc(f"({a} + {b})")
+
+
+def _fsub(a: str, b: str) -> str:
+    return _fc(f"({a} - {b})")
+
+
+def _flit(x: float) -> str:
+    # NB: route through DOUBLE — DuckDB parses bare decimal literals as
+    # DECIMAL(p,s) whose DECIMAL->FLOAT conversion can be 1 ulp off
+    # (e.g. 1.2000000476837158 -> 1.1999999284744263f).
+    return _fc(f"CAST({repr(float(np.float32(x)))} AS DOUBLE)")
+
+
+TOKEN_SQL = "[a-z0-9_]+"
+
+_B4_ROWS = ",".join(f"({b},{int(v)})" for b, v in enumerate(LENGTH_TABLE_INT))
+
+# norm-inverse per doc: 1/(k1*((1-b) + b*len/avgdl)) in float32 op order
+_INV_EXPR = _fdiv(
+    _flit(1.0),
+    _fmul(
+        _flit(1.2),
+        _fadd(
+            _flit(0.25),
+            _fdiv(_fmul(_flit(0.75), _fc("t.floor_len")), "a.avgdl"),
+        ),
+    ),
+)
+
+BASE_CTES = f"""
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_SQL}')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(text, '{TOKEN_SQL}')))) - 1 AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY doc_id),
+fstats AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS max_doc,
+         count(*)::BIGINT AS doc_count,
+         sum(len)::BIGINT AS sum_ttf,
+         (SELECT count(*) FROM tf)::BIGINT AS sum_df
+  FROM dl
+),
+b4(nb, floor_len) AS (VALUES {_B4_ROWS}),
+norms AS (
+  SELECT dl.doc_id, max(b4.nb) AS nb
+  FROM dl JOIN b4 ON b4.floor_len <= dl.len GROUP BY dl.doc_id
+),
+avgd AS (SELECT CAST(sum_ttf / CAST(doc_count AS DOUBLE) AS FLOAT) AS avgdl FROM fstats),
+invn AS (
+  SELECT n.doc_id, {_INV_EXPR} AS inv
+  FROM norms n JOIN b4 t ON t.nb = n.nb CROSS JOIN avgd a
+)
+""".strip()
+
+
+def _idf_sql(df_expr: str) -> str:
+    dc = "(SELECT doc_count FROM fstats)"
+    return _fc(f"ln(1.0 + (({dc} - {df_expr}) + 0.5) / ({df_expr} + 0.5))")
+
+
+def _weight_cte(name: str, term: str, boost: float = 1.0) -> str:
+    """CTE `name(w)`: float32 weight = boost * idf(term)."""
+    df = f"(SELECT count(*) FROM tf WHERE term = '{term}')"
+    idf = _idf_sql(df)
+    w = idf if boost == 1.0 else _fmul(_flit(boost), idf)
+    return f"{name}(w) AS (SELECT {w})"
+
+
+def _score_expr(w: str, freq: str, inv: str) -> str:
+    denom = _fadd(_flit(1.0), _fmul(_fc(freq), inv))
+    return _fsub(w, _fdiv(w, denom))
+
+
+def _term_scores_cte(name: str, term: str, boost: float = 1.0) -> str:
+    """CTE `name(doc_id, score)`: BM25 rows for one term."""
+    w_cte = _weight_cte(f"{name}_w", term, boost)
+    score = _score_expr(f"{name}_w.w", "tf.freq", "i.inv")
+    return (
+        f"{w_cte},\n"
+        f"{name} AS (\n"
+        f"  SELECT tf.doc_id, {score} AS score\n"
+        f"  FROM tf JOIN invn i USING (doc_id) CROSS JOIN {name}_w\n"
+        f"  WHERE tf.term = '{term}'\n"
+        f")"
+    )
+
+
+def _topk_sql(scores_rel: str, k: int = 10) -> str:
+    return (
+        f"SELECT doc_id, score FROM {scores_rel} "
+        f"ORDER BY score DESC, doc_id ASC LIMIT {k}"
+    )
+
+
+# --------------------------------------------------------------------------
+# the query/oracle registry
+# --------------------------------------------------------------------------
+
+QUERIES = {}
+ORACLES = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _topk_df(searcher_result: DataFrame) -> DataFrame:
+    return searcher_result.select("doc_id", "score")
+
+
+# ---- 1. TermQuery (search/TermQuery.java:39) ------------------------------
+
+
+@register(
+    "term_query",
+    f"WITH {BASE_CTES},\n{_term_scores_cte('sc', 'spark')}\n{_topk_sql('sc')}",
+)
+def term_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return _topk_df(s.search(Q.TermQuery("text", "spark"), k=10))
+
+
+@register(
+    "term_query_rare",
+    f"WITH {BASE_CTES},\n{_term_scores_cte('sc', 'dup')}\n{_topk_sql('sc')}",
+)
+def term_query_rare(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return _topk_df(s.search(Q.TermQuery("text", "dup"), k=10))
+
+
+@register(
+    "term_query_boosted",
+    f"WITH {BASE_CTES},\n{_term_scores_cte('sc', 'merge', boost=2.5)}\n{_topk_sql('sc')}",
+)
+def term_query_boosted(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return _topk_df(s.search(Q.TermQuery("text", "merge", boost=2.5), k=10))
+
+
+# ---- 2. BooleanQuery family (search/BooleanQuery.java:40) ------------------
+
+
+@register(
+    "boolean_or",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('s1', 'table')},
+{_term_scores_cte('s2', 'vector')},
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM u GROUP BY doc_id
+)
+{_topk_sql('sc')}""",
+)
+def boolean_or(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.BooleanQuery.of(
+        should=[Q.TermQuery("text", "table"), Q.TermQuery("text", "vector")]
+    )
+    return _topk_df(s.search(q, k=10))
+
+
+@register(
+    "boolean_and",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('s1', 'spark')},
+{_term_scores_cte('s2', 'join')},
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM u GROUP BY doc_id HAVING count(*) = 2
+)
+{_topk_sql('sc')}""",
+)
+def boolean_and(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.BooleanQuery.of(
+        must=[Q.TermQuery("text", "spark"), Q.TermQuery("text", "join")]
+    )
+    return _topk_df(s.search(q, k=10))
+
+
+@register(
+    "boolean_mixed",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('m1', 'key')},
+{_term_scores_cte('o1', 'spark')},
+{_term_scores_cte('o2', 'fast')},
+u AS (
+  SELECT doc_id, score, 1 AS req FROM m1
+  UNION ALL SELECT doc_id, score, 0 FROM o1
+  UNION ALL SELECT doc_id, score, 0 FROM o2
+),
+agg AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score,
+         sum(req) AS nreq
+  FROM u GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id, score FROM agg
+  WHERE nreq = 1
+    AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'slow')
+)
+{_topk_sql('sc')}""",
+)
+def boolean_mixed(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.BooleanQuery.of(
+        must=[Q.TermQuery("text", "key")],
+        should=[Q.TermQuery("text", "spark"), Q.TermQuery("text", "fast")],
+        must_not=[Q.TermQuery("text", "slow")],
+    )
+    return _topk_df(s.search(q, k=10))
+
+
+@register(
+    "boolean_min_should_match",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('o1', 'sort')},
+{_term_scores_cte('o2', 'group')},
+{_term_scores_cte('o3', 'dup')},
+u AS (
+  SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
+),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM u GROUP BY doc_id HAVING count(*) >= 2
+)
+{_topk_sql('sc')}""",
+)
+def boolean_min_should_match(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.BooleanQuery.of(
+        should=[
+            Q.TermQuery("text", "sort"),
+            Q.TermQuery("text", "group"),
+            Q.TermQuery("text", "dup"),
+        ],
+        minimum_should_match=2,
+    )
+    return _topk_df(s.search(q, k=10))
+
+
+@register(
+    "boolean_filter_context",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('m1', 'stream')},
+sc AS (
+  SELECT m1.doc_id, m1.score FROM m1
+  WHERE m1.doc_id IN (SELECT doc_id FROM tf WHERE term = 'window')
+)
+{_topk_sql('sc')}""",
+)
+def boolean_filter_context(spark, sf_dir):
+    """FILTER occur: matching required, no score contribution
+    (ScoreMode.COMPLETE_NO_SCORES, search/ScoreMode.java:26)."""
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.BooleanQuery.of(
+        must=[Q.TermQuery("text", "stream")],
+        filter=[Q.TermQuery("text", "window")],
+    )
+    return _topk_df(s.search(q, k=10))
+
+
+# ---- 3. DisjunctionMax / Synonym -------------------------------------------
+
+
+@register(
+    "disjunction_max",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('s1', 'hash')},
+{_term_scores_cte('s2', 'merge')},
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+agg AS (
+  SELECT doc_id, max(score) AS mx, sum(CAST(score AS DOUBLE)) AS sm
+  FROM u GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id,
+         CAST(CAST(mx AS DOUBLE) + 0.5 * (sm - CAST(mx AS DOUBLE)) AS FLOAT) AS score
+  FROM agg
+)
+{_topk_sql('sc')}""",
+)
+def disjunction_max(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.DisjunctionMaxQuery(
+        (Q.TermQuery("text", "hash"), Q.TermQuery("text", "merge")), tie_breaker=0.5
+    )
+    return _topk_df(s.search(q, k=10))
+
+
+@register(
+    "synonym_query",
+    f"""WITH {BASE_CTES},
+syn_w(w) AS (
+  SELECT {_idf_sql("greatest((SELECT count(*) FROM tf WHERE term='fast'), (SELECT count(*) FROM tf WHERE term='slow'))")}
+),
+synf AS (
+  SELECT doc_id, sum(freq)::BIGINT AS freq FROM tf
+  WHERE term IN ('fast', 'slow') GROUP BY doc_id
+),
+sc AS (
+  SELECT synf.doc_id, {_score_expr('syn_w.w', 'synf.freq', 'i.inv')} AS score
+  FROM synf JOIN invn i USING (doc_id) CROSS JOIN syn_w
+)
+{_topk_sql('sc')}""",
+)
+def synonym_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return _topk_df(s.search(Q.SynonymQuery("text", ("fast", "slow")), k=10))
+
+
+# ---- 4. PhraseQuery (search/PhraseQuery.java:71) ---------------------------
+
+
+_PH_IDF1 = _idf_sql("(SELECT count(*) FROM tf WHERE term='table')")
+_PH_IDF2 = _idf_sql("(SELECT count(*) FROM tf WHERE term='part')")
+_PH_W = _fc(f"({_PH_IDF1}::DOUBLE + {_PH_IDF2}::DOUBLE)")
+
+
+@register(
+    "phrase_query",
+    f"""WITH {BASE_CTES},
+p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+p1 AS (SELECT doc_id, pos FROM tok WHERE term = 'part'),
+ph AS (
+  SELECT p0.doc_id, count(*)::BIGINT AS freq
+  FROM p0 JOIN p1 ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+  GROUP BY p0.doc_id
+),
+ph_w(w) AS (
+  SELECT {_PH_W}
+),
+sc AS (
+  SELECT ph.doc_id, {_score_expr('ph_w.w', 'ph.freq', 'i.inv')} AS score
+  FROM ph JOIN invn i USING (doc_id) CROSS JOIN ph_w
+)
+{_topk_sql('sc')}""",
+)
+def phrase_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return _topk_df(s.search(Q.PhraseQuery("text", ("table", "part")), k=10))
+
+
+# ---- 5. Multi-term dictionary expansion (constant score) -------------------
+
+
+@register(
+    "prefix_query",
+    f"""WITH {BASE_CTES}
+SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
+FROM tf WHERE term LIKE 'sc%' ORDER BY doc_id""",
+)
+def prefix_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return s.scored(Q.PrefixQuery("text", "sc")).select("doc_id", "score")
+
+
+@register(
+    "wildcard_query",
+    f"""WITH {BASE_CTES}
+SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
+FROM tf WHERE regexp_full_match(term, 'c.*er') ORDER BY doc_id""",
+)
+def wildcard_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return s.scored(Q.WildcardQuery("text", "c*er")).select("doc_id", "score")
+
+
+@register(
+    "regexp_query",
+    f"""WITH {BASE_CTES}
+SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
+FROM tf WHERE regexp_full_match(term, '(s|b).*a.*') ORDER BY doc_id""",
+)
+def regexp_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return s.scored(Q.RegexpQuery("text", "(s|b).*a.*")).select("doc_id", "score")
+
+
+@register(
+    "fuzzy_query",
+    f"""WITH {BASE_CTES}
+SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
+FROM tf WHERE levenshtein(term, 'scan') <= 1 ORDER BY doc_id""",
+)
+def fuzzy_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return s.scored(Q.FuzzyQuery("text", "scan", max_edits=1)).select(
+        "doc_id", "score"
+    )
+
+
+@register(
+    "term_range_query",
+    f"""WITH {BASE_CTES}
+SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
+FROM tf WHERE term >= 'key' AND term < 'merge' ORDER BY doc_id""",
+)
+def term_range_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.TermRangeQuery("text", "key", "merge", include_lower=True, include_upper=False)
+    return s.scored(q).select("doc_id", "score")
+
+
+@register(
+    "term_in_set_query",
+    f"""WITH {BASE_CTES}
+SELECT DISTINCT doc_id, CAST(1.0 AS FLOAT) AS score
+FROM tf WHERE term IN ('dup', 'vector') ORDER BY doc_id""",
+)
+def term_in_set_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return s.scored(Q.TermInSetQuery("text", ("dup", "vector"))).select(
+        "doc_id", "score"
+    )
+
+
+# ---- 6. Point/exists/match-all (docs-table predicates) ---------------------
+
+
+@register(
+    "point_range_query",
+    """SELECT doc_id, CAST(1.0 AS FLOAT) AS score FROM documents
+WHERE n_chars >= 150 AND n_chars <= 300 ORDER BY doc_id""",
+)
+def point_range_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.PointRangeQuery("n_chars", 150, 300)
+    return s.scored(q).select("doc_id", "score")
+
+
+@register(
+    "total_hit_count",
+    f"""WITH {BASE_CTES}
+SELECT (SELECT count(*) FROM tf WHERE term = 'column')::BIGINT AS n_hits,
+       (SELECT count(*) FROM documents)::BIGINT AS n_docs""",
+)
+def total_hit_count(spark, sf_dir):
+    """IndexSearcher.count / Weight.count stats pushdown."""
+    _, s = get_searcher(spark, sf_dir)
+    n_hits = s.count(Q.TermQuery("text", "column"))
+    n_docs = s.count(Q.MatchAllDocsQuery())
+    return spark.createDataFrame(
+        [(n_hits, n_docs)], schema="n_hits long, n_docs long"
+    )
+
+
+# ---- 7. Facets / grouping / stats ------------------------------------------
+
+
+@register(
+    "facet_counts",
+    f"""WITH {BASE_CTES}
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'agg')
+GROUP BY d.lang ORDER BY d.lang""",
+)
+def facet_counts(spark, sf_dir):
+    """StringValueFacetCounts over a match set (facet/FacetsCollector.java:36)."""
+    idx, s = get_searcher(spark, sf_dir)
+    m = s.matches(Q.TermQuery("text", "agg"))
+    return (
+        idx.docs.join(m, "doc_id", "semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "facet_range_counts",
+    f"""WITH {BASE_CTES}
+SELECT (n_chars // 100 * 100)::BIGINT AS bucket, count(*)::BIGINT AS cnt
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'row')
+GROUP BY bucket ORDER BY bucket""",
+)
+def facet_range_counts(spark, sf_dir):
+    """LongRangeFacetCounts analog: fixed-width numeric buckets."""
+    idx, s = get_searcher(spark, sf_dir)
+    m = s.matches(Q.TermQuery("text", "row"))
+    return (
+        idx.docs.join(m, "doc_id", "semi")
+        .groupBy(
+            (F.floor(F.col("n_chars") / 100) * 100).cast("long").alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "grouping_top2_per_lang",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('sc', 'query')},
+j AS (
+  SELECT d.lang, sc.doc_id, sc.score,
+         row_number() OVER (PARTITION BY d.lang ORDER BY sc.score DESC, sc.doc_id ASC) AS rnk
+  FROM sc JOIN documents d USING (doc_id)
+)
+SELECT lang, doc_id, score, rnk FROM j WHERE rnk <= 2 ORDER BY lang, rnk""",
+)
+def grouping_top2_per_lang(spark, sf_dir):
+    """Two-pass grouping: top-k docs per group (grouping/GroupingSearch.java:42)."""
+    idx, s = get_searcher(spark, sf_dir)
+    sc = s.scored(Q.TermQuery("text", "query"))
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        sc.join(idx.docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("lang", "doc_id", "score", "rnk")
+    )
+
+
+@register(
+    "distinct_values_count",
+    f"""WITH {BASE_CTES}
+SELECT count(DISTINCT d.source)::BIGINT AS n_sources
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'dup')""",
+)
+def distinct_values_count(spark, sf_dir):
+    """DistinctValuesCollector analog."""
+    idx, s = get_searcher(spark, sf_dir)
+    m = s.matches(Q.TermQuery("text", "dup"))
+    return (
+        idx.docs.join(m, "doc_id", "semi")
+        .agg(F.countDistinct("source").alias("n_sources"))
+    )
+
+
+@register(
+    "sort_by_field",
+    f"""WITH {BASE_CTES}
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'line')
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10""",
+)
+def sort_by_field(spark, sf_dir):
+    """TopFieldCollector: top-k by a Sort over docvalues (search/SortField.java)."""
+    idx, s = get_searcher(spark, sf_dir)
+    m = s.matches(Q.TermQuery("text", "line"))
+    return (
+        idx.docs.join(m, "doc_id", "semi")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "search_after_page2",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('sc', 'customer')}
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10""",
+)
+def search_after_page2(spark, sf_dir):
+    """searchAfter pagination (search/IndexSearcher.java:587)."""
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.TermQuery("text", "customer")
+    page1 = s.search(q, k=10).collect()
+    anchor = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    return _topk_df(s.search(q, k=10, after=anchor))
+
+
+@register(
+    "covering_query",
+    f"""WITH {BASE_CTES},
+m AS (
+  SELECT doc_id, count(DISTINCT term)::BIGINT AS n_matched
+  FROM tf WHERE term IN ('spark', 'join', 'fast') GROUP BY doc_id
+)
+SELECT doc_id, n_matched FROM m WHERE n_matched >= 2 ORDER BY doc_id""",
+)
+def covering_query(spark, sf_dir):
+    """CoveringQuery: docs matching >= N clauses (sandbox CoveringQuery.java)."""
+    idx, s = get_searcher(spark, sf_dir)
+    terms = ["spark", "join", "fast"]
+    parts = [s.matches(Q.TermQuery("text", t)) for t in terms]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") >= 2)
+    )
+
+
+# ---- 8. Index statistics tables --------------------------------------------
+
+
+@register(
+    "index_field_stats",
+    f"""WITH {BASE_CTES}
+SELECT max_doc, doc_count, sum_ttf, sum_df FROM fstats""",
+)
+def index_field_stats(spark, sf_dir):
+    """Searcher-wide FieldStats (search/FieldStats.java:69)."""
+    idx, _ = get_searcher(spark, sf_dir)
+    fs = idx.fieldstats["text"]
+    return spark.createDataFrame(
+        [(fs.max_doc, fs.doc_count, fs.sum_total_term_freq, fs.sum_doc_freq)],
+        schema="max_doc long, doc_count long, sum_ttf long, sum_df long",
+    )
+
+
+@register(
+    "term_stats",
+    f"""WITH {BASE_CTES}
+SELECT term, count(*)::BIGINT AS df, sum(freq)::BIGINT AS ttf
+FROM tf WHERE term IN ('spark', 'dup', 'the', 'scan')
+GROUP BY term ORDER BY term""",
+)
+def term_stats(spark, sf_dir):
+    """Per-term df/ttf (search/TermStats.java:64)."""
+    idx, _ = get_searcher(spark, sf_dir)
+    return idx.termstats.filter(
+        F.col("term").isin(["spark", "dup", "the", "scan"])
+    ).select("term", "df", "ttf")
+
+
+@register(
+    "doc_norms",
+    f"""WITH {BASE_CTES}
+SELECT dl.doc_id, dl.len AS length, n.nb::INTEGER AS norm
+FROM dl JOIN norms n USING (doc_id)
+WHERE dl.doc_id < 50 ORDER BY dl.doc_id""",
+)
+def doc_norms(spark, sf_dir):
+    """byte4 length-norm column (util/SmallFloat.java:103-157 encoding)."""
+    idx, _ = get_searcher(spark, sf_dir)
+    return (
+        idx.doclens.filter((F.col("doc_id") < 50) & (F.col("length") > 0))
+        .select("doc_id", F.col("length").cast("long").alias("length"), "norm")
+    )
+
+
+@register(
+    "top_terms_by_df",
+    f"""WITH {BASE_CTES},
+ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM ts ORDER BY df DESC, term ASC LIMIT 10""",
+)
+def top_terms_by_df(spark, sf_dir):
+    """HighFreqTerms diagnostic (misc/HighFreqTerms)."""
+    idx, _ = get_searcher(spark, sf_dir)
+    return (
+        idx.termstats.select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+    )
+
+
+# ---- 9. Join family over TPC-H tables --------------------------------------
+
+
+@register(
+    "block_join_parent",
+    """SELECT o.o_orderkey, max(l.l_extendedprice) AS max_child_score,
+       count(*)::BIGINT AS n_children
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+ORDER BY max_child_score DESC, o.o_orderkey ASC LIMIT 10""",
+)
+def block_join_parent(spark, sf_dir):
+    """ToParentBlockJoinQuery: child-score aggregation to parents
+    (join/ToParentBlockJoinQuery.java:68)."""
+    o = _docs(spark, sf_dir, "orders")
+    l = _docs(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max("l_extendedprice").alias("max_child_score"),
+            F.count("*").alias("n_children"),
+        )
+        .orderBy(F.desc("max_child_score"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "query_time_join",
+    """SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+ORDER BY c.c_custkey""",
+)
+def query_time_join(spark, sf_dir):
+    """JoinUtil.createJoinQuery semi-join (join/JoinUtil.java:91-142)."""
+    c = _docs(spark, sf_dir, "customer")
+    o = _docs(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def build_queries() -> dict:
+    return dict(QUERIES)
+
+
+def build_oracles() -> dict:
+    return dict(ORACLES)
