@@ -1,0 +1,149 @@
+"""Headline benchmark: index build + query serving over the documents corpus.
+
+Run: ``python bench.py``. Env:
+
+- ``SPARK_GRAFT_SF_DIR``  input dir (default /root/testdata/sf0.1)
+- ``SPARK_GRAFT_CPUS``    local[] parallelism (default 32)
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+plus extra keys ``docs_per_sec`` (index build throughput — the reference's
+``rec/s`` AddDoc measure, benchmark/.../ReportTask.java:61) and ``qps``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def make_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("lucene-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_bench(spark: SparkSession, sf_dir: str) -> dict:
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.pipeline import dedup, similarity as ann, text as textops
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    cfg = IndexConfig(
+        text_col="text", field_name="text", doc_id_col="doc_id", docs_per_segment=1 << 14
+    )
+    idx = build_index(spark, docs, cfg)
+    # materialize the index tables (the equivalent of commit)
+    idx.postings.persist()
+    n_blocks = idx.postings.count()
+    idx.doclens.persist().count()
+    idx.termstats.persist().count()
+    idx.docs.persist().count()
+    timings["index_build"] = time.time() - t0
+
+    searcher = IndexSearcher(idx)
+
+    def q(name, fn):
+        t = time.time()
+        rows = fn().collect()
+        timings[name] = time.time() - t
+        return rows
+
+    q("term_query", lambda: searcher.search(Q.TermQuery("text", "spark"), k=10))
+    q(
+        "boolean_or",
+        lambda: searcher.search(
+            Q.BooleanQuery.of(
+                should=[Q.TermQuery("text", "table"), Q.TermQuery("text", "vector")]
+            ),
+            k=10,
+        ),
+    )
+    q(
+        "boolean_and",
+        lambda: searcher.search(
+            Q.BooleanQuery.of(
+                must=[Q.TermQuery("text", "spark"), Q.TermQuery("text", "join")]
+            ),
+            k=10,
+        ),
+    )
+    q(
+        "phrase_query",
+        lambda: searcher.search(Q.PhraseQuery("text", ("table", "part")), k=10),
+    )
+    q(
+        "dismax",
+        lambda: searcher.search(
+            Q.DisjunctionMaxQuery(
+                (Q.TermQuery("text", "hash"), Q.TermQuery("text", "merge")),
+                tie_breaker=0.5,
+            ),
+            k=10,
+        ),
+    )
+    q("prefix_query", lambda: searcher.scored(Q.PrefixQuery("text", "sc")))
+
+    # training-data pipeline ops over the same corpus
+    q("exact_dedup", lambda: dedup.exact_duplicate_groups(idx.docs, text_col="text"))
+    q(
+        "minhash_lsh_dedup",
+        lambda: dedup.minhash_lsh_pairs(
+            docs, text_col="text", id_col="doc_id", num_perm=16, bands=4
+        ),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q(
+        "ann_topk",
+        lambda: ann.brute_force_topk(
+            emb, emb.limit(8), id_col="vec_id", vec_col="embedding", k=5
+        ),
+    )
+    q("quality_score", lambda: textops.quality_scores(docs, text_col="text"))
+
+    query_names = [k for k in timings if k != "index_build"]
+    total_query_sec = sum(timings[k] for k in query_names)
+    return {
+        "metric": "index_build_plus_query_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "n_docs": n_docs,
+        "n_postings_blocks": n_blocks,
+        "docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "qps": round(len(query_names) / total_query_sec, 2) if total_query_sec else 0.0,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = make_spark(cpus)
+    try:
+        result = run_bench(spark, sf_dir)
+        result["cpus"] = cpus
+    finally:
+        spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

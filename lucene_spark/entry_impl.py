@@ -782,8 +782,12 @@ def query_time_join(spark, sf_dir):
 
 
 def build_queries() -> dict:
+    from lucene_spark import entry_pipeline  # noqa: F401 — registers entries
+
     return dict(QUERIES)
 
 
 def build_oracles() -> dict:
+    from lucene_spark import entry_pipeline  # noqa: F401 — registers entries
+
     return dict(ORACLES)

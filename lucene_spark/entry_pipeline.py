@@ -1,0 +1,441 @@
+"""Driver-contract entries for the training-data pipeline operators.
+
+Every Spark plan here has a bit-exact DuckDB oracle: all hashing is
+md5-derived (``dedup.h60``), all similarity arithmetic runs on 2^20
+fixed-point int64 dot products, and all floating-point post-processing is
+restricted to IEEE-deterministic ops (+ - * / sqrt abs least greatest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucene_spark.entry_impl import register
+from lucene_spark.pipeline import dedup, multimodal, similarity, text
+
+# DuckDB mirror of dedup.h60
+def _H(s: str) -> str:
+    return f"('0x' || substring(md5({s}), 1, 15))::BIGINT"
+
+
+# shared shingle/minhash CTE chain (num_perm=16, bands=4, shingle=3)
+_MINHASH_CTES = f"""
+mh_toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9_]+') AS tk FROM documents),
+mh_sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3
+              THEN list_transform(generate_series(1, len(tk)-2),
+                                  i -> array_to_string(tk[i:i+2], ' '))
+              ELSE [array_to_string(tk, ' ')] END AS shs
+  FROM mh_toks
+),
+mh_ex AS (SELECT doc_id, unnest(shs) AS shingle FROM mh_sh),
+mh_pr AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM mh_ex),
+mh_h AS (SELECT doc_id, perm, {_H("shingle || '#' || perm")} AS hv FROM mh_pr),
+mh_sig AS (SELECT doc_id, perm, min(hv) AS minhash FROM mh_h GROUP BY doc_id, perm)
+""".strip()
+
+_LSH_CTES = f"""
+{_MINHASH_CTES},
+lsh_b AS (
+  SELECT doc_id, perm // 4 AS band,
+         bit_xor({_H("perm || ':' || minhash")}) AS band_hash
+  FROM mh_sig GROUP BY doc_id, perm // 4
+),
+lsh_ok AS (
+  SELECT band, band_hash FROM lsh_b GROUP BY band, band_hash HAVING count(*) <= 1000
+),
+lsh_b2 AS (SELECT lsh_b.* FROM lsh_b JOIN lsh_ok USING (band, band_hash)),
+lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM lsh_b2 a JOIN lsh_b2 b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+)
+""".strip()
+
+
+# ---- deduplication ---------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """SELECT sha256(coalesce(text, '')) AS content_sha256,
+       count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 ORDER BY content_sha256""",
+)
+def dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_duplicate_groups(docs, text_col="text")
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"WITH {_MINHASH_CTES}\n"
+    "SELECT doc_id, perm::BIGINT AS perm, minhash FROM mh_sig ORDER BY doc_id, perm",
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, text_col="text", num_perm=16)
+    return sigs.select("doc_id", F.col("perm").cast("long").alias("perm"), "minhash")
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    f"WITH {_LSH_CTES}\nSELECT id_a, id_b FROM lsh_pairs ORDER BY id_a, id_b",
+)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, text_col="text", num_perm=16, bands=4)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH {_LSH_CTES},
+jd_sh AS (SELECT DISTINCT doc_id, shingle FROM mh_ex),
+jd_sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM jd_sh GROUP BY doc_id),
+jd_int AS (
+  SELECT p.id_a, p.id_b, count(*)::BIGINT AS n_inter
+  FROM lsh_pairs p
+  JOIN jd_sh a ON a.doc_id = p.id_a
+  JOIN jd_sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       CAST(coalesce(ji.n_inter, 0) AS DOUBLE)
+         / CAST(sa.n_sh + sb.n_sh - coalesce(ji.n_inter, 0) AS DOUBLE) AS jaccard
+FROM lsh_pairs p
+LEFT JOIN jd_int ji ON ji.id_a = p.id_a AND ji.id_b = p.id_b
+JOIN jd_sz sa ON sa.doc_id = p.id_a
+JOIN jd_sz sb ON sb.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, text_col="text", num_perm=16, bands=4)
+    return dedup.ngram_jaccard_pairs(docs, pairs, text_col="text")
+
+
+_SIMHASH_CTES = f"""
+sim_tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9_]+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+sim_bits AS (
+  SELECT doc_id, b, sum(tf * (((th >> b) & 1) * 2 - 1))::BIGINT AS s
+  FROM (SELECT doc_id, tf, {_H("tok")} AS th,
+               unnest(generate_series(0, 31)) AS b
+        FROM sim_tf)
+  GROUP BY doc_id, b
+),
+sim_hash AS (
+  SELECT doc_id,
+         sum(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+  FROM sim_bits GROUP BY doc_id
+)
+""".strip()
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {_SIMHASH_CTES}\nSELECT doc_id, simhash FROM sim_hash ORDER BY doc_id",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs, text_col="text")
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""WITH {_SIMHASH_CTES},
+sp_band AS (
+  SELECT doc_id, simhash, b AS byte_idx, (simhash >> (b * 8)) & 255 AS byte_val
+  FROM sim_hash, unnest(generate_series(0, 3)) t(b)
+),
+sp_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+  FROM sp_band a JOIN sp_band b USING (byte_idx, byte_val)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM sp_pairs WHERE hamming <= 6 ORDER BY id_a, id_b""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_pairs(docs, text_col="text", max_hamming=6).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# quantized-embedding CTEs shared by near-dup + ANN oracles
+_EMB_CTES = """
+eq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+ee AS (SELECT vec_id, unnest(qv) AS v,
+              unnest(generate_series(1, len(qv))) AS i FROM eq),
+en AS (SELECT vec_id, sum(v * v)::BIGINT AS nsq FROM ee GROUP BY vec_id)
+""".strip()
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH {_EMB_CTES},
+ed AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v)::BIGINT AS dot
+  FROM ee a JOIN ee b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+ec AS (
+  SELECT id_a, id_b,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+  FROM ed JOIN en na ON na.vec_id = id_a JOIN en nb ON nb.vec_id = id_b
+)
+SELECT id_a, id_b, cosine FROM ec WHERE cosine >= 0.4 ORDER BY id_a, id_b""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+# ---- similarity search (ANN) ----------------------------------------------
+
+
+@register(
+    "ann_brute_force_topk",
+    f"""WITH {_EMB_CTES},
+aq AS (SELECT * FROM eq WHERE vec_id < 8),
+ad AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v)::BIGINT AS dot
+  FROM ee c JOIN (SELECT vec_id, unnest(qv) AS v,
+                         unnest(generate_series(1, len(qv))) AS i FROM aq) q
+    ON q.i = c.i AND c.vec_id != q.vec_id
+  GROUP BY q.vec_id, c.vec_id
+),
+ac AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE))) AS cosine
+  FROM ad JOIN en nq ON nq.vec_id = query_id JOIN en nc ON nc.vec_id = neighbor_id
+),
+ar AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC)::INTEGER AS rank
+  FROM ac
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ar WHERE rank <= 5
+ORDER BY query_id, rank""",
+)
+def ann_brute_force_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), id_col="vec_id", k=5
+    )
+
+
+_HP_CTES = f"""
+hw AS (
+  SELECT p, i + 1 AS i, ({_H("p || '#' || i")} % 2001 - 1000) AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS p),
+       (SELECT unnest(generate_series(0, 63)) AS i)
+),
+hb AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN ps >= 0 THEN (1 << p) ELSE 0 END)::INTEGER AS bucket
+  FROM (
+    SELECT ee.vec_id, hw.p, sum(ee.v * hw.w)::BIGINT AS ps
+    FROM ee JOIN hw ON hw.i = ee.i
+    GROUP BY ee.vec_id, hw.p
+  ) e
+  GROUP BY e.vec_id
+)
+""".strip()
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    f"""WITH {_EMB_CTES},
+{_HP_CTES},
+lq AS (SELECT vec_id FROM embeddings WHERE vec_id < 32),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM hb q JOIN hb c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+  WHERE q.vec_id IN (SELECT vec_id FROM lq)
+),
+ld AS (
+  SELECT cand.query_id, cand.neighbor_id, sum(a.v * b.v)::BIGINT AS dot
+  FROM cand JOIN ee a ON a.vec_id = cand.query_id
+            JOIN ee b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+  GROUP BY cand.query_id, cand.neighbor_id
+),
+lc AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+  FROM ld JOIN en na ON na.vec_id = query_id JOIN en nb ON nb.vec_id = neighbor_id
+),
+lr AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC)::INTEGER AS rank
+  FROM lc
+)
+SELECT query_id, neighbor_id, cosine, rank FROM lr WHERE rank <= 5
+ORDER BY query_id, rank""",
+)
+def ann_lsh_bucketed_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.hyperplane_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 32), id_col="vec_id", k=5, dim=64, n_planes=8
+    )
+
+
+# ---- text analysis ---------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    """SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9_]+'))::BIGINT AS n_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_subwords,
+       length(text)::BIGINT AS n_chars
+FROM documents ORDER BY doc_id""",
+)
+def text_token_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = text.token_stats(docs, text_col="text")
+    return st.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in ("n_ws_tokens", "n_tokens", "n_subwords", "n_chars")],
+    )
+
+
+@register(
+    "text_quality_scores",
+    """WITH q_base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[a-z0-9_]+'))::BIGINT AS n_tokens,
+         coalesce(list_sum(list_transform(regexp_extract_all(text, '[a-z0-9_]+'),
+                           t -> length(t))), 0)::BIGINT AS tok_chars,
+         len(list_filter(regexp_extract_all(text, '[a-z0-9_]+'),
+             t -> t IN ('the','a','of','to','in','and','is','it')))::BIGINT AS n_stop
+  FROM documents
+),
+q_r AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_token_len,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+  FROM q_base
+)
+SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+       0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+     + 0.3 * greatest(0.0, 1.0 - abs(mean_token_len - 5.0) / 10.0)
+     + 0.3 * (1.0 - abs(stopword_ratio - 0.2)) AS quality
+FROM q_r ORDER BY doc_id""",
+)
+def text_quality_scores(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = text.quality_scores(docs, text_col="text")
+    return qs.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+_LANG_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, words in text.LANG_PROFILES.items()
+    for w in words
+)
+
+
+@register(
+    "text_language_id",
+    f"""WITH li_prof(lang, tok) AS (VALUES {_LANG_VALUES}),
+li_toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9_]+')) AS tok FROM documents
+),
+li_hits AS (
+  SELECT t.doc_id, p.lang, count(*)::BIGINT AS hits
+  FROM li_toks t JOIN li_prof p USING (tok) GROUP BY t.doc_id, p.lang
+),
+li_best AS (
+  SELECT h.doc_id, m.best_hits, min(h.lang) AS pred_lang
+  FROM (SELECT doc_id, max(hits) AS best_hits FROM li_hits GROUP BY doc_id) m
+  JOIN li_hits h ON h.doc_id = m.doc_id AND h.hits = m.best_hits
+  GROUP BY h.doc_id, m.best_hits
+)
+SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang,
+       coalesce(b.best_hits, 0)::BIGINT AS best_hits
+FROM documents d LEFT JOIN li_best b USING (doc_id) ORDER BY d.doc_id""",
+)
+def text_language_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    li = text.language_id(docs, text_col="text")
+    return li.select("doc_id", "pred_lang", F.col("best_hits").cast("long").alias("best_hits"))
+
+
+@register(
+    "text_fingerprints",
+    f"""WITH fp_tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9_]+')) AS tok,
+         unnest(generate_series(1, len(regexp_extract_all(text, '[a-z0-9_]+')))) - 1 AS pos
+  FROM documents
+),
+fp AS (
+  SELECT doc_id, bit_xor({_H("tok || '@' || pos")}) AS fingerprint
+  FROM fp_tok GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(fp.fingerprint, 0) AS fingerprint
+FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY d.doc_id""",
+)
+def text_fingerprints(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.fingerprints(docs, text_col="text")
+
+
+# ---- multimodal plumbing ---------------------------------------------------
+
+_MM_CTE = f"""
+mm AS (
+  SELECT doc_id, {_H("coalesce(text, '')")} AS h FROM documents
+),
+mm_meta AS (
+  SELECT doc_id,
+         (16 + h % 240)::INTEGER AS width,
+         (16 + (h // 256) % 240)::INTEGER AS height,
+         (1 + (h // 65536) % 8)::INTEGER AS n_frames,
+         (h % 256) / 255.0 AS mean_intensity
+  FROM mm
+)
+""".strip()
+
+
+@register(
+    "multimodal_image_meta",
+    f"WITH {_MM_CTE}\n"
+    "SELECT doc_id, width, height, n_frames, mean_intensity FROM mm_meta ORDER BY doc_id",
+)
+def multimodal_image_meta(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.attach_payload(docs, text_col="text")
+    return multimodal.image_meta(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""WITH {_MM_CTE}
+SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 2))::INTEGER AS frame_idx
+FROM mm_meta ORDER BY doc_id, frame_idx""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.attach_payload(docs, text_col="text")
+    return multimodal.sample_frames(media, stride=2)

@@ -1,0 +1,336 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame plans (JVM whole-stage codegen; the only
+shuffles are the groupBy/join keys noted per function) and every hash is
+derived from ``md5`` so a DuckDB oracle can reproduce results bit-exactly:
+
+``h60(s) = bigint(first 15 hex chars of md5(s))``  (60 bits, non-negative)
+
+Scale notes (100 TB corpus):
+
+- exact dedup: one shuffle on sha256 — uniformly distributed, no skew;
+- MinHash: shingle explosion is map-side; the signature groupBy key is
+  ``(doc_id, perm)`` (dense, uniform); the LSH bucket join only pairs docs
+  inside a band bucket, and ``bucket_cap`` drops degenerate mega-buckets
+  (the classic guard against quadratic blowup on boilerplate text);
+- SimHash: constant 32 rows per (doc, distinct-term) — linear;
+- embedding near-dup: quantized int64 dot products (order-independent ⇒
+  deterministic across partitionings), LSH-bucketed variant for scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "exact_duplicate_groups",
+    "shingles",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "embedding_near_dup_pairs",
+]
+
+TOKEN_RE = "[a-z0-9_]+"
+
+
+def h60(col: Column) -> Column:
+    """60-bit md5-derived hash; DuckDB mirror: ('0x'||substring(md5(s),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicate_groups(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content.
+
+    (content_sha256, n_docs, min_doc_id) — the canonical-representative map
+    a dedup pass keeps; ``n_docs > 1`` rows are the duplicate groups.
+    One shuffle on sha256 (uniform key, no skew at any scale).
+    """
+    return (
+        docs.select(
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("content_sha256"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("content_sha256")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(doc_id, shingle) — word n-gram shingles; docs shorter than the
+    shingle size contribute their whole token stream as one shingle."""
+    toks = F.expr(f"regexp_extract_all({text_col}, '{TOKEN_RE}', 0)")
+    n = F.size(toks)
+    k = shingle_size
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(doc_id, perm, minhash): MinHash signature rows.
+
+    perm-i hash of a shingle = h60(shingle || '#' || i); duplicates in the
+    shingle multiset don't affect the min, so no distinct is needed.
+    """
+    sh = shingles(docs, text_col, id_col, shingle_size)
+    perms = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
+    )
+    hashed = perms.select(
+        "doc_id",
+        "perm",
+        h60(F.concat_ws("#", F.col("shingle"), F.col("perm"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
+
+
+def _band_sketches(
+    sigs: DataFrame, num_perm: int, bands: int
+) -> DataFrame:
+    """(doc_id, band, band_hash) — order-independent combine of the band's
+    signature values (xor of per-(perm,minhash) hashes), so the result does
+    not depend on aggregation order."""
+    r = num_perm // bands
+    return (
+        sigs.withColumn("band", (F.col("perm") / F.lit(r)).cast("int"))
+        .withColumn(
+            "ph", h60(F.concat_ws(":", F.col("perm"), F.col("minhash")))
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.expr("bit_xor(ph)").alias("band_hash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    bucket_cap: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that share >=1 LSH band.
+
+    Standard banding: num_perm/bands rows per band; two docs collide on a
+    band iff their signatures agree on every row of it. ``bucket_cap``
+    drops buckets with more members than the cap (boilerplate guard) —
+    at 100 TB this is what keeps the bucket self-join from going quadratic.
+    """
+    sigs = minhash_signatures(docs, text_col, id_col, num_perm, shingle_size)
+    bnd = _band_sketches(sigs, num_perm, bands)
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        cnt = bnd.groupBy("band", "band_hash").agg(F.count("*").alias("_n"))
+        bnd = bnd.join(
+            cnt.filter(F.col("_n") <= bucket_cap).select("band", "band_hash"),
+            ["band", "band_hash"],
+        )
+    a = bnd.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+    b = bnd.select("band", "band_hash", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    jaccard = |A ∩ B| / |A ∪ B| over distinct shingle sets; the verify
+    stage after MinHash LSH. Joins are on (doc_id) / (shingle) — both
+    broadcast-able when the candidate set is small relative to the corpus.
+    """
+    sh = shingles(docs, text_col, id_col, shingle_size).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnRenamed("doc_id", "id_a")
+    b = sh.withColumnRenamed("doc_id", "id_b")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over term-frequency-weighted tokens.
+
+    bit b is set iff sum over distinct tokens of tf * (+-1 by bit b of the
+    token's h60) is >= 0. Linear: 32 rows per (doc, distinct term).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(f"regexp_extract_all({text_col}, '{TOKEN_RE}', 0)")).alias(
+            "tok"
+        ),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        h60(F.col("tok")).alias("th"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    )
+    contrib = bits.select(
+        "doc_id",
+        "b",
+        F.expr("tf * ((shiftright(th, b) & 1) * 2 - 1)").alias("c"),
+    )
+    bitsum = contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.expr(
+            "sum(CASE WHEN s >= 0 THEN shiftleft(cast(1 AS BIGINT), b) ELSE cast(0 AS BIGINT) END)"
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within Hamming distance over SimHash.
+
+    Pigeonhole banding: 4 bytes per hash — any pair within distance <= 3
+    agrees on >= 1 byte, so candidates = same (byte_idx, byte_value)
+    bucket; exact bit_count(xor) filter afterwards.
+    """
+    sh = simhash(docs, text_col, id_col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx"),
+    ).withColumn("byte_val", F.expr("shiftright(simhash, byte_idx * 8) & 255"))
+    a = banded.select(
+        "byte_idx", "byte_val", F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha")
+    )
+    b = banded.select(
+        "byte_idx", "byte_val", F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb")
+    )
+    return (
+        a.join(b, ["byte_idx", "byte_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (shared quantization with pipeline.similarity)
+# ---------------------------------------------------------------------------
+
+QUANT = 1 << 20  # 2^20 fixed-point scale: float32 inputs stay exact in double
+
+
+def quantize(vec_col: Column) -> Column:
+    """array<float> -> array<long>, floor(x * 2^20). Exact + order-independent
+    integer dot products make cosine bit-deterministic across partitionings
+    (and reproducible in a DuckDB oracle)."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(QUANT))).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_from_int(dot: Column, na: Column, nb: Column) -> Column:
+    return dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold (brute-force).
+
+    O(n^2/2) comparisons — correct baseline and the oracle shape; at scale
+    use ``similarity.hyperplane_bucketed_topk``'s bucketing to prefilter.
+    """
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        quantize(F.col(vec_col)).alias("qv"),
+    ).withColumn("nsq", int_dot(F.col("qv"), F.col("qv")))
+    a = q.select(F.col("id").alias("id_a"), F.col("qv").alias("va"), F.col("nsq").alias("na"))
+    b = q.select(F.col("id").alias("id_b"), F.col("qv").alias("vb"), F.col("nsq").alias("nb"))
+    return (
+        a.join(b, a.id_a < b.id_b)
+        .select(
+            "id_a",
+            "id_b",
+            cosine_from_int(
+                int_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

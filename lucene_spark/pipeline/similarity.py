@@ -1,0 +1,139 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies over ``array<float>`` embeddings:
+
+- ``brute_force_topk`` — exact cosine top-k per query, the correctness
+  baseline. The query side is broadcast (small dim table pattern), so the
+  corpus is scanned once with no shuffle; per-query top-k is a window
+  ranked on (cosine desc, id asc).
+- ``hyperplane_bucketed_topk`` — the scale path: a deterministic
+  random-hyperplane LSH signature buckets the corpus; each query only
+  scores its own bucket. Hyperplanes are md5-derived integer vectors, so
+  a DuckDB oracle reproduces bucket assignment bit-exactly.
+
+All dot products run on 2^20 fixed-point int64 (``dedup.quantize``):
+exact, order-independent, deterministic across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from lucene_spark.pipeline.dedup import cosine_from_int, int_dot, quantize
+
+__all__ = ["brute_force_topk", "hyperplane_bucketed_topk", "hyperplane_bucket"]
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(id_out),
+        quantize(F.col(vec_col)).alias(f"_qv_{id_out}"),
+    ).withColumn(
+        f"_n_{id_out}", int_dot(F.col(f"_qv_{id_out}"), F.col(f"_qv_{id_out}"))
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank), self excluded."""
+    c = _prep(corpus, id_col, vec_col, "neighbor_id")
+    q = _prep(queries, id_col, vec_col, "query_id")
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_int(
+                int_dot(F.col("_qv_neighbor_id"), F.col("_qv_query_id")),
+                F.col("_n_neighbor_id"),
+                F.col("_n_query_id"),
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def _plane_weight(p: int, i: int) -> int:
+    """h60('p#i') % 2001 - 1000 — integer weight in [-1000, 1000], identical
+    to the SQL expression ('0x'||substring(md5(p||'#'||i),1,15))::BIGINT%2001-1000."""
+    import hashlib
+
+    return int(hashlib.md5(f"{p}#{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+
+def hyperplane_bucket(qv: Column, dim: int, n_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH bucket id for a quantized vector.
+
+    Plane p's i-th weight = h60('p#i') % 2001 - 1000; bit p of the bucket =
+    [ sum_i qv_i * w_pi >= 0 ]. Weights are precomputed Python constants
+    (folded into the plan as literals — no per-row hashing).
+    """
+    bits = []
+    for p in range(n_planes):
+        w = F.array(
+            *[F.lit(_plane_weight(p, i)).cast("long") for i in range(dim)]
+        )
+        s = F.aggregate(
+            F.zip_with(qv, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def hyperplane_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """LSH-bucketed ANN: score only corpus vectors in the query's bucket.
+
+    2^n_planes buckets shrink each query's candidate set ~2^n_planes-fold;
+    the bucket join shuffles on the (uniform) bucket id. Recall < 1 by
+    design — the brute-force operator is the oracle for exactness, this one
+    for the 100 TB path.
+    """
+    c = _prep(corpus, id_col, vec_col, "neighbor_id").withColumn(
+        "bucket", hyperplane_bucket(F.col("_qv_neighbor_id"), dim, n_planes)
+    )
+    q = _prep(queries, id_col, vec_col, "query_id").withColumn(
+        "bucket", hyperplane_bucket(F.col("_qv_query_id"), dim, n_planes)
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_int(
+                int_dot(F.col("_qv_neighbor_id"), F.col("_qv_query_id")),
+                F.col("_n_neighbor_id"),
+                F.col("_n_query_id"),
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, k)
