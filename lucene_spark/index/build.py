@@ -207,58 +207,102 @@ def _make_inverter(cfg: IndexConfig):
 
 
 def _make_block_packer(cfg: IndexConfig):
+    """Streaming per-partition packer.
+
+    The input is repartitioned on (seg_id, term) and sorted within each
+    partition by (seg_id, term, doc_id), so each term's postings arrive as
+    one contiguous, doc-ordered run. The packer streams Arrow batches and
+    carries the (possibly incomplete) trailing run over to the next batch —
+    one pandas round-trip per ~10k rows instead of one per vocabulary term
+    (code corpora have huge df=1-dominated vocabularies; per-group
+    applyInPandas overhead dominated the build before this).
+    """
     block_size, field_name, with_positions = (
         cfg.block_size,
         cfg.field_name,
         cfg.with_positions,
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        seg_id = int(pdf["seg_id"].iloc[0])
-        term = pdf["term"].iloc[0]
+    def pack_runs(pdf: pd.DataFrame, out: list) -> None:
+        seg = pdf["seg_id"].to_numpy(dtype=np.int64)
+        terms = pdf["term"].to_numpy()
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         freqs = pdf["freq"].to_numpy(dtype=np.uint32)
         norms = pdf["norm"].to_numpy(dtype=np.uint8)
         positions = pdf["positions"].to_numpy() if with_positions else None
-        out = []
-        for ord_, start in enumerate(range(0, len(doc_ids), block_size)):
-            end = min(start + block_size, len(doc_ids))
-            d = doc_ids[start:end]
-            f = freqs[start:end]
-            nm = norms[start:end]
-            first, gaps = forutil.delta_encode(d)
-            if with_positions:
-                flat = (
-                    np.concatenate([np.asarray(p) for p in positions[start:end]])
-                    .astype(np.uint32)
-                    if end > start
-                    else np.empty(0, dtype=np.uint32)
+        # contiguous (seg_id, term) run boundaries
+        change = np.flatnonzero((seg[1:] != seg[:-1]) | (terms[1:] != terms[:-1]))
+        starts = np.concatenate(([0], change + 1))
+        ends = np.concatenate((change + 1, [len(pdf)]))
+        for s, e in zip(starts, ends):
+            seg_id = int(seg[s])
+            term = terms[s]
+            for ord_, bstart in enumerate(range(s, e, block_size)):
+                bend = min(bstart + block_size, e)
+                d = doc_ids[bstart:bend]
+                f = freqs[bstart:bend]
+                nm = norms[bstart:bend]
+                first, gaps = forutil.delta_encode(d)
+                if with_positions:
+                    flat = (
+                        np.concatenate(
+                            [np.asarray(p) for p in positions[bstart:bend]]
+                        ).astype(np.uint32)
+                        if bend > bstart
+                        else np.empty(0, dtype=np.uint32)
+                    )
+                    pos_buf = forutil.for_encode(flat)
+                else:
+                    pos_buf = b""
+                out.append(
+                    (
+                        field_name,
+                        seg_id,
+                        term,
+                        ord_,
+                        int(bend - bstart),
+                        int(first),
+                        int(d[-1]),
+                        int(f.max()),
+                        int(nm.min()),
+                        int(f.sum()),
+                        forutil.for_encode(gaps),
+                        forutil.pfor_encode(f),
+                        nm.tobytes(),
+                        pos_buf,
+                    )
                 )
-                pos_buf = forutil.for_encode(flat)
-            else:
-                pos_buf = b""
-            out.append(
-                {
-                    "field": field_name,
-                    "seg_id": seg_id,
-                    "term": term,
-                    "block_ord": ord_,
-                    "num_docs": int(end - start),
-                    "first_doc": int(first),
-                    "last_doc": int(d[-1]),
-                    "max_freq": int(f.max()),
-                    "min_norm": int(nm.min()),
-                    "ttf_block": int(f.sum()),
-                    "doc_gaps": forutil.for_encode(gaps),
-                    "freqs": forutil.pfor_encode(f),
-                    "norms": nm.tobytes(),
-                    "positions": pos_buf,
-                }
-            )
-        return pd.DataFrame(out)
 
-    return pack
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+
+    def pack_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            # hold back the trailing (seg_id, term) run — it may continue
+            # in the next batch
+            seg = pdf["seg_id"].to_numpy(dtype=np.int64)
+            terms = pdf["term"].to_numpy()
+            tail = (seg == seg[-1]) & (terms == terms[-1])
+            # tail rows form a suffix (input sorted); cut = first tail row
+            cut = len(pdf) - int(tail[::-1].argmin()) if not tail.all() else 0
+            carry = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body) == 0:
+                continue
+            out: list = []
+            pack_runs(body, out)
+            yield pd.DataFrame(out, columns=cols)
+        if carry is not None and len(carry):
+            out = []
+            pack_runs(carry, out)
+            yield pd.DataFrame(out, columns=cols)
+
+    return pack_stream
 
 
 def build_index(
@@ -284,9 +328,14 @@ def build_index(
     )
     inverted.persist()
 
-    postings = inverted.groupBy("seg_id", "term").applyInPandas(
-        _make_block_packer(cfg), schema=POSTINGS_SCHEMA
-    )
+    repart_cols = [F.col("seg_id"), F.col("term")]
+    if cfg.num_partitions:
+        repartitioned = inverted.repartition(cfg.num_partitions, *repart_cols)
+    else:
+        repartitioned = inverted.repartition(*repart_cols)
+    postings = repartitioned.sortWithinPartitions(
+        "seg_id", "term", "doc_id"
+    ).mapInPandas(_make_block_packer(cfg), schema=POSTINGS_SCHEMA)
 
     lens = inverted.groupBy("doc_id").agg(
         F.sum("freq").cast("int").alias("length"), F.first("norm").alias("norm")
@@ -311,20 +360,24 @@ def build_index(
         .select(F.lit(cfg.field_name).alias("field"), "term", "df", "ttf")
     )
 
-    agg = inverted.agg(
-        F.countDistinct("doc_id").alias("doc_count"),
-        F.sum("freq").alias("sum_ttf"),
-        F.count("*").alias("sum_df"),
+    # searcher-wide stats (IndexSearcher.java:1144-1159 sums over leaves):
+    # derived from the small doclens/termstats tables, not the exploded
+    # postings — two cheap jobs instead of a third full pass
+    agg = doclens.agg(
+        F.count("*").alias("max_doc"),
+        F.sum((F.col("length") > 0).cast("long")).alias("doc_count"),
+        F.sum("length").alias("sum_ttf"),
     ).collect()[0]
-    max_doc = docs.count()
+    sum_df = termstats.agg(F.sum("df")).collect()[0][0]
     fieldstats = {
         cfg.field_name: FieldStats(
-            max_doc=int(max_doc),
+            max_doc=int(agg["max_doc"]),
             doc_count=int(agg["doc_count"] or 0),
             sum_total_term_freq=int(agg["sum_ttf"] or 0),
-            sum_doc_freq=int(agg["sum_df"] or 0),
+            sum_doc_freq=int(sum_df or 0),
         )
     }
+    max_doc = int(agg["max_doc"])
 
     idx = InvertedIndex(
         docs=docs,

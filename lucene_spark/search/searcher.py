@@ -127,9 +127,15 @@ class _Ctx:
 
 
 class IndexSearcher:
+    #: only engage block-max pruning above this df — below it, the extra
+    #: scheduler round-trips (phase-1 bound job + theta collect) cost more
+    #: than decoding every block; at 100 TB scale hot terms clear this easily
+    PRUNE_MIN_DF = 1 << 20
+
     def __init__(self, index: InvertedIndex, similarity: BM25Similarity | None = None):
         self.index = index
         self.sim = similarity or BM25Similarity()
+        self._stats_memo: dict[tuple[str, str], tuple[int, int]] = {}
         self._avgdl: dict[str, np.float32] = {}
         self._cache: dict[str, np.ndarray] = {}
         self._cache_col: dict[str, Column] = {}
@@ -209,13 +215,18 @@ class IndexSearcher:
     def _resolve_stats(self, q: Q.Query) -> _Ctx:
         wanted: set[tuple[str, str]] = set()
         self._collect_terms(q, wanted)
-        stats: dict[tuple[str, str], tuple[int, int]] = {}
-        if wanted:
-            terms = [t for (_, t) in wanted]
+        missing = [k for k in wanted if k not in self._stats_memo]
+        if missing:
+            terms = [t for (_, t) in missing]
             rows = self.index.termstats.filter(F.col("term").isin(terms)).collect()
             for r in rows:
-                stats[(r["field"], r["term"])] = (int(r["df"]), int(r["ttf"]))
-        return _Ctx(stats)
+                self._stats_memo[(r["field"], r["term"])] = (
+                    int(r["df"]),
+                    int(r["ttf"]),
+                )
+            for k in missing:  # absent terms: df=0 (no repeat lookups)
+                self._stats_memo.setdefault(k, (0, 0))
+        return _Ctx({k: self._stats_memo[k] for k in wanted})
 
     # ------------------------------------------------------------- decoding
 
@@ -527,7 +538,7 @@ class IndexSearcher:
         w = self.sim.weight(F32(q.boost), self.sim.idf(df, fs.doc_count))
         blocks = self._blocks(field, F.col("term") == q.term)
         # small postings: decode everything (pruning wouldn't pay)
-        if df <= max(4 * k, 4 * forutil.BLOCK_SIZE):
+        if df <= max(4 * k, self.PRUNE_MIN_DF):
             return self._scored(q, F32(1.0), ctx)
         ub = self._score_col(field, F.col("max_freq"), F.col("min_norm"), w)
         blocks = blocks.withColumn("_ub", ub)
