@@ -105,6 +105,30 @@ class StandardAnalyzer:
         """Emitted-token count (BM25 norm input). Overlaps never occur here."""
         return len(self.tokens(text))
 
+    def term_position_arrays(self, text: str):
+        """Fast batch-inversion primitive: (terms, positions:int32, n_emitted).
+
+        Equivalent to ``tokens()`` (property-tested) but avoids per-token
+        object construction: the whole text is lowercased once (the
+        per-codepoint mapping is 1:1, so token boundaries are invariant)
+        and filtering runs as list comprehensions.
+        """
+        import numpy as np
+
+        lowered = java_lower(text)
+        raw = _TOKEN_RE.findall(lowered)
+        mx = self.max_token_length
+        if self.stopwords:
+            sw = self.stopwords
+            pairs = [
+                (t, p) for p, t in enumerate(raw) if len(t) <= mx and t not in sw
+            ]
+        else:
+            pairs = [(t, p) for p, t in enumerate(raw) if len(t) <= mx]
+        terms = [t for t, _ in pairs]
+        pos = np.fromiter((p for _, p in pairs), dtype=np.int32, count=len(pairs))
+        return terms, pos, len(terms)
+
     def inverted(self, text: str) -> tuple[dict[str, list[int]], int]:
         """Per-doc inversion: term -> sorted positions, plus field length.
 

@@ -1,0 +1,225 @@
+"""Driver-contract entries for the satellite search operators:
+multi/sloppy phrase, suggest, MoreLikeThis, function score, rescore,
+drill-sideways, highlighter. Oracles reuse entry_impl's float32-exact
+BM25 CTE builders."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lucene_spark.entry_impl import (
+    BASE_CTES,
+    _fc,
+    _idf_sql,
+    _score_expr,
+    _term_scores_cte,
+    _topk_sql,
+    get_searcher,
+    register,
+)
+from lucene_spark.search import query as Q
+from lucene_spark.search import extras
+
+
+# ---- MultiPhraseQuery (search/MultiPhraseQuery.java:54) --------------------
+
+_MP_TERMS = ["table", "row", "part"]
+_MP_W = _fc(
+    "("
+    + " + ".join(
+        f"{_idf_sql(f'(SELECT count(*) FROM tf WHERE term=' + repr(t) + ')')}::DOUBLE"
+        for t in _MP_TERMS
+    )
+    + ")"
+)
+
+
+@register(
+    "multi_phrase_query",
+    f"""WITH {BASE_CTES},
+mp0 AS (SELECT DISTINCT doc_id, pos FROM tok WHERE term IN ('table', 'row')),
+mp1 AS (SELECT doc_id, pos FROM tok WHERE term = 'part'),
+mp AS (
+  SELECT mp0.doc_id, count(*)::INTEGER AS freq
+  FROM mp0 JOIN mp1 ON mp1.doc_id = mp0.doc_id AND mp1.pos = mp0.pos + 1
+  GROUP BY mp0.doc_id
+),
+mp_w(w) AS (SELECT {_MP_W}),
+sc AS (
+  SELECT mp.doc_id, {_score_expr('mp_w.w', 'mp.freq', 'i.inv')} AS score
+  FROM mp JOIN invn i USING (doc_id) CROSS JOIN mp_w
+)
+{_topk_sql('sc')}""",
+)
+def multi_phrase_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.MultiPhraseQuery("text", (("table", "row"), ("part",)))
+    return s.search(q, k=10).select("doc_id", "score")
+
+
+# ---- Sloppy phrase (search/SloppyPhraseMatcher.java:52, simplified) --------
+
+_SP_IDF1 = _idf_sql("(SELECT count(*) FROM tf WHERE term='table')")
+_SP_IDF2 = _idf_sql("(SELECT count(*) FROM tf WHERE term='part')")
+_SP_W = _fc(f"({_SP_IDF1}::DOUBLE + {_SP_IDF2}::DOUBLE)")
+
+
+@register(
+    "sloppy_phrase_query",
+    f"""WITH {BASE_CTES},
+sp0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+sp1 AS (SELECT doc_id, pos FROM tok WHERE term = 'part'),
+sp AS (
+  SELECT sp0.doc_id, count(*)::INTEGER AS freq
+  FROM sp0
+  WHERE EXISTS (
+    SELECT 1 FROM sp1 WHERE sp1.doc_id = sp0.doc_id
+      AND sp1.pos > sp0.pos AND sp1.pos - sp0.pos - 1 <= 2
+  )
+  GROUP BY sp0.doc_id
+),
+sp_w(w) AS (SELECT {_SP_W}),
+sc AS (
+  SELECT sp.doc_id, {_score_expr('sp_w.w', 'sp.freq', 'i.inv')} AS score
+  FROM sp JOIN invn i USING (doc_id) CROSS JOIN sp_w
+)
+{_topk_sql('sc')}""",
+)
+def sloppy_phrase_query(spark, sf_dir):
+    """Ordered sloppy phrase: start counts where a later in-window match
+    exists (the deterministic simplification documented in _scored_phrase)."""
+    _, s = get_searcher(spark, sf_dir)
+    return s.search(Q.PhraseQuery("text", ("table", "part"), slop=2), k=10).select(
+        "doc_id", "score"
+    )
+
+
+# ---- suggest (suggest/FSTCompletion.java:48 analog) ------------------------
+
+
+@register(
+    "suggest_prefix",
+    f"""WITH {BASE_CTES},
+ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM ts WHERE term LIKE 'sc%'
+ORDER BY df DESC, term ASC LIMIT 10""",
+)
+def suggest_prefix(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return extras.suggest(s, "sc", n=10)
+
+
+# ---- MoreLikeThis (queries/mlt/MoreLikeThis.java) --------------------------
+
+
+@register(
+    "more_like_this",
+    f"""WITH {BASE_CTES},
+mlt_tf AS (SELECT term, freq AS tf FROM tf WHERE doc_id = 7),
+mlt_df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+mlt_sel AS (
+  SELECT t.term, d.df FROM mlt_tf t JOIN mlt_df d USING (term)
+  ORDER BY t.tf DESC, d.df ASC, t.term ASC LIMIT 5
+),
+mlt_w AS (
+  SELECT term, {_idf_sql('df')} AS w FROM mlt_sel
+),
+mlt_s AS (
+  SELECT tf.doc_id, {_score_expr('mw.w', 'tf.freq', 'i.inv')} AS s
+  FROM tf JOIN mlt_w mw USING (term) JOIN invn i USING (doc_id)
+),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM mlt_s WHERE doc_id != 7 GROUP BY doc_id
+)
+{_topk_sql('sc')}""",
+)
+def mlt_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return extras.more_like_this(s, doc_id=7, max_terms=5, k=10)
+
+
+# ---- FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44) ------
+
+
+@register(
+    "function_score_query",
+    f"""WITH {BASE_CTES}
+SELECT d.doc_id, CAST(d.n_chars * 0.001 + 1.0 AS DOUBLE) AS score
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'data')
+ORDER BY d.doc_id""",
+)
+def function_score_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return extras.function_score(s, Q.TermQuery("text", "data"), "n_chars * 0.001 + 1.0")
+
+
+# ---- QueryRescorer (search/QueryRescorer.java) -----------------------------
+
+
+@register(
+    "rescore_topk",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('rs', 'customer')},
+first_pass AS (
+  SELECT doc_id, score FROM rs ORDER BY score DESC, doc_id ASC LIMIT 20
+)
+SELECT f.doc_id,
+       CAST(f.score AS DOUBLE) + CAST(d.n_chars / 1000.0 AS DOUBLE) AS score
+FROM first_pass f JOIN documents d USING (doc_id)
+ORDER BY score DESC, f.doc_id ASC LIMIT 10""",
+)
+def rescore_topk(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return extras.rescore(
+        s, Q.TermQuery("text", "customer"), window=20, expr="n_chars / 1000.0", k=10
+    )
+
+
+# ---- DrillSideways (facet/DrillSideways.java) ------------------------------
+
+
+@register(
+    "drill_sideways_lang",
+    f"""WITH {BASE_CTES}
+SELECT d.lang, count(*)::BIGINT AS cnt
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'row')
+  AND d.n_chars >= 200
+GROUP BY d.lang ORDER BY d.lang""",
+)
+def drill_sideways_lang(spark, sf_dir):
+    """lang counts with the lang drill-down off, n_chars drill-down on."""
+    _, s = get_searcher(spark, sf_dir)
+    return extras.drill_sideways(
+        s,
+        Q.TermQuery("text", "row"),
+        filters={"lang": F.col("lang") == "en", "n_chars": F.col("n_chars") >= 200},
+        dim="lang",
+    )
+
+
+# ---- Highlighter (uhighlight/UnifiedHighlighter.java:96 analog) ------------
+
+
+@register(
+    "highlight_term",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('hs', 'spark')},
+top AS (SELECT doc_id, score FROM hs ORDER BY score DESC, doc_id ASC LIMIT 5),
+firstp AS (
+  SELECT doc_id, min(pos)::INTEGER AS first_pos FROM tok
+  WHERE term = 'spark' GROUP BY doc_id
+),
+tk AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9_]+') AS toks FROM documents)
+SELECT t.doc_id, t.score, f.first_pos,
+       array_to_string(
+         tk.toks[greatest(f.first_pos - 2, 0) + 1 : greatest(f.first_pos - 2, 0) + 5],
+         ' ') AS snippet
+FROM top t JOIN firstp f USING (doc_id) JOIN tk USING (doc_id)
+ORDER BY t.doc_id""",
+)
+def highlight_term_entry(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return extras.highlight_term(s, "spark", window=2, k=5)

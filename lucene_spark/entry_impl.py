@@ -781,13 +781,15 @@ def query_time_join(spark, sf_dir):
     )
 
 
-def build_queries() -> dict:
-    from lucene_spark import entry_pipeline  # noqa: F401 — registers entries
+def _register_all() -> None:
+    from lucene_spark import entry_extras, entry_pipeline  # noqa: F401
 
+
+def build_queries() -> dict:
+    _register_all()
     return dict(QUERIES)
 
 
 def build_oracles() -> dict:
-    from lucene_spark import entry_pipeline  # noqa: F401 — registers entries
-
+    _register_all()
     return dict(ORACLES)

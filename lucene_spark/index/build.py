@@ -174,34 +174,56 @@ def _make_inverter(cfg: IndexConfig):
     text_col, dps = cfg.text_col, cfg.docs_per_segment
 
     def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # batch-vectorized inversion: tokenize per doc (C regex), then ONE
+        # factorize + lexsort over the whole Arrow batch to group
+        # (doc, term) -> (freq, positions) — no per-token dict ops
         for pdf in batches:
-            rows_term: list[str] = []
-            rows_pos: list[list[int]] = []
-            terms_per_doc = np.zeros(len(pdf), dtype=np.int64)
-            lengths = np.zeros(len(pdf), dtype=np.int64)
             texts = pdf[text_col].fillna("")
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            n_docs = len(pdf)
+            terms_all: list[str] = []
+            pos_parts: list[np.ndarray] = []
+            counts = np.zeros(n_docs, dtype=np.int64)
             for i, text in enumerate(texts):
-                inv, n = analyzer.inverted(text)
-                lengths[i] = n
-                terms_per_doc[i] = len(inv)
-                rows_term.extend(inv.keys())
-                rows_pos.extend(inv.values())
-            norms = encode_lengths(lengths).astype(np.int32)
-            rows_doc = np.repeat(doc_ids, terms_per_doc)
-            out = pd.DataFrame(
+                t, p, n = analyzer.term_position_arrays(text)
+                terms_all.extend(t)
+                pos_parts.append(p)
+                counts[i] = n
+            if not terms_all:
+                yield pd.DataFrame(
+                    {
+                        "seg_id": np.empty(0, np.int64),
+                        "term": pd.Series([], dtype="object"),
+                        "doc_id": np.empty(0, np.int64),
+                        "freq": np.empty(0, np.int32),
+                        "norm": np.empty(0, np.int32),
+                        "positions": pd.Series([], dtype="object"),
+                    }
+                )
+                continue
+            doc_ord = np.repeat(np.arange(n_docs), counts)
+            pos_flat = np.concatenate(pos_parts)
+            codes, uniq = pd.factorize(np.asarray(terms_all, dtype=object))
+            order = np.lexsort((codes, doc_ord))  # stable: pos stays ascending
+            d_s, c_s, p_s = doc_ord[order], codes[order], pos_flat[order]
+            change = np.flatnonzero((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(d_s)]))
+            g_ord = d_s[starts]
+            norms = encode_lengths(counts).astype(np.int32)
+            g_docs = doc_ids[g_ord]
+            yield pd.DataFrame(
                 {
-                    "seg_id": rows_doc // dps,
-                    "term": pd.Series(rows_term, dtype="object"),
-                    "doc_id": rows_doc,
-                    "freq": pd.Series(
-                        [len(p) for p in rows_pos], dtype="int32"
+                    "seg_id": g_docs // dps,
+                    "term": pd.Series(uniq[c_s[starts]], dtype="object"),
+                    "doc_id": g_docs,
+                    "freq": (ends - starts).astype(np.int32),
+                    "norm": norms[g_ord],
+                    "positions": pd.Series(
+                        np.split(p_s, starts[1:]), dtype="object"
                     ),
-                    "norm": np.repeat(norms, terms_per_doc),
-                    "positions": pd.Series(rows_pos, dtype="object"),
                 }
             )
-            yield out
 
     return invert
 
@@ -237,6 +259,34 @@ def _make_block_packer(cfg: IndexConfig):
         for s, e in zip(starts, ends):
             seg_id = int(seg[s])
             term = terms[s]
+            if e - s == 1:
+                # df=1 singleton fast path — the "pulsing" case
+                # (Lucene104PostingsWriter.java:560-577 inlines these in the
+                # term dict); scalar ops only, no numpy slicing
+                fr = int(freqs[s])
+                if with_positions:
+                    pos_buf = forutil.for_encode(np.asarray(positions[s]))
+                else:
+                    pos_buf = b""
+                out.append(
+                    (
+                        field_name,
+                        seg_id,
+                        term,
+                        0,
+                        1,
+                        int(doc_ids[s]),
+                        int(doc_ids[s]),
+                        fr,
+                        int(norms[s]),
+                        fr,
+                        b"\x01\x00\x00",
+                        forutil.pfor_encode(freqs[s : s + 1]),
+                        norms[s : s + 1].tobytes(),
+                        pos_buf,
+                    )
+                )
+                continue
             for ord_, bstart in enumerate(range(s, e, block_size)):
                 bend = min(bstart + block_size, e)
                 d = doc_ids[bstart:bend]
@@ -322,6 +372,9 @@ def build_index(
     docs = docs.withColumn(
         "content_sha256", F.sha2(F.coalesce(F.col(cfg.text_col), F.lit("")), 256)
     )
+    # several downstream jobs re-read docs (doclens join, stats, retrieval):
+    # cache it so the docid-assignment + sha pipeline runs once
+    docs.persist()
 
     inverted = docs.select("doc_id", cfg.text_col).mapInPandas(
         _make_inverter(cfg), schema=_INVERTED_SCHEMA

@@ -58,10 +58,14 @@ def _unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
 
 def for_encode(values: np.ndarray) -> bytes:
     """Frame-of-reference: [width:u8][n:u16le][packed bits]."""
-    values = np.ascontiguousarray(values, dtype=np.uint32)
     n = len(values)
     if n == 0:
         return b"\x01\x00\x00"
+    if n == 1:  # scalar fast path (df=1 terms dominate code corpora)
+        v = int(values[0])
+        width = max(1, v.bit_length())
+        return bytes([width, 1, 0]) + v.to_bytes((width + 7) // 8, "little")
+    values = np.ascontiguousarray(values, dtype=np.uint32)
     width = _bit_width(values)
     header = bytes([width, n & 0xFF, (n >> 8) & 0xFF])
     return header + _pack_bits(values, width)
@@ -82,10 +86,14 @@ def pfor_encode(values: np.ndarray) -> bytes:
             [exc high:u32le * n_exc][packed low bits]
     Falls back to plain width (0 exceptions) when patching doesn't pay.
     """
-    values = np.ascontiguousarray(values, dtype=np.uint32)
     n = len(values)
     if n == 0:
         return b"\x01\x00\x00\x00"
+    if n == 1:  # patching never pays for one value: plain width, 0 exceptions
+        v = int(values[0])
+        width = max(1, v.bit_length())
+        return bytes([width, 1, 0, 0]) + v.to_bytes((width + 7) // 8, "little")
+    values = np.ascontiguousarray(values, dtype=np.uint32)
     full_width = _bit_width(values)
     best = (full_width, 0)  # (width, n_exceptions)
     best_bits = n * full_width

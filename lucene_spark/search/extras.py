@@ -1,0 +1,201 @@
+"""Higher-level search operators over the index tables.
+
+Covers the reference's satellite-module surface (SURVEY §2.6b/§2.8b):
+suggest (FSTCompletion analog), MoreLikeThis, FunctionScoreQuery,
+QueryRescorer, DrillSideways, and a positions-based highlighter — each as a
+plain DataFrame plan so Catalyst handles pushdown/broadcast/pruning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lucene_spark.search import query as Q
+from lucene_spark.search.searcher import IndexSearcher
+
+__all__ = [
+    "suggest",
+    "scored_term_set",
+    "more_like_this",
+    "function_score",
+    "rescore",
+    "drill_sideways",
+    "highlight_term",
+]
+
+F32 = np.float32
+
+
+def suggest(searcher: IndexSearcher, prefix: str, n: int = 10) -> DataFrame:
+    """Prefix autocomplete: dictionary terms ranked by popularity (df), the
+    role of suggest/FSTCompletion.java:48 — here a pure term-dictionary scan
+    that parquet min/max stats prune to the prefix range."""
+    return (
+        searcher.index.termstats.filter(F.col("term").startswith(prefix))
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def scored_term_set(
+    searcher: IndexSearcher, terms_df: DataFrame, field: str | None = None
+) -> DataFrame:
+    """BM25-score an arbitrary *DataFrame* of (term, weight:float) rows as a
+    big SHOULD: per-(doc, term) score = w - w/(1 + freq*invNorm) with the
+    weight coming from the joined column, then per-doc double-sum → float32.
+
+    The vectorized path for large disjunctions (MultiTermQuery
+    SCORING_BOOLEAN_REWRITE, MultiTermQuery.java:80-103): the term list is
+    data, not plan nodes, so thousand-term expansions stay one broadcast
+    join instead of a thousand-way union.
+    """
+    field = field or searcher.index.config.field_name
+    terms = [r["term"] for r in terms_df.select("term").collect()]
+    d = searcher._decoded(field, F.col("term").isin(terms))
+    joined = d.join(F.broadcast(terms_df), "term")
+    inv = F.element_at(
+        searcher._cache_col[field], F.col("norm").cast("int") + F.lit(1)
+    )
+    w = F.col("weight").cast("float")
+    one = F.lit(1.0).cast("float")
+    denom = one + F.col("freq").cast("float") * inv
+    per_term = (w - (w / denom).cast("float")).cast("float")
+    return (
+        joined.select("doc_id", per_term.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("s").cast("double")).cast("float").alias("score"))
+    )
+
+
+def interesting_terms(
+    searcher: IndexSearcher, doc_id: int, max_terms: int = 8
+) -> DataFrame:
+    """MoreLikeThis term selection (queries/mlt/MoreLikeThis.java): the
+    doc's terms ranked by (tf desc, df asc, term asc) — an integer-only
+    deterministic stand-in for tf·idf ranking (idf is monotone in 1/df, so
+    within equal tf the order is identical)."""
+    idx = searcher.index
+    cfg = idx.config
+    doc = idx.docs.filter(F.col("doc_id") == doc_id)
+    toks = doc.select(
+        F.explode(
+            F.expr(f"regexp_extract_all({cfg.text_col}, '[a-z0-9_]+', 0)")
+        ).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    return (
+        tf.join(idx.termstats.select("term", "df"), "term")
+        .orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+        .limit(max_terms)
+    )
+
+
+def more_like_this(
+    searcher: IndexSearcher, doc_id: int, max_terms: int = 8, k: int = 10
+) -> DataFrame:
+    """Find docs similar to doc_id: select its interesting terms, score them
+    as one weighted SHOULD, exclude the source doc, top-k."""
+    fs = searcher.index.fieldstats[searcher.index.config.field_name]
+    sel = interesting_terms(searcher, doc_id, max_terms)
+    dc = F.lit(float(fs.doc_count))
+    dfc = F.col("df").cast("double")
+    idf = F.log(F.lit(1.0) + (dc - dfc + F.lit(0.5)) / (dfc + F.lit(0.5)))
+    terms_df = sel.select("term", idf.cast("float").alias("weight"))
+    scored = scored_term_set(searcher, terms_df)
+    return (
+        scored.filter(F.col("doc_id") != doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def function_score(
+    searcher: IndexSearcher, query: Q.Query, expr: str
+) -> DataFrame:
+    """FunctionScoreQuery (queries/function/FunctionScoreQuery.java:44):
+    match set from the query, score from an arbitrary SQL expression over
+    the docs table (the expressions-module JavascriptCompiler analog —
+    Spark SQL expressions are the compiled form)."""
+    m = searcher.matches(query)
+    return (
+        searcher.index.docs.join(m, "doc_id", "semi")
+        .select("doc_id", F.expr(expr).cast("double").alias("score"))
+    )
+
+
+def rescore(
+    searcher: IndexSearcher,
+    query: Q.Query,
+    window: int = 50,
+    expr: str = "0.0",
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    k: int = 10,
+) -> DataFrame:
+    """QueryRescorer (search/QueryRescorer.java): re-rank the top `window`
+    first-pass hits with qw*score + rw*expr(docs columns), then top-k."""
+    first = searcher.search(query, k=window)
+    joined = first.join(searcher.index.docs, "doc_id")
+    new_score = (
+        F.lit(float(query_weight)) * F.col("score").cast("double")
+        + F.lit(float(rescore_weight)) * F.expr(expr).cast("double")
+    )
+    return (
+        joined.select("doc_id", new_score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def drill_sideways(
+    searcher: IndexSearcher,
+    base: Q.Query,
+    filters: dict[str, object],
+    dim: str,
+) -> DataFrame:
+    """DrillSideways (facet/DrillSideways.java): counts for `dim` computed
+    with every OTHER drill-down filter applied but `dim`'s own filter off —
+    'what would this facet show if I hadn't clicked it'."""
+    m = searcher.matches(base)
+    docs = searcher.index.docs.join(m, "doc_id", "semi")
+    for col, val in filters.items():
+        if col == dim:
+            continue
+        docs = docs.filter(val if isinstance(val, Column) else F.col(col) == val)
+    return docs.groupBy(dim).agg(F.count("*").alias("cnt"))
+
+
+def highlight_term(
+    searcher: IndexSearcher, term: str, window: int = 2, k: int = 10
+) -> DataFrame:
+    """Positions-backed snippet extraction (UnifiedHighlighter.java:96
+    analog): top-k docs for the term, snippet = +-window tokens around the
+    FIRST occurrence, straight from the postings' position lists (no
+    re-analysis of the stored text for locating the hit)."""
+    cfg = searcher.index.config
+    field = cfg.field_name
+    top = searcher.search(Q.TermQuery(field, term), k=k)
+    pos = (
+        searcher._decoded(field, F.col("term") == term, with_positions=True)
+        .select("doc_id", F.element_at("positions", 1).alias("first_pos"))
+    )
+    toks = F.expr(f"regexp_extract_all({cfg.text_col}, '[a-z0-9_]+', 0)")
+    return (
+        top.join(pos, "doc_id")
+        .join(searcher.index.docs, "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            "first_pos",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks,
+                    F.greatest(F.col("first_pos") - window, F.lit(0)) + 1,
+                    2 * window + 1,
+                ),
+            ).alias("snippet"),
+        )
+    )

@@ -19,6 +19,7 @@ __all__ = [
     "TermQuery",
     "BooleanQuery",
     "PhraseQuery",
+    "MultiPhraseQuery",
     "PrefixQuery",
     "WildcardQuery",
     "RegexpQuery",
@@ -96,6 +97,18 @@ class PhraseQuery(Query):
 
     field: str
     terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery(Query):
+    """Phrase with term alternatives per position slot
+    (``search/MultiPhraseQuery.java:54``). Weight sums idf over every
+    alternative of every slot (PhraseWeight allTermStats)."""
+
+    field: str
+    slots: tuple[tuple[str, ...], ...]
     slop: int = 0
     boost: float = 1.0
 

@@ -203,6 +203,8 @@ class IndexSearcher:
             out.update((q.field, t) for t in q.terms)
         elif isinstance(q, Q.PhraseQuery):
             out.update((q.field, t) for t in q.terms)
+        elif isinstance(q, Q.MultiPhraseQuery):
+            out.update((q.field, t) for s in q.slots for t in s)
         elif isinstance(q, Q.BooleanQuery):
             for c in q.clauses:
                 self._collect_terms(c.query, out)
@@ -304,7 +306,7 @@ class IndexSearcher:
                     "score"
                 ),
             )
-        if isinstance(q, Q.PhraseQuery):
+        if isinstance(q, (Q.PhraseQuery, Q.MultiPhraseQuery)):
             return self._scored_phrase(q, boost, ctx)
         if isinstance(q, Q.BooleanQuery):
             return self._scored_boolean(q, boost, ctx)
@@ -406,18 +408,67 @@ class IndexSearcher:
         ).cast("float")
         return agg.select("doc_id", expr.alias("score"))
 
-    def _scored_phrase(self, q: Q.PhraseQuery, boost: np.float32, ctx: _Ctx) -> DataFrame:
-        if q.slop != 0:
-            raise NotImplementedError("sloppy phrase deferred (v1: exact phrase)")
-        fs = self.index.fieldstats[q.field]
+    def _scored_phrase(
+        self, q: Q.PhraseQuery | Q.MultiPhraseQuery, boost: np.float32, ctx: _Ctx
+    ) -> DataFrame:
+        """Exact, sloppy and multi-slot phrases over decoded position lists.
+
+        - exact (slop=0): slot i must match at start+i (ExactPhraseMatcher.java:135-170)
+        - sloppy: ordered greedy chain — from each start position of slot 0,
+          each later slot binds its smallest position q > prev with
+          displacement q - start - i <= slop (deterministic simplification of
+          SloppyPhraseMatcher.java:52's edit-distance semantics; same rule is
+          mirrored by the SQL oracle)
+        - slots (MultiPhraseQuery.java:54): any alternative matches a slot;
+          weight sums idf over every alternative (PhraseWeight allTermStats)
+        """
+        if isinstance(q, Q.MultiPhraseQuery):
+            slots = [tuple(s) for s in q.slots]
+        else:
+            slots = [(t,) for t in q.terms]
+        slop = q.slop
+        all_terms = [t for s in slots for t in s]
         idf_sum = 0.0  # double accumulation of float32 idfs (Lucene op order)
-        for t in q.terms:
+        for t in all_terms:
             idf_sum += float(self._idf(q.field, t, ctx))
         w = self.sim.weight(boost * F32(q.boost), F32(idf_sum))
-        uniq = list(dict.fromkeys(q.terms))
+        k = len(slots)
+
+        if slop == 0:
+            # JOIN-BASED exact phrase: slot i's occurrence at position p is a
+            # candidate start at p - i, so a phrase match = one (doc_id, start)
+            # key present in EVERY slot — a k-way equi-join, fully JVM-side
+            # (whole-stage codegen; no per-doc Python). This is the
+            # sort-merge analog of the df-ordered position leapfrog in
+            # ExactPhraseMatcher.java:135-170.
+            parts = []
+            for i, slot in enumerate(slots):
+                d_i = self._decoded(
+                    q.field, F.col("term").isin(list(slot)), with_positions=True
+                )
+                cols = ["doc_id", F.explode("positions").alias("p")]
+                if i == 0:
+                    cols.insert(1, F.col("norm"))
+                e = d_i.select(*cols).withColumn("start", F.col("p") - F.lit(i))
+                if len(slot) > 1:
+                    e = e.dropDuplicates(["doc_id", "start"])
+                parts.append(e.drop("p"))
+            j = parts[0]
+            for e in parts[1:]:
+                j = j.join(e, ["doc_id", "start"])
+            matched = j.groupBy("doc_id").agg(
+                F.count("*").cast("int").alias("freq"),
+                F.first("norm").alias("norm"),
+            )
+            return matched.select(
+                "doc_id",
+                self._score_col(q.field, F.col("freq"), F.col("norm"), w).alias(
+                    "score"
+                ),
+            )
+
+        uniq = list(dict.fromkeys(all_terms))
         d = self._decoded(q.field, F.col("term").isin(uniq), with_positions=True)
-        terms = list(q.terms)
-        n_uniq = len(uniq)
 
         out_schema = StructType(
             [
@@ -426,22 +477,36 @@ class IndexSearcher:
                 StructField("norm", IntegerType()),
             ]
         )
+        empty = pd.DataFrame({"doc_id": [], "freq": [], "norm": []}).astype(
+            {"doc_id": "int64", "freq": "int32", "norm": "int32"}
+        )
 
         def match_phrase(pdf: pd.DataFrame) -> pd.DataFrame:
-            if pdf["term"].nunique() != n_uniq:
-                return pd.DataFrame({"doc_id": [], "freq": [], "norm": []}).astype(
-                    {"doc_id": "int64", "freq": "int32", "norm": "int32"}
-                )
-            pos = {r.term: set(r.positions) for r in pdf.itertuples(index=False)}
-            first = terms[0]
+            by_term = {r.term: set(r.positions) for r in pdf.itertuples(index=False)}
+            pos = [
+                set().union(*[by_term.get(t, set()) for t in slot]) for slot in slots
+            ]
+            if any(not s for s in pos):
+                return empty
             count = 0
-            for p in pos[first]:
-                if all((p + i) in pos[t] for i, t in enumerate(terms[1:], start=1)):
-                    count += 1
+            for p in sorted(pos[0]):
+                if slop == 0:
+                    if all((p + i) in pos[i] for i in range(1, k)):
+                        count += 1
+                else:
+                    prev, ok = p, True
+                    for i in range(1, k):
+                        cand = [
+                            x for x in pos[i] if x > prev and x - p - i <= slop
+                        ]
+                        if not cand:
+                            ok = False
+                            break
+                        prev = min(cand)
+                    if ok:
+                        count += 1
             if count == 0:
-                return pd.DataFrame({"doc_id": [], "freq": [], "norm": []}).astype(
-                    {"doc_id": "int64", "freq": "int32", "norm": "int32"}
-                )
+                return empty
             return pd.DataFrame(
                 {
                     "doc_id": [int(pdf["doc_id"].iloc[0])],

@@ -55,8 +55,11 @@ def make_spark(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"scaling-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus * 2))
-        .config("spark.sql.adaptive.enabled", "true")
+        # fixed task granularity across parallelism levels: thread count is
+        # the ONLY variable between the two runs (cluster-size analogy)
+        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -1,0 +1,154 @@
+"""Unit tests for the training-data pipeline operators (dedup, ANN, text,
+multimodal) — semantics-level checks; the bit-exact DuckDB oracle parity is
+covered per-entry by tests/test_entry.py."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a sleepy dog"),  # near dup of 0
+        (3, "completely different text about spark and indexes"),
+        (4, ""),  # empty
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.normal(size=8).astype(np.float32)  # near dup
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+
+
+def test_exact_dedup_finds_planted_duplicate(docs):
+    groups = dedup.exact_duplicate_groups(docs, text_col="text").collect()
+    dups = [g for g in groups if g["n_docs"] > 1]
+    assert len(dups) == 1 and dups[0]["n_docs"] == 2 and dups[0]["min_doc_id"] == 0
+    sha = hashlib.sha256(b"the quick brown fox jumps over the lazy dog").hexdigest()
+    assert dups[0]["content_sha256"] == sha
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sigs = dedup.minhash_signatures(docs, num_perm=8).collect()
+    by_doc = {}
+    for r in sigs:
+        by_doc.setdefault(r["doc_id"], {})[r["perm"]] = r["minhash"]
+    assert by_doc[0] == by_doc[1]  # identical content
+    assert by_doc[0] != by_doc[3]
+    assert len(by_doc[0]) == 8
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, num_perm=8, bands=4).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, dedup.minhash_lsh_pairs(docs, num_perm=8, bands=4)
+        ).collect()
+    }
+    assert jac[(0, 1)] == 1.0
+    if (0, 2) in jac:
+        assert 0.0 < jac[(0, 2)] < 1.0
+
+
+def test_simhash_identity_and_hamming(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < (1 << 32)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=32).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    # near-dup is closer than the unrelated doc
+    if (0, 2) in pairs and (0, 3) in pairs:
+        assert pairs[(0, 2)] < pairs[(0, 3)]
+
+
+def test_embedding_near_dup_and_ann_agree(emb):
+    near = dedup.embedding_near_dup_pairs(emb, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in near} == {(0, 1)}
+
+    bf = similarity.brute_force_topk(emb, emb, id_col="vec_id", k=3)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"] for r in bf.collect()
+    }
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 0  # mutual nearest
+
+    lsh = similarity.hyperplane_bucketed_topk(
+        emb, emb, id_col="vec_id", k=3, dim=8, n_planes=2
+    )
+    bf_all = similarity.brute_force_topk(emb, emb, id_col="vec_id", k=5)
+    bf_cos = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"] for r in bf_all.collect()
+    }
+    for r in lsh.collect():  # LSH cosines must equal exact cosines (subset)
+        assert r["cosine"] == pytest.approx(
+            bf_cos[(r["query_id"], r["neighbor_id"])], abs=0
+        )
+
+
+def test_quality_and_token_stats_bounds(docs):
+    st = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    assert st[0]["n_tokens"] == 9
+    assert st[4]["n_tokens"] == 0
+    q = {r["doc_id"]: r for r in text.quality_scores(docs).collect()}
+    for r in q.values():
+        assert 0.0 <= r["quality"] <= 1.0
+    assert q[0]["stopword_ratio"] == pytest.approx(2 / 9)
+
+
+def test_language_id_deterministic(docs):
+    li = {r["doc_id"]: r["pred_lang"] for r in text.language_id(docs).collect()}
+    assert li[4] == "und"  # empty doc
+    assert li[0] == "en"  # 'the' hits the en profile
+
+
+def test_fingerprints_order_sensitive(spark):
+    d = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha"), (2, "alpha beta")],
+        schema="doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprints(d).collect()}
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]  # position-tagged: order matters
+
+
+def test_multimodal_meta_and_frames(docs):
+    media = multimodal.attach_payload(docs, text_col="text")
+    meta = {r["doc_id"]: r for r in multimodal.image_meta(media).collect()}
+    assert set(meta) == {0, 1, 2, 3, 4, 5}
+    m0 = meta[0]
+    h = int(
+        hashlib.md5(b"the quick brown fox jumps over the lazy dog").hexdigest()[:15],
+        16,
+    )
+    assert m0["width"] == 16 + h % 240
+    assert m0["height"] == 16 + (h // 256) % 240
+    assert m0["n_frames"] == 1 + (h // 65536) % 8
+    assert meta[0]["width"] == meta[1]["width"]  # same payload, same meta
+    frames = multimodal.sample_frames(media, stride=2).collect()
+    for r in frames:
+        assert r["frame_idx"] % 2 == 0 and r["frame_idx"] < r["n_frames"]
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\xff\xd8")

@@ -68,3 +68,23 @@ def test_inverted():
 def test_unicode_lowercase_dotted_capital_i():
     # Java Character.toLowerCase(U+0130) == 'i' (one codepoint)
     assert A.terms("İstanbul") == ["istanbul"]
+
+
+def test_term_position_arrays_equivalent_to_tokens():
+    """The batch-inversion fast path must agree with the per-token path."""
+    from lucene_spark.analysis.tokenizer import StandardAnalyzer
+
+    cases = [
+        "FooBar foo_bar a.b.c 1,000 C++ x-y  hello   WORLD",
+        "",
+        "z" * 300 + " after_long_token",
+        "İstanbul can't 3.14 a:b",
+        "the the the stop words",
+    ]
+    for an in (StandardAnalyzer(), StandardAnalyzer(stopwords=frozenset({"the"}))):
+        for text in cases:
+            toks = an.tokens(text)
+            terms, pos, n = an.term_position_arrays(text)
+            assert terms == [t.term for t in toks]
+            assert pos.tolist() == [t.position for t in toks]
+            assert n == len(toks)
