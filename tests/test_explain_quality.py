@@ -1,0 +1,83 @@
+"""CheckHits-style explanation parity + quality-harness metrics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.entry_impl import get_searcher
+from lucene_spark.search import query as Q
+from lucene_spark.search.explain import explain
+from lucene_spark.testing.quality import evaluate_run, mean_average_precision
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_explanation_recomputes_to_search_score(spark):
+    """Every hit's explanation score must equal the collected score exactly
+    (CheckHits.java contract)."""
+    _, s = get_searcher(spark, SF)
+    for q in [
+        Q.TermQuery("text", "spark"),
+        Q.TermQuery("text", "dup", boost=2.0),
+        Q.BooleanQuery.of(
+            should=[Q.TermQuery("text", "table"), Q.TermQuery("text", "vector")]
+        ),
+    ]:
+        hits = s.search(q, k=5).collect()
+        assert hits
+        for r in hits:
+            e = explain(s, q, int(r["doc_id"]))
+            assert e["matched"]
+            assert float(e["score"]) == r["score"], (q, r)
+
+
+def test_explanation_nonmatch(spark):
+    _, s = get_searcher(spark, SF)
+    e = explain(s, Q.TermQuery("text", "zzz_not_a_term"), 0)
+    assert not e["matched"] and float(e["score"]) == 0.0
+
+
+def test_quality_metrics_known_values(spark):
+    # query 1: rel docs {1,2,4}; run ranks: 1(doc1,rel),2(doc3),3(doc4,rel)
+    results = spark.createDataFrame(
+        [(1, 1, 1), (1, 3, 2), (1, 4, 3), (2, 9, 1)],
+        schema="query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 4), (2, 8)], schema="query_id long, doc_id long"
+    )
+    m = {r["query_id"]: r for r in evaluate_run(results, qrels, k=3).collect()}
+    # AP(q1) = (1/1 + 2/3) / 3
+    assert m[1]["ap"] == pytest.approx((1.0 + 2.0 / 3.0) / 3.0)
+    assert m[1]["p_at_k"] == pytest.approx(2.0 / 3.0)
+    assert m[1]["recall"] == pytest.approx(2.0 / 3.0)
+    assert m[2]["ap"] == 0.0
+    assert mean_average_precision(results, qrels, k=3) == pytest.approx(
+        ((1.0 + 2.0 / 3.0) / 3.0) / 2.0
+    )
+
+
+def test_engine_map_on_golden_queries(spark):
+    """End-to-end IR quality: BM25 run vs term-containment qrels — every
+    doc containing the query term is relevant, so recall@all must be 1.0
+    for k >= df and MAP positive."""
+    _, s = get_searcher(spark, SF)
+    term = "dup"
+    run = (
+        s.search(Q.TermQuery("text", term), k=50)
+        .withColumn("rank", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        ))
+        .select(F.lit(1).alias("query_id"), "doc_id", "rank")
+    )
+    qrels = (
+        s.matches(Q.TermQuery("text", term))
+        .select(F.lit(1).alias("query_id"), "doc_id")
+    )
+    df_term = qrels.count()
+    m = evaluate_run(run, qrels, k=10).collect()[0]
+    assert m["n_rel"] == df_term
+    if df_term <= 50:
+        assert m["recall"] == pytest.approx(1.0)
+        assert m["ap"] == pytest.approx(1.0)  # all retrieved are relevant
