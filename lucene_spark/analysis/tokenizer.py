@@ -105,6 +105,17 @@ class StandardAnalyzer:
         """Emitted-token count (BM25 norm input). Overlaps never occur here."""
         return len(self.tokens(text))
 
+    def emitted_count(self, text: str) -> int:
+        """Field length only (BM25 norm input) — the counting-only fast path
+        for the doclens pass; no per-token objects or arrays."""
+        lowered = java_lower(text)
+        raw = _TOKEN_RE.findall(lowered)
+        mx = self.max_token_length
+        if self.stopwords:
+            sw = self.stopwords
+            return sum(1 for t in raw if len(t) <= mx and t not in sw)
+        return sum(1 for t in raw if len(t) <= mx)
+
     def term_position_arrays(self, text: str):
         """Fast batch-inversion primitive: (terms, positions:int32, n_emitted).
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from lucene_spark.entry_impl import (
     BASE_CTES,
+    _INV_EXPR,
     _fc,
     _idf_sql,
     _score_expr,
@@ -223,3 +224,78 @@ ORDER BY t.doc_id""",
 def highlight_term_entry(spark, sf_dir):
     _, s = get_searcher(spark, sf_dir)
     return extras.highlight_term(s, "spark", window=2, k=5)
+
+
+# ---- CombinedFieldQuery (sandbox/search/CombinedFieldQuery.java:79) --------
+
+_LANG_IDX_CACHE: dict = {}
+
+
+def _get_lang_index(spark, sf_dir):
+    from lucene_spark.index.build import IndexConfig, build_index
+
+    if sf_dir not in _LANG_IDX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cfg = IndexConfig(
+            text_col="lang", field_name="lang", doc_id_col="doc_id",
+            docs_per_segment=1024, with_positions=False,
+        )
+        idx = build_index(spark, docs, cfg)
+        idx.postings.persist().count()
+        _LANG_IDX_CACHE[sf_dir] = idx
+    return _LANG_IDX_CACHE[sf_dir]
+
+
+_CF_SCORE = _score_expr("w.w", "cf.freq", "n.inv")
+
+_CF_ORACLE = f"""WITH {BASE_CTES},
+cf_stats AS (
+  SELECT greatest(doc_count, (SELECT count(*) FROM documents)) AS doc_count,
+         sum_ttf + (SELECT count(*) FROM documents) AS sum_ttf
+  FROM fstats
+),
+cf_avgd AS (
+  SELECT CAST(sum_ttf / CAST(doc_count AS DOUBLE) AS FLOAT) AS avgdl FROM cf_stats
+),
+cf_df(v) AS (
+  SELECT greatest(
+    (SELECT count(*) FROM tf WHERE term = 'es'),
+    (SELECT count(*) FROM documents WHERE lang = 'es'))
+),
+w(w) AS (
+  SELECT CAST(ln(1.0 + (((SELECT doc_count FROM cf_stats) - (SELECT v FROM cf_df)) + 0.5)
+                        / ((SELECT v FROM cf_df) + 0.5)) AS FLOAT)
+),
+cf AS (
+  SELECT d.doc_id,
+         (coalesce(tf.freq, 0) + CASE WHEN d.lang = 'es' THEN 1 ELSE 0 END)::INTEGER AS freq,
+         coalesce(dl.len, 0) + 1 AS clen
+  FROM documents d
+  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = 'es'
+  LEFT JOIN dl ON dl.doc_id = d.doc_id
+),
+cf_m AS (SELECT * FROM cf WHERE freq > 0),
+cf_nb AS (
+  SELECT cf_m.doc_id, max(b4.nb) AS nb FROM cf_m JOIN b4 ON b4.floor_len <= cf_m.clen
+  GROUP BY cf_m.doc_id
+),
+n AS (
+  SELECT nb.doc_id, {_INV_EXPR} AS inv
+  FROM cf_nb nb JOIN b4 t ON t.nb = nb.nb CROSS JOIN cf_avgd a
+),
+sc AS (
+  SELECT cf.doc_id, {_CF_SCORE} AS score
+  FROM cf_m cf JOIN n USING (doc_id) CROSS JOIN w
+)
+{_topk_sql('sc')}"""
+
+
+@register("combined_field_query", _CF_ORACLE)
+def combined_field_query(spark, sf_dir):
+    """Term 'es' scored across (text, lang) as one pseudo-field with unit
+    weights — freq and length combine, norms re-quantize via byte4."""
+    idx_text, _ = get_searcher(spark, sf_dir)
+    idx_lang = _get_lang_index(spark, sf_dir)
+    return extras.combined_field_topk(
+        {"text": (idx_text, 1), "lang": (idx_lang, 1)}, "es", k=10
+    )

@@ -228,6 +228,46 @@ def _make_inverter(cfg: IndexConfig):
     return invert
 
 
+_DOCLEN_COUNT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("length", IntegerType()),
+        StructField("norm", IntegerType()),
+    ]
+)
+
+
+def _make_doclen_counter(cfg: IndexConfig):
+    """Counting-only pass: (doc_id, emitted token count, byte4 norm).
+
+    Re-tokenizes instead of aggregating the exploded posting stream — the
+    second tokenize costs far less than shuffling + caching ~35x the corpus
+    rows (see build_index notes)."""
+    analyzer = StandardAnalyzer(
+        max_token_length=cfg.max_token_length, stopwords=cfg.stopwords
+    )
+    text_col = cfg.text_col
+
+    def count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lengths = np.fromiter(
+                (analyzer.emitted_count(t) for t in pdf[text_col].fillna("")),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64),
+                    "length": lengths.astype(np.int32),
+                    "norm": np.where(
+                        lengths > 0, encode_lengths(lengths), 0
+                    ).astype(np.int32),
+                }
+            )
+
+    return count
+
+
 def _make_block_packer(cfg: IndexConfig):
     """Streaming per-partition packer.
 
@@ -376,10 +416,16 @@ def build_index(
     # cache it so the docid-assignment + sha pipeline runs once
     docs.persist()
 
+    # The exploded (doc, term) stream is NOT cached and flows through
+    # exactly ONE shuffle (the pack repartition). Caching it and running
+    # doclens/termstats groupBys over it (3 passes over ~35x the corpus
+    # row count) was the build's scaling killer: allocation/GC pressure in
+    # the single local JVM serialized all executor threads. Instead:
+    # doclens comes from a cheap counting-only tokenizer pass, and
+    # termstats is an aggregate over the PACKED block table (tiny).
     inverted = docs.select("doc_id", cfg.text_col).mapInPandas(
         _make_inverter(cfg), schema=_INVERTED_SCHEMA
     )
-    inverted.persist()
 
     repart_cols = [F.col("seg_id"), F.col("term")]
     if cfg.num_partitions:
@@ -389,33 +435,30 @@ def build_index(
     postings = repartitioned.sortWithinPartitions(
         "seg_id", "term", "doc_id"
     ).mapInPandas(_make_block_packer(cfg), schema=POSTINGS_SCHEMA)
+    # materialize the index once here: termstats/fieldstats below and every
+    # query read this plan — without the cache they would re-run the build
+    postings.persist()
 
-    lens = inverted.groupBy("doc_id").agg(
-        F.sum("freq").cast("int").alias("length"), F.first("norm").alias("norm")
-    )
-    doclens = (
-        docs.select("doc_id")
-        .join(lens, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.lit(cfg.field_name).alias("field"),
-            F.coalesce("length", F.lit(0)).alias("length"),
-            F.coalesce("norm", F.lit(0)).alias("norm"),
-        )
+    doclens = docs.select("doc_id", cfg.text_col).mapInPandas(
+        _make_doclen_counter(cfg), schema=_DOCLEN_COUNT_SCHEMA
+    ).select(
+        "doc_id",
+        F.lit(cfg.field_name).alias("field"),
+        "length",
+        "norm",
     )
 
     termstats = (
-        inverted.groupBy("term")
+        postings.groupBy("term")
         .agg(
-            F.count("*").alias("df"),
-            F.sum("freq").alias("ttf"),
+            F.sum("num_docs").alias("df"),
+            F.sum("ttf_block").alias("ttf"),
         )
         .select(F.lit(cfg.field_name).alias("field"), "term", "df", "ttf")
     )
 
     # searcher-wide stats (IndexSearcher.java:1144-1159 sums over leaves):
-    # derived from the small doclens/termstats tables, not the exploded
-    # postings — two cheap jobs instead of a third full pass
+    # derived from the small doclens/termstats tables
     agg = doclens.agg(
         F.count("*").alias("max_doc"),
         F.sum((F.col("length") > 0).cast("long")).alias("doc_count"),

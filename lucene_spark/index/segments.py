@@ -32,8 +32,10 @@ from lucene_spark.index.build import (
     IndexConfig,
     InvertedIndex,
     POSTINGS_SCHEMA,
+    _DOCLEN_COUNT_SCHEMA,
     _INVERTED_SCHEMA,
     _make_block_packer,
+    _make_doclen_counter,
     _make_inverter,
 )
 from lucene_spark.index.docids import with_doc_ids
@@ -104,39 +106,32 @@ def _build_one_segment(
     inverted = docs.select("doc_id", cfg.text_col).mapInPandas(
         _make_inverter(cfg), schema=_INVERTED_SCHEMA
     )
-    inverted.persist()
-    try:
-        postings = (
-            inverted.repartition(F.col("seg_id"), F.col("term"))
-            .sortWithinPartitions("seg_id", "term", "doc_id")
-            .mapInPandas(_make_block_packer(cfg), schema=POSTINGS_SCHEMA)
+    postings = (
+        inverted.repartition(F.col("seg_id"), F.col("term"))
+        .sortWithinPartitions("seg_id", "term", "doc_id")
+        .mapInPandas(_make_block_packer(cfg), schema=POSTINGS_SCHEMA)
+    )
+    postings.write.mode("overwrite").parquet(f"{seg_dir}/postings")
+    doclens = (
+        docs.select("doc_id", cfg.text_col)
+        .mapInPandas(_make_doclen_counter(cfg), schema=_DOCLEN_COUNT_SCHEMA)
+        .select(
+            "doc_id", F.lit(cfg.field_name).alias("field"), "length", "norm"
         )
-        postings.write.mode("overwrite").parquet(f"{seg_dir}/postings")
-        lens = inverted.groupBy("doc_id").agg(
-            F.sum("freq").cast("int").alias("length"), F.first("norm").alias("norm")
-        )
-        doclens = (
-            docs.select("doc_id")
-            .join(lens, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.lit(cfg.field_name).alias("field"),
-                F.coalesce("length", F.lit(0)).alias("length"),
-                F.coalesce("norm", F.lit(0)).alias("norm"),
-            )
-        )
-        doclens.write.mode("overwrite").parquet(f"{seg_dir}/doclens")
-        termstats = (
-            inverted.groupBy("term")
-            .agg(F.count("*").alias("df"), F.sum("freq").alias("ttf"))
-            .select(F.lit(cfg.field_name).alias("field"), "term", "df", "ttf")
-        )
-        termstats.write.mode("overwrite").parquet(f"{seg_dir}/termstats")
-        n_docs = docs.count()
-        n_blocks = spark.read.parquet(f"{seg_dir}/postings").count()
-        return n_docs, n_blocks
-    finally:
-        inverted.unpersist()
+    )
+    doclens.write.mode("overwrite").parquet(f"{seg_dir}/doclens")
+    # per-segment term stats from the written block table (no re-shuffle of
+    # the exploded posting stream)
+    written = spark.read.parquet(f"{seg_dir}/postings")
+    termstats = (
+        written.groupBy("term")
+        .agg(F.sum("num_docs").alias("df"), F.sum("ttf_block").alias("ttf"))
+        .select(F.lit(cfg.field_name).alias("field"), "term", "df", "ttf")
+    )
+    termstats.write.mode("overwrite").parquet(f"{seg_dir}/termstats")
+    n_docs = docs.count()
+    n_blocks = written.count()
+    return n_docs, n_blocks
 
 
 def build_segmented(

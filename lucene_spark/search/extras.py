@@ -199,3 +199,95 @@ def highlight_term(
             ).alias("snippet"),
         )
     )
+
+
+def combined_field_topk(
+    fields: "dict[str, tuple]",
+    term: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """CombinedFieldQuery (sandbox/search/CombinedFieldQuery.java:79):
+    score a term across several indexed fields as if they were ONE field.
+
+    ``fields``: {field_name: (InvertedIndex, int_weight)} — all indexes
+    built over the same docs/doc_id space. Pseudo-field semantics:
+
+    - per-doc freq  = sum_f w_f * freq_f          (integer, exact)
+    - per-doc len   = sum_f w_f * field_len_f     (integer, exact)
+    - sum_ttf       = sum_f w_f * sum_ttf_f ; doc_count = max_f doc_count_f
+    - df            = max_f df_f  (blended pseudo-term statistics)
+    - BM25 on (freq, byte4(len)) with the usual float32 op order; the norm
+      lookup is a broadcast join against the 256-row byte4 floor table, so
+      the whole plan stays JVM-side.
+    """
+    import numpy as np
+    from pyspark.sql import Window as _W
+
+    from lucene_spark.util.smallfloat import LENGTH_TABLE_INT
+    from lucene_spark.search.similarity import BM25Similarity
+
+    F32 = np.float32
+    sim = BM25Similarity(k1=k1, b=b)
+    items = list(fields.items())
+    spark = items[0][1][0].docs.sparkSession
+
+    doc_count = max(idx.fieldstats[f].doc_count for f, (idx, _) in items)
+    sum_ttf = sum(
+        w * idx.fieldstats[f].sum_total_term_freq for f, (idx, w) in items
+    )
+    df_blend = 0
+    freq_parts, len_parts = [], []
+    for f, (idx, w) in items:
+        ts = idx.termstats.filter(F.col("term") == term).collect()
+        df_blend = max(df_blend, int(ts[0]["df"]) if ts else 0)
+        searcher = IndexSearcher(idx)
+        d = searcher._decoded(f, F.col("term") == term)
+        freq_parts.append(
+            d.select("doc_id", (F.col("freq") * F.lit(w)).alias("wf"))
+        )
+        len_parts.append(
+            idx.doclens.select(
+                "doc_id", (F.col("length") * F.lit(w)).alias("wl")
+            )
+        )
+    freqs = freq_parts[0]
+    for p in freq_parts[1:]:
+        freqs = freqs.unionByName(p)
+    freqs = freqs.groupBy("doc_id").agg(F.sum("wf").alias("freq"))
+    lens = len_parts[0]
+    for p in len_parts[1:]:
+        lens = lens.unionByName(p)
+    lens = lens.groupBy("doc_id").agg(F.sum("wl").alias("clen"))
+
+    avgdl = F32(sum_ttf / float(doc_count))
+    idf = sim.idf(df_blend, doc_count)
+    w_scalar = float(F32(idf))
+    inv_cache = sim.norm_inv_cache(avgdl)
+    # byte4 floor table: norm byte of a combined length = max nb with
+    # floor_len <= len (SmallFloat.java:103-157 staircase)
+    b4 = spark.createDataFrame(
+        [(nb, int(v), float(inv_cache[nb])) for nb, v in enumerate(LENGTH_TABLE_INT)],
+        schema="nb int, floor_len long, inv float",
+    )
+    with_norm = (
+        freqs.join(lens, "doc_id")
+        .join(F.broadcast(b4), F.col("floor_len") <= F.col("clen"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                _W.partitionBy("doc_id").orderBy(F.desc("nb"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+    )
+    wc = F.lit(w_scalar).cast("float")
+    one = F.lit(1.0).cast("float")
+    denom = one + F.col("freq").cast("float") * F.col("inv")
+    score = (wc - (wc / denom).cast("float")).cast("float")
+    return (
+        with_norm.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
