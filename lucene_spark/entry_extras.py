@@ -299,3 +299,42 @@ def combined_field_query(spark, sf_dir):
     return extras.combined_field_topk(
         {"text": (idx_text, 1), "lang": (idx_lang, 1)}, "es", k=10
     )
+
+
+# ---- BlendedTermQuery (search/BlendedTermQuery.java:47) --------------------
+
+_BL_DF = (
+    "greatest((SELECT count(*) FROM tf WHERE term='fast'),"
+    " (SELECT count(*) FROM tf WHERE term='batch'))"
+)
+
+
+@register(
+    "blended_term_query",
+    f"""WITH {BASE_CTES},
+bl_w(w) AS (SELECT {_idf_sql(_BL_DF)}),
+b1 AS (
+  SELECT tf.doc_id, {_score_expr('bl_w.w', 'tf.freq', 'i.inv')} AS score
+  FROM tf JOIN invn i USING (doc_id) CROSS JOIN bl_w WHERE tf.term = 'fast'
+),
+b2 AS (
+  SELECT tf.doc_id, {_score_expr('bl_w.w', 'tf.freq', 'i.inv')} AS score
+  FROM tf JOIN invn i USING (doc_id) CROSS JOIN bl_w WHERE tf.term = 'batch'
+),
+u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+agg AS (
+  SELECT doc_id, max(score) AS mx, sum(CAST(score AS DOUBLE)) AS sm
+  FROM u GROUP BY doc_id
+),
+sc AS (
+  SELECT doc_id,
+         CAST(CAST(mx AS DOUBLE)
+              + CAST(0.30000001192092896 AS DOUBLE) * (sm - CAST(mx AS DOUBLE)) AS FLOAT) AS score
+  FROM agg
+)
+{_topk_sql('sc')}""",
+)
+def blended_term_query(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.BlendedTermQuery("text", ("fast", "batch"), tie_breaker=0.3)
+    return s.search(q, k=10).select("doc_id", "score")

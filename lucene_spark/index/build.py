@@ -55,7 +55,8 @@ class IndexConfig:
     text_col: str = "content"
     field_name: str = "content"
     doc_id_col: str | None = None  # None -> derive dense IDs from order_by
-    order_by: tuple[str, ...] = ("repo", "path", "commit")
+    #: None -> arrival-order ids (no shuffle; Lucene's sequential assignment)
+    order_by: tuple[str, ...] | None = ("repo", "path", "commit")
     docs_per_segment: int = 1 << 20
     block_size: int = forutil.BLOCK_SIZE
     with_positions: bool = True
@@ -64,6 +65,10 @@ class IndexConfig:
     num_partitions: int | None = None
 
 
+# positions travel as raw little-endian uint32 buffers (BinaryType), NOT
+# array<int>: Arrow list cells materialize one Python list per row on the
+# UDF side, which dominated the whole build at ~35x corpus row counts;
+# bytes cross the boundary zero-copy-ish on both sides
 _INVERTED_SCHEMA = StructType(
     [
         StructField("seg_id", LongType()),
@@ -71,7 +76,7 @@ _INVERTED_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("freq", IntegerType()),
         StructField("norm", IntegerType()),
-        StructField("positions", ArrayType(IntegerType())),
+        StructField("positions", BinaryType()),
     ]
 )
 
@@ -115,6 +120,9 @@ class InvertedIndex:
     fieldstats: dict[str, FieldStats]  # per field, collected (tiny)
     config: IndexConfig
     build_metrics: dict = field(default_factory=dict)
+    #: live-docs complement (doc_id rows) — anti-joined at query time;
+    #: stats keep counting deleted docs until merge reclaim, like Lucene
+    deletes: DataFrame | None = None
 
     def save(self, index_dir: str) -> None:
         """Persist as a parquet 'segment directory' (Iceberg-shaped layout).
@@ -212,6 +220,7 @@ def _make_inverter(cfg: IndexConfig):
             g_ord = d_s[starts]
             norms = encode_lengths(counts).astype(np.int32)
             g_docs = doc_ids[g_ord]
+            p_u32 = p_s.astype("<u4")
             yield pd.DataFrame(
                 {
                     "seg_id": g_docs // dps,
@@ -220,12 +229,20 @@ def _make_inverter(cfg: IndexConfig):
                     "freq": (ends - starts).astype(np.int32),
                     "norm": norms[g_ord],
                     "positions": pd.Series(
-                        np.split(p_s, starts[1:]), dtype="object"
+                        [a.tobytes() for a in np.split(p_u32, starts[1:])],
+                        dtype="object",
                     ),
                 }
             )
 
     return invert
+
+
+def _pos_array(p) -> np.ndarray:
+    """positions cell -> uint32 array (binary fast path or int-list)."""
+    if isinstance(p, (bytes, bytearray)):
+        return np.frombuffer(p, dtype="<u4")
+    return np.asarray(p, dtype=np.uint32)
 
 
 _DOCLEN_COUNT_SCHEMA = StructType(
@@ -305,7 +322,7 @@ def _make_block_packer(cfg: IndexConfig):
                 # term dict); scalar ops only, no numpy slicing
                 fr = int(freqs[s])
                 if with_positions:
-                    pos_buf = forutil.for_encode(np.asarray(positions[s]))
+                    pos_buf = forutil.for_encode(_pos_array(positions[s]))
                 else:
                     pos_buf = b""
                 out.append(
@@ -334,13 +351,17 @@ def _make_block_packer(cfg: IndexConfig):
                 nm = norms[bstart:bend]
                 first, gaps = forutil.delta_encode(d)
                 if with_positions:
-                    flat = (
-                        np.concatenate(
-                            [np.asarray(p) for p in positions[bstart:bend]]
-                        ).astype(np.uint32)
-                        if bend > bstart
-                        else np.empty(0, dtype=np.uint32)
-                    )
+                    chunk = positions[bstart:bend]
+                    if len(chunk) and isinstance(chunk[0], (bytes, bytearray)):
+                        flat = np.frombuffer(b"".join(chunk), dtype="<u4")
+                    else:  # merge path feeds decoded int lists
+                        flat = (
+                            np.concatenate(
+                                [np.asarray(p) for p in chunk]
+                            ).astype(np.uint32)
+                            if bend > bstart
+                            else np.empty(0, dtype=np.uint32)
+                        )
                     pos_buf = forutil.for_encode(flat)
                 else:
                     pos_buf = b""
@@ -458,13 +479,19 @@ def build_index(
     )
 
     # searcher-wide stats (IndexSearcher.java:1144-1159 sums over leaves):
-    # derived from the small doclens/termstats tables
-    agg = doclens.agg(
-        F.count("*").alias("max_doc"),
-        F.sum((F.col("length") > 0).cast("long")).alias("doc_count"),
-        F.sum("length").alias("sum_ttf"),
-    ).collect()[0]
-    sum_df = termstats.agg(F.sum("df")).collect()[0][0]
+    # ONE action over a cross-join of the two single-row aggregates, so the
+    # doclens counting pass and the postings build run as concurrent stages
+    # of the same job instead of two serial jobs
+    agg = (
+        doclens.agg(
+            F.count("*").alias("max_doc"),
+            F.sum((F.col("length") > 0).cast("long")).alias("doc_count"),
+            F.sum("length").alias("sum_ttf"),
+        )
+        .crossJoin(termstats.agg(F.sum("df").alias("sum_df")))
+        .collect()[0]
+    )
+    sum_df = agg["sum_df"]
     fieldstats = {
         cfg.field_name: FieldStats(
             max_doc=int(agg["max_doc"]),
@@ -504,6 +531,8 @@ def load_index(
         )
         for r in fs_rows
     }
+    from lucene_spark.index.deletes import read_deletes
+
     return InvertedIndex(
         docs=spark.read.parquet(f"{index_dir}/docs"),
         postings=spark.read.parquet(f"{index_dir}/postings"),
@@ -511,4 +540,5 @@ def load_index(
         termstats=spark.read.parquet(f"{index_dir}/termstats"),
         fieldstats=fieldstats,
         config=cfg,
+        deletes=read_deletes(spark, index_dir),
     )

@@ -21,18 +21,30 @@ __all__ = ["with_doc_ids"]
 
 def with_doc_ids(
     df: DataFrame,
-    order_by: Sequence[str],
+    order_by: Sequence[str] | None,
     doc_id_col: str = "doc_id",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Add a dense 0..N-1 ``doc_id`` = rank of the (unique) ``order_by`` key."""
-    order_cols = [F.col(c) for c in order_by]
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    """Add a dense 0..N-1 ``doc_id``.
+
+    order_by given: id = global rank of the (unique) ordering key
+    (range-partition + in-partition sort + per-partition offsets).
+
+    order_by None: zipWithIndex-style ARRIVAL order — ids follow the input
+    partition layout with no shuffle at all (exactly Lucene's sequential
+    per-writer assignment, ``index/DocumentsWriterPerThread.java``);
+    deterministic for a fixed input file set.
+    """
+    if order_by:
+        order_cols = [F.col(c) for c in order_by]
+        parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        ranged = (
+            df.repartitionByRange(parts, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+        )
+    else:
+        ranged = df.withColumn("_pid", F.spark_partition_id())
     ranged.persist()
     counts = {
         r["_pid"]: r["cnt"]

@@ -223,6 +223,8 @@ def load_segments(
         docs = docs.unionByName(delta, allowMissingColumns=True)
     except Exception:
         pass
+    from lucene_spark.index.deletes import read_deletes
+
     return InvertedIndex(
         docs=docs,
         postings=postings,
@@ -230,6 +232,7 @@ def load_segments(
         termstats=termstats,
         fieldstats=fieldstats,
         config=cfg,
+        deletes=read_deletes(spark, index_dir),
     )
 
 
@@ -263,6 +266,7 @@ def merge_segments(
     index_dir: str,
     cfg: IndexConfig,
     candidates: list[dict] | None = None,
+    purge_deletes: "DataFrame | None" = None,
 ) -> list[str]:
     """Merge segment groups: decode postings rows, re-pack with the build's
     packer under a fresh segment name (SegmentMerger.merge analog,
@@ -299,6 +303,8 @@ def merge_segments(
             "norm",
             "positions",
         )
+        if purge_deletes is not None:  # delete reclaim during merge
+            rows = rows.join(F.broadcast(purge_deletes), "doc_id", "left_anti")
         merged = (
             rows.repartition(F.col("seg_id"), F.col("term"))
             .sortWithinPartitions("seg_id", "term", "doc_id")
@@ -306,15 +312,34 @@ def merge_segments(
         )
         seg_dir = f"{index_dir}/segments/{new_name}"
         merged.write.mode("overwrite").parquet(f"{seg_dir}/postings")
-        spark.read.parquet(
+        written = spark.read.parquet(f"{seg_dir}/postings")
+        doclens = spark.read.parquet(
             *[f"{index_dir}/segments/{n}/doclens" for n in names]
-        ).write.mode("overwrite").parquet(f"{seg_dir}/doclens")
-        spark.read.parquet(
-            *[f"{index_dir}/segments/{n}/termstats" for n in names]
-        ).groupBy("field", "term").agg(
-            F.sum("df").alias("df"), F.sum("ttf").alias("ttf")
-        ).write.mode("overwrite").parquet(f"{seg_dir}/termstats")
-        n_blocks = spark.read.parquet(f"{seg_dir}/postings").count()
+        )
+        if purge_deletes is not None:
+            doclens = doclens.join(
+                F.broadcast(purge_deletes), "doc_id", "left_anti"
+            )
+            # stats change when rows are reclaimed: recompute from blocks
+            termstats = (
+                written.groupBy("term")
+                .agg(
+                    F.sum("num_docs").alias("df"),
+                    F.sum("ttf_block").alias("ttf"),
+                )
+                .select(F.lit(cfg.field_name).alias("field"), "term", "df", "ttf")
+            )
+        else:
+            termstats = (
+                spark.read.parquet(
+                    *[f"{index_dir}/segments/{n}/termstats" for n in names]
+                )
+                .groupBy("field", "term")
+                .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+            )
+        doclens.write.mode("overwrite").parquet(f"{seg_dir}/doclens")
+        termstats.write.mode("overwrite").parquet(f"{seg_dir}/termstats")
+        n_blocks = written.count()
         rows_ckpt = [
             {
                 "segment": n,

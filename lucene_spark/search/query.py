@@ -27,6 +27,7 @@ __all__ = [
     "TermRangeQuery",
     "TermInSetQuery",
     "SynonymQuery",
+    "BlendedTermQuery",
     "DisjunctionMaxQuery",
     "ConstantScoreQuery",
     "BoostQuery",
@@ -183,6 +184,19 @@ class SynonymQuery(Query):
 
     field: str
     terms: tuple[str, ...]
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """Terms scored as a disjunction with BLENDED statistics: every term's
+    df is lifted to the max df across the blend before weighting, then the
+    per-term scores combine dismax-style (``search/BlendedTermQuery.java:47``,
+    DisjunctionMaxRewrite with tie_breaker=1.0 == BooleanRewrite sum)."""
+
+    field: str
+    terms: tuple[str, ...]
+    tie_breaker: float = 0.01
     boost: float = 1.0
 
 

@@ -161,7 +161,14 @@ class IndexSearcher:
         prune: bool = True,
     ) -> DataFrame:
         """Top-k (doc_id, score), score desc / doc_id asc, searchAfter anchor."""
-        if prune and after is None and isinstance(query, Q.TermQuery):
+        # pruning is unsafe with deletes: a deleted doc could set the
+        # phase-1 bound and prune blocks holding live competitive docs
+        if (
+            prune
+            and after is None
+            and self.index.deletes is None
+            and isinstance(query, Q.TermQuery)
+        ):
             scored = self._term_topk_pruned(query, k)
         else:
             scored = self.scored(query)
@@ -174,32 +181,41 @@ class IndexSearcher:
             )
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Live-docs filter (Lucene90LiveDocsFormat analog): anti-join the
+        deletes table; no-op when the index carries no deletes."""
+        if self.index.deletes is None:
+            return df
+        return df.join(F.broadcast(self.index.deletes), "doc_id", "left_anti")
+
     def scored(self, query: Q.Query) -> DataFrame:
         """(doc_id, score:float), one row per matching doc, unordered."""
         ctx = self._resolve_stats(query)
-        return self._scored(query, F32(1.0), ctx)
+        return self._live(self._scored(query, F32(1.0), ctx))
 
     def matches(self, query: Q.Query) -> DataFrame:
         """(doc_id) match set — ScoreMode.COMPLETE_NO_SCORES context."""
-        return self._matches(query, self._resolve_stats(query))
+        return self._live(self._matches(query, self._resolve_stats(query)))
 
     def count(self, query: Q.Query) -> int:
         """IndexSearcher.count: single terms answered from stats alone
-        (``search/Weight.java:198`` count pushdown)."""
-        if isinstance(query, Q.TermQuery):
-            key = (query.field, query.term)
-            df, _ = self._resolve_stats(query).term_stats.get(key, (0, 0))
-            return df
-        if isinstance(query, Q.MatchAllDocsQuery):
-            return self.index.fieldstats[self.index.config.field_name].max_doc
-        return self._matches(query, self._resolve_stats(query)).count()
+        (``search/Weight.java:198`` count pushdown) — only when no deletes
+        are present (Weight.count returns -1 for leaves with deletions)."""
+        if self.index.deletes is None:
+            if isinstance(query, Q.TermQuery):
+                key = (query.field, query.term)
+                df, _ = self._resolve_stats(query).term_stats.get(key, (0, 0))
+                return df
+            if isinstance(query, Q.MatchAllDocsQuery):
+                return self.index.fieldstats[self.index.config.field_name].max_doc
+        return self.matches(query).count()
 
     # ------------------------------------------------------- stats resolution
 
     def _collect_terms(self, q: Q.Query, out: set[tuple[str, str]]) -> None:
         if isinstance(q, Q.TermQuery):
             out.add((q.field, q.term))
-        elif isinstance(q, Q.SynonymQuery):
+        elif isinstance(q, (Q.SynonymQuery, Q.BlendedTermQuery)):
             out.update((q.field, t) for t in q.terms)
         elif isinstance(q, Q.PhraseQuery):
             out.update((q.field, t) for t in q.terms)
@@ -306,6 +322,40 @@ class IndexSearcher:
                     "score"
                 ),
             )
+        if isinstance(q, Q.BlendedTermQuery):
+            # blended statistics (BlendedTermQuery.java:47): every term is
+            # weighted as if its df were the blend's max df, then the
+            # per-term scores combine dismax-style
+            dfs = [ctx.term_stats.get((q.field, t), (0, 0))[0] for t in q.terms]
+            blended = max(dfs, default=0)
+            fs = self.index.fieldstats[q.field]
+            w = self.sim.weight(
+                boost * F32(q.boost), self.sim.idf(blended, fs.doc_count)
+            )
+            parts = []
+            for t in dict.fromkeys(q.terms):
+                d = self._decoded(q.field, F.col("term") == t)
+                parts.append(
+                    d.select(
+                        "doc_id",
+                        self._score_col(
+                            q.field, F.col("freq"), F.col("norm"), w
+                        ).alias("score"),
+                    )
+                )
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            tie = float(F32(q.tie_breaker))
+            agg = u.groupBy("doc_id").agg(
+                F.max("score").alias("mx"),
+                F.sum(F.col("score").cast("double")).alias("sm"),
+            )
+            expr = (
+                F.col("mx").cast("double")
+                + F.lit(tie) * (F.col("sm") - F.col("mx").cast("double"))
+            ).cast("float")
+            return agg.select("doc_id", expr.alias("score"))
         if isinstance(q, (Q.PhraseQuery, Q.MultiPhraseQuery)):
             return self._scored_phrase(q, boost, ctx)
         if isinstance(q, Q.BooleanQuery):

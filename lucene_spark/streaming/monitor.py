@@ -1,0 +1,154 @@
+"""Monitor / percolator: standing queries matched against a doc stream.
+
+Reference: ``lucene/monitor/.../Monitor.java:42`` — register queries once,
+then stream documents through them; a presearcher prunes the query set per
+doc batch before full evaluation.
+
+Spark re-expression: registered queries become a broadcast *query-term
+table*; each micro-batch is tokenized once (the MemoryIndex analog —
+``memory/MemoryIndex.java:199`` builds a one-doc index, we build a
+one-BATCH term table) and joined against it:
+
+1. presearch: candidate (query, doc) pairs = queries sharing >= 1 term
+   with the doc (the TermFilteredPresearcher strategy);
+2. full match: per-query semantics verified on the candidates only
+   (AND = all required terms present; phrase = positions consecutive).
+
+Everything is joins over exploded tokens — no per-doc Python query loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lucene_spark.search import query as Q
+
+__all__ = ["Monitor"]
+
+
+@dataclass(frozen=True)
+class _Entry:
+    query_id: str
+    query: Q.Query
+
+
+class Monitor:
+    """Register queries; match micro-batches of docs against all of them."""
+
+    def __init__(self) -> None:
+        self._entries: dict[str, Q.Query] = {}
+
+    def register(self, query_id: str, query: Q.Query) -> None:
+        if not isinstance(
+            query, (Q.TermQuery, Q.BooleanQuery, Q.PhraseQuery)
+        ):
+            raise NotImplementedError(
+                f"Monitor supports Term/Boolean/Phrase queries, got {type(query).__name__}"
+            )
+        self._entries[query_id] = query
+
+    def unregister(self, query_id: str) -> None:
+        self._entries.pop(query_id, None)
+
+    def _query_terms_table(self, spark: SparkSession) -> DataFrame:
+        """(query_id, term, kind, slot, n_required) rows.
+
+        kind: 'must' | 'should' | 'phrase'; slot = phrase position index;
+        n_required = how many distinct must-terms / phrase slots the query
+        needs present for a match.
+        """
+        rows = []
+        for qid, q in self._entries.items():
+            if isinstance(q, Q.TermQuery):
+                rows.append((qid, q.term, "must", 0, 1))
+            elif isinstance(q, Q.PhraseQuery):
+                for i, t in enumerate(q.terms):
+                    rows.append((qid, t, "phrase", i, len(q.terms)))
+            elif isinstance(q, Q.BooleanQuery):
+                musts = [
+                    c.query
+                    for c in q.clauses
+                    if c.occur in (Q.Occur.MUST, Q.Occur.FILTER)
+                ]
+                shoulds = [
+                    c.query for c in q.clauses if c.occur is Q.Occur.SHOULD
+                ]
+                if any(not isinstance(s, Q.TermQuery) for s in musts + shoulds):
+                    raise NotImplementedError("nested boolean in Monitor")
+                if musts:
+                    for s in musts:
+                        rows.append((qid, s.term, "must", 0, len(musts)))
+                else:
+                    n = max(q.minimum_should_match, 1)
+                    for s in shoulds:
+                        rows.append((qid, s.term, "should", 0, n))
+        return spark.createDataFrame(
+            rows, schema="query_id string, term string, kind string, slot int, n_required int"
+        )
+
+    def match_batch(
+        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> DataFrame:
+        """(query_id, doc_id) pairs for every registered query matching."""
+        if not self._entries:
+            return docs.sparkSession.createDataFrame(
+                [], schema="query_id string, doc_id long"
+            )
+        spark = docs.sparkSession
+        qt = F.broadcast(self._query_terms_table(spark))
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.expr(f"regexp_extract_all({text_col}, '[a-z0-9_]+', 0)")
+            ).alias("pos", "term"),
+        )
+        j = toks.join(qt, "term")
+        # term/boolean semantics: count distinct matched terms vs n_required
+        flat = (
+            j.filter(F.col("kind").isin("must", "should"))
+            .groupBy("query_id", "doc_id", "n_required")
+            .agg(F.countDistinct("term").alias("n_hit"))
+            .filter(F.col("n_hit") >= F.col("n_required"))
+            .select("query_id", "doc_id")
+        )
+        # phrase semantics: all slots align at some start position
+        ph = j.filter(F.col("kind") == "phrase").select(
+            "query_id",
+            "doc_id",
+            "n_required",
+            (F.col("pos") - F.col("slot")).alias("start"),
+            "slot",
+        )
+        phrase = (
+            ph.dropDuplicates(["query_id", "doc_id", "start", "slot"])
+            .groupBy("query_id", "doc_id", "n_required", "start")
+            .agg(F.count("*").alias("n_slots"))
+            .filter(F.col("n_slots") == F.col("n_required"))
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        return flat.unionByName(phrase)
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        sink_dir: str,
+        checkpoint_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        """Wire a streaming doc source through the monitor; matches append
+        to ``sink_dir`` as parquet (query_id, doc_id)."""
+
+        def run_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            out = self.match_batch(batch_df, text_col=text_col, id_col=id_col)
+            out.write.mode("append").parquet(sink_dir)
+
+        return (
+            stream_df.writeStream.foreachBatch(run_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )

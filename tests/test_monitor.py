@@ -1,0 +1,78 @@
+"""Monitor/percolator: standing queries over doc batches and streams
+(monitor/Monitor.java:42 semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.search import query as Q
+from lucene_spark.streaming.monitor import Monitor
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "spark joins tables fast"),
+            (1, "slow scans of big tables"),
+            (2, "spark streaming window functions"),
+            (3, "table part order line"),
+        ],
+        schema="doc_id long, text string",
+    )
+
+
+def test_term_and_boolean_and_phrase_matching(spark, docs):
+    m = Monitor()
+    m.register("q_term", Q.TermQuery("text", "spark"))
+    m.register(
+        "q_and",
+        Q.BooleanQuery.of(
+            must=[Q.TermQuery("text", "spark"), Q.TermQuery("text", "tables")]
+        ),
+    )
+    m.register(
+        "q_msm",
+        Q.BooleanQuery.of(
+            should=[
+                Q.TermQuery("text", "slow"),
+                Q.TermQuery("text", "window"),
+                Q.TermQuery("text", "order"),
+            ],
+            minimum_should_match=1,
+        ),
+    )
+    m.register("q_phrase", Q.PhraseQuery("text", ("table", "part")))
+    got = {
+        (r["query_id"], r["doc_id"]) for r in m.match_batch(docs).collect()
+    }
+    assert got == {
+        ("q_term", 0),
+        ("q_term", 2),
+        ("q_and", 0),
+        ("q_msm", 1),
+        ("q_msm", 2),
+        ("q_msm", 3),
+        ("q_phrase", 3),
+    }
+
+
+def test_unregister_and_empty(spark, docs):
+    m = Monitor()
+    assert m.match_batch(docs).count() == 0
+    m.register("q", Q.TermQuery("text", "spark"))
+    m.unregister("q")
+    assert m.match_batch(docs).count() == 0
+
+
+def test_streaming_percolation(spark, docs, tmp_path):
+    drop = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    docs.write.mode("overwrite").parquet(drop)
+    m = Monitor()
+    m.register("q_spark", Q.TermQuery("text", "spark"))
+    stream = spark.readStream.schema(docs.schema).parquet(drop)
+    q = m.start(stream, sink, ckpt)
+    q.awaitTermination(120)
+    out = {(r["query_id"], r["doc_id"]) for r in spark.read.parquet(sink).collect()}
+    assert out == {("q_spark", 0), ("q_spark", 2)}
