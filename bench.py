@@ -62,6 +62,8 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     timings["index_build"] = time.time() - t0
 
     searcher = IndexSearcher(idx)
+    # serving layout: compact postings cache + dictionary-in-RAM stats
+    searcher.optimize_for_serving()
 
     def q(name, fn):
         t = time.time()

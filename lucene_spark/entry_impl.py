@@ -39,11 +39,12 @@ def get_searcher(spark: SparkSession, sf_dir: str) -> tuple[InvertedIndex, Index
     if sf_dir not in _CACHE:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         idx = build_index(spark, docs, DOC_CFG)
-        idx.postings.persist()
         idx.docs.persist()
         idx.termstats.persist()
         idx.doclens.persist()
-        _CACHE[sf_dir] = (idx, IndexSearcher(idx))
+        searcher = IndexSearcher(idx)
+        searcher.optimize_for_serving()
+        _CACHE[sf_dir] = (idx, searcher)
     return _CACHE[sf_dir]
 
 

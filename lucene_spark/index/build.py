@@ -433,6 +433,13 @@ def build_index(
     docs = docs.withColumn(
         "content_sha256", F.sha2(F.coalesce(F.col(cfg.text_col), F.lit("")), 256)
     )
+    # granularity fix: parquet input splits follow maxPartitionBytes, not
+    # core count (a 350MB corpus reads as ~5 splits), so every Python stage
+    # downstream would run 1-2 quantized waves with no packing headroom.
+    # Re-partition the (already id-assigned) docs to ~3 tasks/core and cache
+    # THAT — all tokenize passes inherit the good granularity.
+    par = cfg.num_partitions or spark.sparkContext.defaultParallelism * 3
+    docs = docs.repartition(par)
     # several downstream jobs re-read docs (doclens join, stats, retrieval):
     # cache it so the docid-assignment + sha pipeline runs once
     docs.persist()

@@ -181,6 +181,36 @@ class IndexSearcher:
             )
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
+    def optimize_for_serving(self, partitions: int | None = None) -> None:
+        """Re-layout the index for query serving: coalesce the postings
+        cache to ~core-count partitions (every query scans the cache, so
+        hundreds of build-time shuffle partitions mean hundreds of tasks
+        per search) and preload the term dictionary stats."""
+        spark = self.index.docs.sparkSession
+        p = partitions or spark.sparkContext.defaultParallelism
+        old = self.index.postings
+        compact = old.coalesce(p).persist()
+        compact.count()
+        self.index.postings = compact
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+        self.preload_stats()
+
+    def preload_stats(self, max_terms: int = 1 << 20) -> bool:
+        """Pull the whole term dictionary's (df, ttf) into the driver memo
+        when it fits — per-query stat resolution then costs zero jobs (the
+        term-dictionary-in-RAM position Lucene's FST occupies). Returns
+        False (and loads nothing) when the vocabulary exceeds max_terms."""
+        n = self.index.termstats.count()
+        if n > max_terms:
+            return False
+        for r in self.index.termstats.collect():
+            self._stats_memo[(r["field"], r["term"])] = (int(r["df"]), int(r["ttf"]))
+        self._stats_all_loaded = True
+        return True
+
     def _live(self, df: DataFrame) -> DataFrame:
         """Live-docs filter (Lucene90LiveDocsFormat analog): anti-join the
         deletes table; no-op when the index carries no deletes."""
@@ -234,6 +264,10 @@ class IndexSearcher:
         wanted: set[tuple[str, str]] = set()
         self._collect_terms(q, wanted)
         missing = [k for k in wanted if k not in self._stats_memo]
+        if missing and getattr(self, "_stats_all_loaded", False):
+            for k in missing:  # fully-loaded dictionary: absent == df 0
+                self._stats_memo[k] = (0, 0)
+            missing = []
         if missing:
             terms = [t for (_, t) in missing]
             rows = self.index.termstats.filter(F.col("term").isin(terms)).collect()
