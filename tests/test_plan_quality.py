@@ -1,0 +1,86 @@
+"""Physical-plan quality gates: the plans Catalyst produces must show the
+properties the 100 TB design relies on — parquet filter pushdown on the
+term dictionary, column pruning on postings scans, broadcast joins for
+small dims, and no Python in filter-only paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index.build import IndexConfig, build_index, load_index
+from lucene_spark.search import query as Q
+from lucene_spark.search.searcher import IndexSearcher
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def saved(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("planidx"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cfg = IndexConfig(
+        text_col="text", field_name="text", doc_id_col="doc_id", docs_per_segment=256
+    )
+    idx = build_index(spark, docs, cfg, index_dir=d)
+    return idx
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_term_filter_pushed_to_parquet(saved):
+    """A term lookup on the saved index must reach the parquet scan as a
+    pushed filter (the .tip/block-tree role of row-group min/max stats —
+    postings are saved range-partitioned + sorted by term)."""
+    plan = _plan(saved.postings.filter(F.col("term") == "spark"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(term,spark)" in plan or "EqualTo(term, spark)" in plan
+
+
+def test_postings_scan_prunes_columns(saved):
+    """Decoding freqs-only queries must not read the positions blob
+    (ReadSchema shows the projection reaching the scan)."""
+    cols = ["term", "first_doc", "doc_gaps", "freqs", "norms"]
+    plan = _plan(saved.postings.filter(F.col("term") == "spark").select(cols))
+    rs = plan.split("ReadSchema:")[-1].split("\n")[0]
+    assert "positions" not in rs, rs
+
+
+def test_search_plan_has_no_python_in_filter_path(saved):
+    """Constant-score dictionary queries (prefix etc.) stay JVM-side:
+    no Python evaluation nodes except the postings block decode."""
+    s = IndexSearcher(saved)
+    plan = _plan(s.matches(Q.PrefixQuery("text", "sc")))
+    # exactly one Python stage: the block decoder
+    assert plan.count("MapInPandas") == 1
+
+
+def test_exact_phrase_is_join_based(saved):
+    """Exact phrase must lower to equi-joins on (doc_id, start), not a
+    per-doc Python matcher (SortMergeJoin/ShuffledHashJoin in the plan)."""
+    s = IndexSearcher(saved)
+    plan = _plan(s.scored(Q.PhraseQuery("text", ("table", "part"))))
+    assert "Join" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_small_dim_join_broadcasts(spark, saved):
+    """Joining the top-k result back to stored fields must broadcast the
+    tiny side, not shuffle the corpus."""
+    s = IndexSearcher(saved)
+    top = s.search(Q.TermQuery("text", "spark"), k=10)
+    joined = saved.docs.join(F.broadcast(top), "doc_id")
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_whole_stage_codegen_covers_scoring(saved):
+    """The BM25 score expression must run inside WholeStageCodegen (it is
+    built from native float Column ops, not a UDF)."""
+    s = IndexSearcher(saved)
+    df = s.scored(Q.TermQuery("text", "spark"))
+    df.collect()  # finalize the adaptive plan so codegen spans materialize
+    plan = _plan(df)
+    # '*(n)' prefixes mark WholeStageCodegen stages in the plan string;
+    # the scoring Project must carry one
+    assert "*(" in plan and "Project [doc_id" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
