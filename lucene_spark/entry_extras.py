@@ -338,3 +338,36 @@ def blended_term_query(spark, sf_dir):
     _, s = get_searcher(spark, sf_dir)
     q = Q.BlendedTermQuery("text", ("fast", "batch"), tie_breaker=0.3)
     return s.search(q, k=10).select("doc_id", "score")
+
+
+# ---- Intervals (queries/intervals, simplified two-term core) ---------------
+
+
+@register(
+    "intervals_ordered",
+    f"""WITH {BASE_CTES},
+ia AS (SELECT doc_id, pos AS pa FROM tok WHERE term = 'key'),
+ib AS (SELECT doc_id, pos AS pb FROM tok WHERE term = 'value')
+SELECT ia.doc_id, count(DISTINCT ia.pa)::BIGINT AS n_windows
+FROM ia JOIN ib ON ib.doc_id = ia.doc_id
+WHERE ib.pb > ia.pa AND ib.pb - ia.pa <= 4
+GROUP BY ia.doc_id ORDER BY ia.doc_id""",
+)
+def intervals_ordered(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return extras.interval_within(s, "key", "value", width=5, ordered=True)
+
+
+@register(
+    "intervals_unordered",
+    f"""WITH {BASE_CTES},
+ua AS (SELECT doc_id, pos AS pa FROM tok WHERE term = 'key'),
+ub AS (SELECT doc_id, pos AS pb FROM tok WHERE term = 'value')
+SELECT ua.doc_id, count(DISTINCT ua.pa)::BIGINT AS n_windows
+FROM ua JOIN ub ON ub.doc_id = ua.doc_id
+WHERE ub.pb != ua.pa AND abs(ub.pb - ua.pa) <= 4
+GROUP BY ua.doc_id ORDER BY ua.doc_id""",
+)
+def intervals_unordered(spark, sf_dir):
+    _, s = get_searcher(spark, sf_dir)
+    return extras.interval_within(s, "key", "value", width=5, ordered=False)

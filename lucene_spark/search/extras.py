@@ -291,3 +291,42 @@ def combined_field_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def interval_within(
+    searcher: IndexSearcher,
+    term_a: str,
+    term_b: str,
+    width: int,
+    ordered: bool = True,
+) -> DataFrame:
+    """Minimal interval matching (queries/intervals package, simplified to
+    the two-term core): docs where term_b occurs within `width` positions
+    of term_a — ordered (a before b) or unordered; n_windows counts the
+    a-occurrences with a qualifying partner. Pure position-join plan
+    (the same equi/range-join family as the phrase operators)."""
+    field = searcher.index.config.field_name
+    a = (
+        searcher._decoded(field, F.col("term") == term_a, with_positions=True)
+        .select("doc_id", F.explode("positions").alias("pa"))
+    )
+    b = (
+        searcher._decoded(field, F.col("term") == term_b, with_positions=True)
+        .select("doc_id", F.explode("positions").alias("pb"))
+    )
+    if ordered:
+        cond = (F.col("pb") > F.col("pa")) & (
+            F.col("pb") - F.col("pa") <= width - 1
+        )
+    else:
+        cond = (F.col("pb") != F.col("pa")) & (
+            F.abs(F.col("pb") - F.col("pa")) <= width - 1
+        )
+    return (
+        a.join(b, "doc_id")
+        .filter(cond)
+        .select("doc_id", "pa")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_windows"))
+    )
