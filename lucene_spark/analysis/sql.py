@@ -1,0 +1,86 @@
+"""JVM-side (Spark SQL) analyzer expressions mirroring StandardAnalyzer.
+
+The Python chain in ``tokenizer.py`` is the source of truth (UAX#29
+consequences, java-lower, 255-skip; reference
+``analysis/standard/StandardTokenizer.java:29-77``). These helpers express
+the SAME token stream as native Spark SQL expressions so hot paths
+(doclens counting, monitor presearch, highlighter token slicing) never
+leave the JVM:
+
+- Java regex accepts the identical pattern with ``(?U)`` enabling
+  UNICODE_CHARACTER_CLASS, matching Python's Unicode ``\\w`` semantics
+  (lookaround is supported by ``java.util.regex`` too);
+- token boundaries are case-invariant (both lowercase mappings used here
+  are 1:1 on codepoints), so lowering before/after extraction is
+  equivalent; SQL ``lower()`` differs from ``java_lower`` only on
+  non-1:1 mappings which the Python chain also maps to themselves;
+- the norm byte is the byte4 staircase (``util/SmallFloat.java:103-157``):
+  because the 256 bucket floors are sorted, ``encode(len)`` equals
+  ``#floors <= len - 1`` — a 256-literal array fold, fully codegen'd.
+
+Equivalence with the Python chain is pinned by ``tests/test_tokenizer.py``
+(golden fixtures run through BOTH implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from lucene_spark.util.smallfloat import LENGTH_TABLE_INT
+
+__all__ = [
+    "TOKEN_PATTERN_JAVA",
+    "sql_tokens",
+    "sql_emitted_count",
+    "sql_norm_byte",
+]
+
+# identical structure to tokenizer._TOKEN_RE, with (?U) for Unicode \w
+_SEP_LETTER = r"(?<=[^\W\d])[.:'’](?=[^\W\d])"
+_SEP_DIGIT = r"(?<=\d)[.,'’](?=\d)"
+TOKEN_PATTERN_JAVA = rf"(?U)\w+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT})\w+)*"
+
+
+def sql_tokens(text: Column | str, max_token_length: int = 255) -> Column:
+    """array<string> of emitted (lowercased) tokens for one text column.
+
+    Matches ``StandardAnalyzer.terms`` for the empty-stopword default:
+    over-long raw tokens are dropped (their position gap is irrelevant to
+    consumers of the flat token array).
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    # translate İ first: SQL lower() full-maps it to 'i' + combining dot
+    # (1->2 codepoints) where Character.toLowerCase keeps it 1:1 -> 'i'
+    lowered = F.lower(F.translate(F.coalesce(col, F.lit("")), "İ", "i"))
+    raw = F.regexp_extract_all(lowered, F.lit(TOKEN_PATTERN_JAVA), F.lit(0))
+    return F.filter(raw, lambda t: F.length(t) <= F.lit(max_token_length))
+
+
+def sql_emitted_count(text: Column | str, max_token_length: int = 255) -> Column:
+    """Emitted-token count == ``StandardAnalyzer.emitted_count`` (empty
+    stopword set): tokens longer than max_token_length are skipped.
+    Length is codepoint count, invariant under lowercasing, so no
+    ``lower()`` is needed at all on this path."""
+    col = F.col(text) if isinstance(text, str) else text
+    raw = F.regexp_extract_all(
+        F.coalesce(col, F.lit("")), F.lit(TOKEN_PATTERN_JAVA), F.lit(0)
+    )
+    kept = F.filter(raw, lambda t: F.length(t) <= F.lit(max_token_length))
+    return F.size(kept)
+
+
+def sql_norm_byte(length: Column) -> Column:
+    """byte4 norm byte of a non-negative length column (int).
+
+    encode(len) = (#bucket floors <= len) - 1 over the sorted 256-entry
+    floor table — mirrors ``smallfloat.encode_lengths`` searchsorted.
+    """
+    floors = F.lit([int(v) for v in LENGTH_TABLE_INT]).cast("array<long>")
+    return (
+        F.aggregate(
+            floors,
+            F.lit(0),
+            lambda acc, x: acc + F.when(x <= length, F.lit(1)).otherwise(F.lit(0)),
+        )
+        - F.lit(1)
+    ).cast("int")

@@ -58,7 +58,9 @@ def multi_phrase_query(spark, sf_dir):
     return s.search(q, k=10).select("doc_id", "score")
 
 
-# ---- Sloppy phrase (search/SloppyPhraseMatcher.java:52, simplified) --------
+# ---- Sloppy phrase (search/SloppyPhraseMatcher.java:52, full semantics) ----
+
+from lucene_spark.search.sloppy import duckdb_fold_cte as _sp_fold_cte
 
 _SP_IDF1 = _idf_sql("(SELECT count(*) FROM tf WHERE term='table')")
 _SP_IDF2 = _idf_sql("(SELECT count(*) FROM tf WHERE term='part')")
@@ -67,28 +69,28 @@ _SP_W = _fc(f"({_SP_IDF1}::DOUBLE + {_SP_IDF2}::DOUBLE)")
 
 @register(
     "sloppy_phrase_query",
-    f"""WITH {BASE_CTES},
-sp0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
-sp1 AS (SELECT doc_id, pos FROM tok WHERE term = 'part'),
-sp AS (
-  SELECT sp0.doc_id, count(*)::INTEGER AS freq
-  FROM sp0
-  WHERE EXISTS (
-    SELECT 1 FROM sp1 WHERE sp1.doc_id = sp0.doc_id
-      AND sp1.pos > sp0.pos AND sp1.pos - sp0.pos - 1 <= 2
-  )
-  GROUP BY sp0.doc_id
+    f"""WITH RECURSIVE {BASE_CTES},
+sp_a AS (SELECT doc_id, list(pos ORDER BY pos) AS pa FROM tok WHERE term = 'table' GROUP BY doc_id),
+sp_b AS (SELECT doc_id, list(pos - 1 ORDER BY pos) AS pb FROM tok WHERE term = 'part' GROUP BY doc_id),
+sp_m AS (
+  SELECT doc_id, pa, pb, list_sort(list_distinct(pa || pb)) AS posu
+  FROM sp_a JOIN sp_b USING (doc_id)
 ),
+{_sp_fold_cte('sp_m', 2)},
 sp_w(w) AS (SELECT {_SP_W}),
 sc AS (
-  SELECT sp.doc_id, {_score_expr('sp_w.w', 'sp.freq', 'i.inv')} AS score
-  FROM sp JOIN invn i USING (doc_id) CROSS JOIN sp_w
+  SELECT o.doc_id, {_score_expr('sp_w.w', 'o.freq', 'i.inv')} AS score
+  FROM sp_fold_out o JOIN invn i USING (doc_id) CROSS JOIN sp_w
+  WHERE o.freq > 0
 )
 {_topk_sql('sc')}""",
 )
 def sloppy_phrase_query(spark, sf_dir):
-    """Ordered sloppy phrase: start counts where a later in-window match
-    exists (the deterministic simplification documented in _scored_phrase)."""
+    """Sloppy phrase with FULL SloppyPhraseMatcher.java:52 traversal
+    semantics: out-of-order matches within slop, 1/(1+matchLength) sloppy
+    weights, float32 freq accumulation. Engine side runs the JVM scan-fold
+    (no Python); the oracle replays the identical fold as a DuckDB
+    recursive CTE (see lucene_spark/search/sloppy.py)."""
     _, s = get_searcher(spark, sf_dir)
     return s.search(Q.PhraseQuery("text", ("table", "part"), slop=2), k=10).select(
         "doc_id", "score"

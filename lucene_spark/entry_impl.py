@@ -219,6 +219,58 @@ def term_query_boosted(spark, sf_dir):
     return _topk_df(s.search(Q.TermQuery("text", "merge", boost=2.5), k=10))
 
 
+# ---- 1b. Block-max pruned top-k (WANDScorer.java:32-55 / MaxScore family) --
+
+_PRUNED_CACHE: dict[str, IndexSearcher] = {}
+
+
+def _get_pruned_searcher(spark, sf_dir) -> IndexSearcher:
+    """A second searcher over the SAME index with the pruning gate forced
+    low, so the two-phase block-max path actually executes at test scale
+    (the production gate only opens on genuinely hot terms)."""
+    if sf_dir not in _PRUNED_CACHE:
+        idx, _ = get_searcher(spark, sf_dir)
+        _PRUNED_CACHE[sf_dir] = IndexSearcher(idx, prune_min_df=64)
+    return _PRUNED_CACHE[sf_dir]
+
+
+@register(
+    "term_query_pruned",
+    f"WITH {BASE_CTES},\n{_term_scores_cte('sc', 'batch')}\n{_topk_sql('sc')}",
+)
+def term_query_pruned(spark, sf_dir):
+    """Same contract as term_query, but executed through the two-phase
+    block-max pruned path (phase-1 theta + upper-bound block skip,
+    search/WANDScorer.java:32-55): the oracle hash-match proves
+    pruned == exact."""
+    s = _get_pruned_searcher(spark, sf_dir)
+    return _topk_df(s.search(Q.TermQuery("text", "batch"), k=10))
+
+
+@register(
+    "boolean_or_pruned",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('s1', 'batch')},
+{_term_scores_cte('s2', 'scan')},
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM u GROUP BY doc_id
+)
+{_topk_sql('sc')}""",
+)
+def boolean_or_pruned(spark, sf_dir):
+    """Scored disjunction through the MAXSCORE-family pruned path
+    (MaxScoreBulkScorer.java:28-70): per-clause block bounds + exact
+    rescore of the candidate superset; oracle-identical to the full
+    SHOULD-sum."""
+    s = _get_pruned_searcher(spark, sf_dir)
+    q = Q.BooleanQuery.of(
+        should=[Q.TermQuery("text", "batch"), Q.TermQuery("text", "scan")]
+    )
+    return _topk_df(s.search(q, k=10))
+
+
 # ---- 2. BooleanQuery family (search/BooleanQuery.java:40) ------------------
 
 

@@ -95,9 +95,22 @@ def update_documents(
             _deletes_dir(index_dir)
         )
     old.unpersist()
-    epoch = int(time.time() * 1000) % (1 << 20)
-    micro_segment_writer(index_dir, cfg)(new_docs, epoch)
+    # monotonic un-modded epoch + distinct 'upd_' segment prefix: can never
+    # collide with streaming epoch_ids (small ints) or an earlier update's
+    # segment name / reserved doc-id range, even within one millisecond
+    epoch = _next_update_epoch()
+    micro_segment_writer(index_dir, cfg, name_prefix="upd")(new_docs, epoch)
     return n_deleted
+
+
+_LAST_UPDATE_EPOCH = 0
+
+
+def _next_update_epoch() -> int:
+    global _LAST_UPDATE_EPOCH
+    epoch = max(int(time.time() * 1000), _LAST_UPDATE_EPOCH + 1)
+    _LAST_UPDATE_EPOCH = epoch
+    return epoch
 
 
 def purge_merge(

@@ -31,21 +31,31 @@ def explain(searcher: IndexSearcher, query: Q.Query, doc_id: int) -> dict:
     if isinstance(query, Q.BooleanQuery):
         details = []
         total = 0.0  # double accumulation, cast at the end (BooleanQuery sum)
-        for c in query.clauses:
-            if c.occur is Q.Occur.MUST_NOT:
-                continue
+        positive = [c for c in query.clauses if c.occur is not Q.Occur.MUST_NOT]
+        for c in positive:
             sub = explain(searcher, c.query, doc_id)
             if sub["matched"] and c.occur is not Q.Occur.FILTER:
                 total += float(sub["score"])
             details.append(sub)
-        return {
-            "matched": all(
-                d["matched"]
-                for d, c in zip(details, [c for c in query.clauses if c.occur is not Q.Occur.MUST_NOT])
-                if c.occur in (Q.Occur.MUST, Q.Occur.FILTER)
+        matched = all(
+            d["matched"]
+            for d, c in zip(details, positive)
+            if c.occur in (Q.Occur.MUST, Q.Occur.FILTER)
+        ) and any(d["matched"] for d in details)
+        # a matching prohibited clause excludes the doc (ReqExclScorer):
+        # matched=False, score 0 — CheckHits parity with the anti-join plan
+        for c in query.clauses:
+            if c.occur is not Q.Occur.MUST_NOT:
+                continue
+            sub = explain(searcher, c.query, doc_id)
+            details.append(
+                {**sub, "description": f"MUST_NOT: {sub['description']}"}
             )
-            and any(d["matched"] for d in details),
-            "score": F32(total),
+            if sub["matched"]:
+                matched = False
+        return {
+            "matched": matched,
+            "score": F32(total) if matched else F32(0.0),
             "description": "sum of:",
             "details": details,
         }

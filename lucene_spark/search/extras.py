@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
+from lucene_spark.analysis.sql import sql_tokens
 from lucene_spark.search import query as Q
 from lucene_spark.search.searcher import IndexSearcher
 
@@ -81,7 +82,7 @@ def interesting_terms(
     doc = idx.docs.filter(F.col("doc_id") == doc_id)
     toks = doc.select(
         F.explode(
-            F.expr(f"regexp_extract_all({cfg.text_col}, '[a-z0-9_]+', 0)")
+            sql_tokens(F.col(cfg.text_col), cfg.max_token_length)
         ).alias("term")
     )
     tf = toks.groupBy("term").agg(F.count("*").alias("tf"))
@@ -181,7 +182,7 @@ def highlight_term(
         searcher._decoded(field, F.col("term") == term, with_positions=True)
         .select("doc_id", F.element_at("positions", 1).alias("first_pos"))
     )
-    toks = F.expr(f"regexp_extract_all({cfg.text_col}, '[a-z0-9_]+', 0)")
+    toks = sql_tokens(F.col(cfg.text_col), cfg.max_token_length)
     return (
         top.join(pos, "doc_id")
         .join(searcher.index.docs, "doc_id")

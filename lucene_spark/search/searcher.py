@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -127,14 +128,28 @@ class _Ctx:
 
 
 class IndexSearcher:
-    #: only engage block-max pruning above this df — below it, the extra
+    #: default df gate for block-max pruning — below it, the extra
     #: scheduler round-trips (phase-1 bound job + theta collect) cost more
-    #: than decoding every block; at 100 TB scale hot terms clear this easily
-    PRUNE_MIN_DF = 1 << 20
+    #: than decoding every block; at 100 TB scale hot terms clear this
+    #: easily. Override per-searcher via the constructor (tests/benches
+    #: lower it to engage the two-phase path on small corpora).
+    PRUNE_MIN_DF = 1 << 16
 
-    def __init__(self, index: InvertedIndex, similarity: BM25Similarity | None = None):
+    def __init__(
+        self,
+        index: InvertedIndex,
+        similarity: BM25Similarity | None = None,
+        prune_min_df: int | None = None,
+    ):
         self.index = index
         self.sim = similarity or BM25Similarity()
+        self.prune_min_df = (
+            self.PRUNE_MIN_DF if prune_min_df is None else int(prune_min_df)
+        )
+        #: filled by the pruned paths when collect_prune_stats is True:
+        #: {"total_blocks", "phase1_blocks", "kept_blocks", "rescore_blocks"}
+        self.collect_prune_stats = False
+        self.last_prune_stats: dict[str, int] | None = None
         self._stats_memo: dict[tuple[str, str], tuple[int, int]] = {}
         self._avgdl: dict[str, np.float32] = {}
         self._cache: dict[str, np.ndarray] = {}
@@ -163,13 +178,11 @@ class IndexSearcher:
         """Top-k (doc_id, score), score desc / doc_id asc, searchAfter anchor."""
         # pruning is unsafe with deletes: a deleted doc could set the
         # phase-1 bound and prune blocks holding live competitive docs
-        if (
-            prune
-            and after is None
-            and self.index.deletes is None
-            and isinstance(query, Q.TermQuery)
-        ):
+        prunable = prune and after is None and self.index.deletes is None
+        if prunable and isinstance(query, Q.TermQuery):
             scored = self._term_topk_pruned(query, k)
+        elif prunable and (dis := _as_prunable_disjunction(query)) is not None:
+            scored = self._disjunction_topk_pruned(dis[0], dis[1], k)
         else:
             scored = self.scored(query)
         if after is not None:
@@ -307,9 +320,14 @@ class IndexSearcher:
     # -------------------------------------------------------------- scoring
 
     def _score_col(self, field: str, freq_col: Column, norm_col: Column, weight) -> Column:
-        """weight - weight/(1 + freq*invNorm), all FloatType (codegen-side)."""
+        """weight - weight/(1 + freq*invNorm), all FloatType (codegen-side).
+        `weight` is a float32 scalar, or a FloatType Column (per-term weight
+        lookup in the multi-clause pruned paths)."""
         inv = F.element_at(self._cache_col[field], norm_col.cast("int") + F.lit(1))
-        w = F.lit(float(F32(weight))).cast("float")
+        if isinstance(weight, Column):
+            w = weight.cast("float")
+        else:
+            w = F.lit(float(F32(weight))).cast("float")
         one = F.lit(1.0).cast("float")
         denom = one + freq_col.cast("float") * inv  # float +,* stay FloatType
         # Spark's Divide promotes float->double; rounding the single quotient
@@ -498,11 +516,12 @@ class IndexSearcher:
         """Exact, sloppy and multi-slot phrases over decoded position lists.
 
         - exact (slop=0): slot i must match at start+i (ExactPhraseMatcher.java:135-170)
-        - sloppy: ordered greedy chain — from each start position of slot 0,
-          each later slot binds its smallest position q > prev with
-          displacement q - start - i <= slop (deterministic simplification of
-          SloppyPhraseMatcher.java:52's edit-distance semantics; same rule is
-          mirrored by the SQL oracle)
+        - sloppy: full SloppyPhraseMatcher.java:52 traversal semantics
+          (out-of-order within slop, 1/(1+matchLength) sloppy weights,
+          float32 freq accumulation). Two distinct terms run as a pure JVM
+          scan fold (see search/sloppy.py); the general case (3+ slots or
+          repeated terms) runs the faithful per-doc matcher via
+          applyInPandas.
         - slots (MultiPhraseQuery.java:54): any alternative matches a slot;
           weight sums idf over every alternative (PhraseWeight allTermStats)
         """
@@ -551,55 +570,95 @@ class IndexSearcher:
                 ),
             )
 
+        # ---- sloppy (slop > 0): SloppyPhraseMatcher semantics ----
+        from lucene_spark.search import sloppy as _sloppy
+
+        if (
+            isinstance(q, Q.PhraseQuery)
+            and k == 2
+            and len(set(all_terms)) == 2
+        ):
+            # JVM scan-fold path: no Python anywhere in the plan
+            t0, t1 = slots[0][0], slots[1][0]
+            d = self._decoded(
+                q.field, F.col("term").isin([t0, t1]), with_positions=True
+            )
+            piv = (
+                d.groupBy("doc_id")
+                .agg(
+                    F.first(
+                        F.when(F.col("term") == t0, F.col("positions")),
+                        ignorenulls=True,
+                    ).alias("pa"),
+                    F.first(
+                        F.when(F.col("term") == t1, F.col("positions")),
+                        ignorenulls=True,
+                    ).alias("pb_raw"),
+                    F.min("norm").alias("norm"),
+                )
+                .filter(F.col("pa").isNotNull() & F.col("pb_raw").isNotNull())
+                .withColumn("pb", F.expr("transform(pb_raw, x -> x - 1)"))
+                .withColumn("posu", F.expr("array_sort(array_union(pa, pb))"))
+            )
+            scored = piv.withColumn(
+                "freq", F.expr(_sloppy.spark_fold_expr("posu", "pa", "pb", slop))
+            ).filter(F.col("freq") > 0)
+            return scored.select(
+                "doc_id",
+                self._score_col(q.field, F.col("freq"), F.col("norm"), w).alias(
+                    "score"
+                ),
+            )
+
+        # general path: faithful per-doc matcher (3+ slots, repeated terms)
+        if isinstance(q, Q.MultiPhraseQuery):
+            seen: set[str] = set()
+            for s in slots:
+                if any(t in seen for t in s):
+                    raise NotImplementedError(
+                        "sloppy MultiPhraseQuery with a term shared across "
+                        "slots (multi-term repeat groups, "
+                        "SloppyPhraseMatcher hasMultiTermRpts) is unsupported"
+                    )
+                seen.update(s)
+        slot_terms = [slots[i][0] if len(slots[i]) == 1 else f"__slot{i}" for i in range(k)]
         uniq = list(dict.fromkeys(all_terms))
         d = self._decoded(q.field, F.col("term").isin(uniq), with_positions=True)
 
         out_schema = StructType(
             [
                 StructField("doc_id", LongType()),
-                StructField("freq", IntegerType()),
+                StructField("freq", FloatType()),
                 StructField("norm", IntegerType()),
             ]
         )
         empty = pd.DataFrame({"doc_id": [], "freq": [], "norm": []}).astype(
-            {"doc_id": "int64", "freq": "int32", "norm": "int32"}
+            {"doc_id": "int64", "freq": "float32", "norm": "int32"}
         )
+        slots_local = [tuple(s) for s in slots]
 
-        def match_phrase(pdf: pd.DataFrame) -> pd.DataFrame:
-            by_term = {r.term: set(r.positions) for r in pdf.itertuples(index=False)}
-            pos = [
-                set().union(*[by_term.get(t, set()) for t in slot]) for slot in slots
+        def match_sloppy(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term = {
+                r.term: sorted(r.positions) for r in pdf.itertuples(index=False)
+            }
+            slot_pos = [
+                sorted(set().union(*[set(by_term.get(t, ())) for t in s]))
+                for s in slots_local
             ]
-            if any(not s for s in pos):
+            if any(not sp for sp in slot_pos):
                 return empty
-            count = 0
-            for p in sorted(pos[0]):
-                if slop == 0:
-                    if all((p + i) in pos[i] for i in range(1, k)):
-                        count += 1
-                else:
-                    prev, ok = p, True
-                    for i in range(1, k):
-                        cand = [
-                            x for x in pos[i] if x > prev and x - p - i <= slop
-                        ]
-                        if not cand:
-                            ok = False
-                            break
-                        prev = min(cand)
-                    if ok:
-                        count += 1
-            if count == 0:
+            freq = _sloppy.sloppy_freq(slot_pos, slop, terms=slot_terms)
+            if freq <= 0:
                 return empty
             return pd.DataFrame(
                 {
                     "doc_id": [int(pdf["doc_id"].iloc[0])],
-                    "freq": np.array([count], dtype=np.int32),
+                    "freq": np.array([freq], dtype=np.float32),
                     "norm": np.array([int(pdf["norm"].iloc[0])], dtype=np.int32),
                 }
             )
 
-        matched = d.groupBy("doc_id").applyInPandas(match_phrase, schema=out_schema)
+        matched = d.groupBy("doc_id").applyInPandas(match_sloppy, schema=out_schema)
         return matched.select(
             "doc_id",
             self._score_col(q.field, F.col("freq"), F.col("norm"), w).alias("score"),
@@ -680,6 +739,15 @@ class IndexSearcher:
     # ------------------------------------------------- block-max pruned top-k
 
     def _term_topk_pruned(self, q: Q.TermQuery, k: int) -> DataFrame:
+        """Single-term two-phase block-max pruning (WAND family:
+        ``search/WANDScorer.java:32-55``, ``MaxScoreCache.java:59-140``).
+
+        Phase 1 decodes only the ceil(4k/256) highest-upper-bound blocks and
+        collects the running k-th score theta; phase 2 decodes just the
+        remaining blocks whose (max_freq, min_norm) upper bound can still
+        beat theta. Sound because the per-block bound dominates every score
+        inside the block (BM25 is monotone in freq and 1/norm).
+        """
         ctx = self._resolve_stats(q)
         field = q.field
         fs = self.index.fieldstats[field]
@@ -687,7 +755,7 @@ class IndexSearcher:
         w = self.sim.weight(F32(q.boost), self.sim.idf(df, fs.doc_count))
         blocks = self._blocks(field, F.col("term") == q.term)
         # small postings: decode everything (pruning wouldn't pay)
-        if df <= max(4 * k, self.PRUNE_MIN_DF):
+        if df <= max(4 * k, self.prune_min_df):
             return self._scored(q, F32(1.0), ctx)
         ub = self._score_col(field, F.col("max_freq"), F.col("min_norm"), w)
         blocks = blocks.withColumn("_ub", ub)
@@ -715,6 +783,13 @@ class IndexSearcher:
         remaining = blocks.filter(
             (F.col("_ub") >= F.lit(float(theta)).cast("float")) & ~key.isin(p1_set)
         )
+        if self.collect_prune_stats:
+            self.last_prune_stats = {
+                "total_blocks": blocks.count(),
+                "phase1_blocks": len(p1_keys),
+                "kept_blocks": remaining.count(),
+                "rescore_blocks": 0,
+            }
         scored2 = (
             remaining.select(decode_cols)
             .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
@@ -729,3 +804,192 @@ class IndexSearcher:
             schema="doc_id long, score double",
         ).select("doc_id", F.col("score").cast("float").alias("score"))
         return top1_df.unionByName(scored2)
+
+    def _disjunction_topk_pruned(
+        self, clauses: list[Q.TermQuery], mode_tie: float | None, k: int
+    ) -> DataFrame:
+        """MAXSCORE-family pruning for scored disjunctions
+        (``search/MaxScoreBulkScorer.java:28-70``, selection in
+        ``BooleanScorerSupplier.java:288-318``).
+
+        mode_tie None  -> SHOULD-sum scoring (DisjunctionSumScorer)
+        mode_tie float -> dismax: max + tie * (sum - max)
+
+        Three phases over the block metadata table (never decoding what the
+        bounds rule out):
+
+        1. theta: decode the few highest-upper-bound blocks across all
+           clauses; per-doc PARTIAL combination is a lower bound of the true
+           score (more clauses only add), so the k-th partial is a sound
+           threshold.
+        2. keep block b of clause c iff ub_c(b) + B_c >= theta, where
+           B_c bounds every other clause's contribution (sum of their max
+           block bounds; tie-scaled for dismax). For any doc all of whose
+           blocks are pruned, score <= min_c [ub_c(block) + B_c] < theta —
+           it can never enter the top-k.
+        3. exact rescore: candidates = docs in kept blocks (a superset of
+           the true top-k by step 2); decode every clause block whose
+           [first_doc, last_doc] span contains a candidate (recovers the
+           contributions a pruned block would hide) and combine exactly.
+        """
+        field = clauses[0].field
+        fs = self.index.fieldstats[field]
+        ctx = self._resolve_stats(
+            Q.BooleanQuery.of(should=clauses)
+        )
+        weights: dict[str, float] = {}
+        total_df = 0
+        for c in clauses:
+            df, _ = ctx.term_stats.get((field, c.term), (0, 0))
+            total_df += df
+            weights[c.term] = float(
+                self.sim.weight(F32(c.boost), self.sim.idf(df, fs.doc_count))
+            )
+        fallback = (
+            self._scored_dismax(
+                Q.DisjunctionMaxQuery(tuple(clauses), tie_breaker=mode_tie),
+                F32(1.0),
+                ctx,
+            )
+            if mode_tie is not None
+            else self._scored_boolean(Q.BooleanQuery.of(should=clauses), F32(1.0), ctx)
+        )
+        if total_df <= max(4 * k, self.prune_min_df):
+            return fallback
+
+        terms = [c.term for c in clauses]
+        # weight lookup as a literal CASE chain — stays in codegen
+        w_col = F.lit(None).cast("float")
+        for t, wv in weights.items():
+            w_col = F.when(F.col("term") == t, F.lit(wv).cast("float")).otherwise(
+                w_col
+            )
+        # a filter over the (persisted) postings cache — cheap to recompute,
+        # no persist needed
+        blocks = self._blocks(field, F.col("term").isin(terms)).withColumn(
+            "_ub", self._score_col(field, F.col("max_freq"), F.col("min_norm"), w_col)
+        )
+        # per-clause global max bound (tiny metadata aggregate, 1 job)
+        mx_rows = blocks.groupBy("term").agg(F.max("_ub").alias("mx")).collect()
+        maxub = {r["term"]: float(r["mx"]) for r in mx_rows}
+        if len(maxub) < 2:
+            return fallback  # degenerate: <=1 clause has postings
+        s_all = sum(maxub.values())
+
+        decode_cols = ["term", "first_doc", "doc_gaps", "freqs", "norms"]
+
+        def combine(decoded: DataFrame) -> DataFrame:
+            per = decoded.select(
+                "doc_id",
+                self._score_col(field, F.col("freq"), F.col("norm"), w_col).alias(
+                    "s"
+                ),
+            )
+            if mode_tie is None:
+                return per.groupBy("doc_id").agg(
+                    F.sum(F.col("s").cast("double")).cast("float").alias("score")
+                )
+            tie = float(F32(mode_tie))
+            agg = per.groupBy("doc_id").agg(
+                F.max("s").alias("mx"),
+                F.sum(F.col("s").cast("double")).alias("sm"),
+            )
+            expr = (
+                F.col("mx").cast("double")
+                + F.lit(tie) * (F.col("sm") - F.col("mx").cast("double"))
+            ).cast("float")
+            return agg.select("doc_id", expr.alias("score"))
+
+        n_phase1 = max(1, math.ceil((4 * k) / forutil.BLOCK_SIZE))
+        phase1 = blocks.orderBy(F.col("_ub").desc()).limit(n_phase1 * len(terms))
+        scored1 = combine(
+            phase1.select(decode_cols).mapInPandas(
+                _decode_blocks, schema=_DECODE_SCHEMA
+            )
+        )
+        rows = (
+            scored1.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .collect()
+        )
+        if len(rows) < k:
+            return fallback  # not enough hits to prune safely
+        theta = float(rows[-1]["score"])
+
+        # keep rule: ub_c(b) + bound(other clauses) >= theta
+        if mode_tie is None:
+            other_bound = {t: s_all - maxub[t] for t in maxub}
+        else:
+            tie = float(F32(mode_tie))
+            other_bound = {t: tie * (s_all - maxub[t]) for t in maxub}
+        ob_col = F.lit(0.0)
+        for t, ov in other_bound.items():
+            ob_col = F.when(F.col("term") == t, F.lit(ov)).otherwise(ob_col)
+        kept = blocks.filter(
+            (F.col("_ub").cast("double") + ob_col) >= F.lit(theta)
+        )
+        # candidate docs: superset of the true top-k (step 2 of docstring);
+        # persisted — the returned plan reads it twice (range semi-join +
+        # final membership), and a decode is expensive to recompute
+        cand = (
+            kept.select(decode_cols)
+            .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
+            .select("doc_id")
+            .distinct()
+            .persist()
+        )
+        self._retire_scratch(cand)
+        # exact rescore: every block whose doc span holds a candidate
+        needed = blocks.join(
+            F.broadcast(cand),
+            (F.col("doc_id") >= F.col("first_doc"))
+            & (F.col("doc_id") <= F.col("last_doc")),
+            "left_semi",
+        )
+        if self.collect_prune_stats:
+            self.last_prune_stats = {
+                "total_blocks": blocks.count(),
+                "phase1_blocks": phase1.count(),
+                "kept_blocks": kept.count(),
+                "rescore_blocks": needed.count(),
+            }
+        exact = combine(
+            needed.select(decode_cols).mapInPandas(
+                _decode_blocks, schema=_DECODE_SCHEMA
+            )
+        )
+        return exact.join(F.broadcast(cand), "doc_id", "left_semi")
+
+    def _retire_scratch(self, df: DataFrame) -> None:
+        """Track per-query scratch caches; unpersist the previous query's
+        scratch so serving doesn't accumulate storage."""
+        old = getattr(self, "_scratch", None)
+        if old is not None:
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._scratch = df
+
+
+def _as_prunable_disjunction(
+    query: Q.Query,
+) -> tuple[list[Q.TermQuery], float | None] | None:
+    """(clauses, tie) when `query` is a pure scored disjunction of
+    TermQuerys — the MAXSCORE-eligible shape BooleanScorerSupplier
+    selects for (``BooleanScorerSupplier.java:288-318``)."""
+    if isinstance(query, Q.BooleanQuery):
+        if query.minimum_should_match > 1:
+            return None
+        if any(c.occur is not Q.Occur.SHOULD for c in query.clauses):
+            return None
+        subs = [c.query for c in query.clauses]
+        if len(subs) < 2 or not all(isinstance(s, Q.TermQuery) for s in subs):
+            return None
+        return list(subs), None
+    if isinstance(query, Q.DisjunctionMaxQuery):
+        subs = list(query.queries)
+        if len(subs) < 2 or not all(isinstance(s, Q.TermQuery) for s in subs):
+            return None
+        return subs, float(query.tie_breaker)
+    return None

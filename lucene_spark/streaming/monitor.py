@@ -23,6 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from lucene_spark.analysis.sql import sql_tokens
 from lucene_spark.search import query as Q
 
 __all__ = ["Monitor"]
@@ -55,9 +56,10 @@ class Monitor:
     def _query_terms_table(self, spark: SparkSession) -> DataFrame:
         """(query_id, term, kind, slot, n_required) rows.
 
-        kind: 'must' | 'should' | 'phrase'; slot = phrase position index;
-        n_required = how many distinct must-terms / phrase slots the query
-        needs present for a match.
+        kind: 'must' | 'should' | 'phrase' | 'not'; slot = phrase position
+        index; n_required = how many distinct must-terms / phrase slots the
+        query needs present for a match. 'not' rows anti-join candidate
+        pairs: one prohibited-term hit kills the (query, doc) match.
         """
         rows = []
         for qid, q in self._entries.items():
@@ -75,7 +77,12 @@ class Monitor:
                 shoulds = [
                     c.query for c in q.clauses if c.occur is Q.Occur.SHOULD
                 ]
-                if any(not isinstance(s, Q.TermQuery) for s in musts + shoulds):
+                nots = [
+                    c.query for c in q.clauses if c.occur is Q.Occur.MUST_NOT
+                ]
+                if any(
+                    not isinstance(s, Q.TermQuery) for s in musts + shoulds + nots
+                ):
                     raise NotImplementedError("nested boolean in Monitor")
                 if musts:
                     for s in musts:
@@ -84,6 +91,8 @@ class Monitor:
                     n = max(q.minimum_should_match, 1)
                     for s in shoulds:
                         rows.append((qid, s.term, "should", 0, n))
+                for s in nots:
+                    rows.append((qid, s.term, "not", 0, 0))
         return spark.createDataFrame(
             rows, schema="query_id string, term string, kind string, slot int, n_required int"
         )
@@ -98,11 +107,11 @@ class Monitor:
             )
         spark = docs.sparkSession
         qt = F.broadcast(self._query_terms_table(spark))
+        # analyzer-consistent doc-side tokenization (lowercase + the
+        # StandardAnalyzer word-break regex), all JVM-side
         toks = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(
-                F.expr(f"regexp_extract_all({text_col}, '[a-z0-9_]+', 0)")
-            ).alias("pos", "term"),
+            F.posexplode(sql_tokens(F.col(text_col))).alias("pos", "term"),
         )
         j = toks.join(qt, "term")
         # term/boolean semantics: count distinct matched terms vs n_required
@@ -129,7 +138,12 @@ class Monitor:
             .select("query_id", "doc_id")
             .distinct()
         )
-        return flat.unionByName(phrase)
+        out = flat.unionByName(phrase)
+        # prohibited-term hits kill the candidate pair (MUST_NOT clauses)
+        not_hits = (
+            j.filter(F.col("kind") == "not").select("query_id", "doc_id").distinct()
+        )
+        return out.join(not_hits, ["query_id", "doc_id"], "left_anti")
 
     def start(
         self,

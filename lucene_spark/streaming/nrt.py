@@ -26,12 +26,19 @@ __all__ = ["micro_segment_writer", "start_nrt_ingest", "EPOCH_BASE"]
 EPOCH_BASE = 1 << 40
 
 
-def micro_segment_writer(index_dir: str, cfg: IndexConfig, epoch_capacity: int = 1 << 20):
+def micro_segment_writer(
+    index_dir: str,
+    cfg: IndexConfig,
+    epoch_capacity: int = 1 << 20,
+    name_prefix: str = "nrt",
+):
     """foreachBatch function: micro-batch DataFrame -> one micro-segment.
 
-    Doc ids are deterministic within the batch (rank over cfg.order_by),
-    so a replayed batch (at-least-once upstream) rewrites the same segment
-    dir idempotently rather than duplicating docs.
+    Doc ids are deterministic within the batch (rank over cfg.order_by
+    when set, else batch arrival order), so a replayed batch
+    (at-least-once upstream) rewrites the same segment dir idempotently
+    rather than duplicating docs. A batch larger than epoch_capacity would
+    overflow into the next epoch's reserved id range — rejected up front.
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -42,15 +49,31 @@ def micro_segment_writer(index_dir: str, cfg: IndexConfig, epoch_capacity: int =
         t0 = time.time()
         spark = batch_df.sparkSession
         base = EPOCH_BASE + int(epoch_id) * epoch_capacity
-        w = Window.orderBy(*[F.col(c) for c in cfg.order_by])
+        if cfg.order_by:
+            w = Window.orderBy(*[F.col(c) for c in cfg.order_by])
+            ranked = batch_df
+        else:
+            # arrival-order ids (cfg.order_by=None is legal — Lucene's
+            # sequential assignment); monotonically_increasing_id gives a
+            # deterministic batch-local order, densified by the rank below
+            ranked = batch_df.withColumn("_arrival", F.monotonically_increasing_id())
+            w = Window.orderBy("_arrival")
         docs = (
-            batch_df.withColumn("doc_id", F.row_number().over(w) - 1 + F.lit(base))
+            ranked.withColumn("doc_id", F.row_number().over(w) - 1 + F.lit(base))
+            .drop("_arrival")
             .withColumn(
                 "content_sha256",
                 F.sha2(F.coalesce(F.col(cfg.text_col), F.lit("")), 256),
             )
         )
-        name = f"nrt_{int(epoch_id):06d}"
+        n_batch = docs.count()
+        if n_batch > epoch_capacity:
+            raise ValueError(
+                f"micro-batch of {n_batch} docs overflows the epoch id range "
+                f"(epoch_capacity={epoch_capacity}); raise epoch_capacity or "
+                "split the batch upstream"
+            )
+        name = f"{name_prefix}_{int(epoch_id):06d}"
         seg_cfg = cfg
         seg_dir = f"{index_dir}/segments/{name}"
         n_docs, n_blocks = _build_one_segment(spark, docs, seg_cfg, seg_dir)

@@ -81,3 +81,21 @@ def test_engine_map_on_golden_queries(spark):
     if df_term <= 50:
         assert m["recall"] == pytest.approx(1.0)
         assert m["ap"] == pytest.approx(1.0)  # all retrieved are relevant
+
+
+def test_explanation_must_not_excludes(spark):
+    """A matching prohibited clause forces matched=False, score 0
+    (ReqExclScorer parity — the ADVICE explain fix)."""
+    _, s = get_searcher(spark, SF)
+    q = Q.BooleanQuery.of(
+        must=[Q.TermQuery("text", "spark")],
+        must_not=[Q.TermQuery("text", "spark")],  # always self-excluding
+    )
+    doc_id = int(
+        s.matches(Q.TermQuery("text", "spark")).limit(1).collect()[0]["doc_id"]
+    )
+    e = explain(s, q, doc_id)
+    assert e["matched"] is False
+    assert float(e["score"]) == 0.0
+    # the anti-join plan agrees: the doc is not in the result set
+    assert s.scored(q).filter(F.col("doc_id") == doc_id).count() == 0

@@ -76,3 +76,26 @@ def test_streaming_percolation(spark, docs, tmp_path):
     q.awaitTermination(120)
     out = {(r["query_id"], r["doc_id"]) for r in spark.read.parquet(sink).collect()}
     assert out == {("q_spark", 0), ("q_spark", 2)}
+
+
+def test_must_not_and_mixed_case(spark):
+    """ADVICE fixes: (a) doc-side tokenization lowercases + uses the
+    analyzer word-break rules; (b) MUST_NOT clauses anti-join matches."""
+    docs = spark.createDataFrame(
+        [
+            (10, "Spark JOINS big.tables Fast"),   # 'spark' via lowering
+            (11, "spark but slow"),                # killed by MUST_NOT slow
+            (12, "nothing relevant"),
+        ],
+        schema="doc_id long, text string",
+    )
+    m = Monitor()
+    m.register(
+        "q_notslow",
+        Q.BooleanQuery.of(
+            must=[Q.TermQuery("text", "spark")],
+            must_not=[Q.TermQuery("text", "slow")],
+        ),
+    )
+    got = {(r["query_id"], r["doc_id"]) for r in m.match_batch(docs).collect()}
+    assert got == {("q_notslow", 10)}

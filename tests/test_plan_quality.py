@@ -84,3 +84,13 @@ def test_whole_stage_codegen_covers_scoring(saved):
     # the scoring Project must carry one
     assert "*(" in plan and "Project [doc_id" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_sloppy_phrase_two_term_plan_is_jvm_side(saved):
+    """The two-distinct-term sloppy phrase runs as the JVM scan fold:
+    no per-doc Python matcher (FlatMapGroupsInPandas) in the plan — only
+    the block decode MapInPandas stage."""
+    s = IndexSearcher(saved)
+    plan = _plan(s.scored(Q.PhraseQuery("text", ("table", "part"), slop=2)))
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan

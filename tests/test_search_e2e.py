@@ -53,12 +53,60 @@ def test_term_query_rank_identical(built, term):
 
 
 def test_term_query_pruned_equals_unpruned(built):
-    _, searcher, oracle = built
+    """The two-phase block-max path must actually ENGAGE here (gate forced
+    below the hot term's df) and agree with the full decode + oracle."""
+    idx, _, oracle = built
+    searcher = IndexSearcher(idx, prune_min_df=1)
+    searcher.collect_prune_stats = True
     q = Q.TermQuery("content", "the")
+    assert oracle.df("the") > 20  # hot enough that the gate opens
     pruned = searcher.search(q, k=5, prune=True).collect()
+    assert searcher.last_prune_stats is not None  # two-phase path ran
+    assert searcher.last_prune_stats["total_blocks"] > 0
     full = searcher.search(q, k=5, prune=False).collect()
     assert [(r["doc_id"], r["score"]) for r in pruned] == [
         (r["doc_id"], r["score"]) for r in full
+    ]
+    _assert_topk_identical(
+        searcher.search(q, k=5, prune=True),
+        oracle.top_k(oracle.term_scores("the"), 5),
+        5,
+    )
+
+
+def test_disjunction_pruned_equals_unpruned(built):
+    """MAXSCORE-family pruning on SHOULD-sum and dismax disjunctions:
+    engaged (stats recorded), exact-rescored, oracle-identical."""
+    idx, _, oracle = built
+    searcher = IndexSearcher(idx, prune_min_df=1)
+    searcher.collect_prune_stats = True
+    q_or = Q.BooleanQuery.of(
+        should=[Q.TermQuery("content", "the"), Q.TermQuery("content", "if")]
+    )
+    pruned = searcher.search(q_or, k=5, prune=True).collect()
+    assert searcher.last_prune_stats is not None
+    stats = searcher.last_prune_stats
+    assert stats["kept_blocks"] <= stats["total_blocks"]
+    full = searcher.search(q_or, k=5, prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in pruned] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+    _assert_topk_identical(
+        searcher.search(q_or, k=5, prune=True),
+        oracle.top_k(oracle.or_scores(["the", "if"]), 5),
+        5,
+    )
+    # dismax flavor (tie-scaled keep rule)
+    searcher.last_prune_stats = None
+    q_dm = Q.DisjunctionMaxQuery(
+        (Q.TermQuery("content", "the"), Q.TermQuery("content", "if")),
+        tie_breaker=0.5,
+    )
+    pruned_dm = searcher.search(q_dm, k=5, prune=True).collect()
+    assert searcher.last_prune_stats is not None
+    full_dm = searcher.search(q_dm, k=5, prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in pruned_dm] == [
+        (r["doc_id"], r["score"]) for r in full_dm
     ]
 
 
