@@ -71,25 +71,15 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         timings[name] = time.time() - t
         return rows
 
+    bool_or = Q.BooleanQuery.of(
+        should=[Q.TermQuery("text", "table"), Q.TermQuery("text", "vector")]
+    )
+    bool_and = Q.BooleanQuery.of(
+        must=[Q.TermQuery("text", "spark"), Q.TermQuery("text", "join")]
+    )
     q("term_query", lambda: searcher.search(Q.TermQuery("text", "spark"), k=10))
-    q(
-        "boolean_or",
-        lambda: searcher.search(
-            Q.BooleanQuery.of(
-                should=[Q.TermQuery("text", "table"), Q.TermQuery("text", "vector")]
-            ),
-            k=10,
-        ),
-    )
-    q(
-        "boolean_and",
-        lambda: searcher.search(
-            Q.BooleanQuery.of(
-                must=[Q.TermQuery("text", "spark"), Q.TermQuery("text", "join")]
-            ),
-            k=10,
-        ),
-    )
+    q("boolean_or", lambda: searcher.search(bool_or, k=10))
+    q("boolean_and", lambda: searcher.search(bool_and, k=10))
     q(
         "phrase_query",
         lambda: searcher.search(Q.PhraseQuery("text", ("table", "part")), k=10),
@@ -105,6 +95,35 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         ),
     )
     q("prefix_query", lambda: searcher.scored(Q.PrefixQuery("text", "sc")))
+
+    # batched serving: the same term/boolean workload as ONE Spark job
+    # (amortizes per-query driver scheduling — the single-node QPS lever)
+    batch = {
+        "b_term": Q.TermQuery("text", "spark"),
+        "b_or": bool_or,
+        "b_and": bool_and,
+        "b_merge": Q.TermQuery("text", "merge"),
+        "b_hash": Q.TermQuery("text", "hash"),
+        "b_mixed": Q.BooleanQuery.of(
+            must=[Q.TermQuery("text", "stream")],
+            should=[Q.TermQuery("text", "window"), Q.TermQuery("text", "fast")],
+        ),
+    }
+    q("batched_search_6q", lambda: searcher.search_many(batch, k=10))
+    qps_batched = round(len(batch) / timings["batched_search_6q"], 2)
+
+    # block-max pruning evidence: hot-term + disjunction through the
+    # two-phase path with a low gate, block counters recorded
+    pruned_searcher = type(searcher)(idx, prune_min_df=256)
+    pruned_searcher.preload_stats()
+    pruned_searcher.collect_prune_stats = True
+    q(
+        "term_query_pruned",
+        lambda: pruned_searcher.search(Q.TermQuery("text", "batch"), k=10),
+    )
+    prune_term = dict(pruned_searcher.last_prune_stats or {})
+    q("boolean_or_pruned", lambda: pruned_searcher.search(bool_or, k=10))
+    prune_or = dict(pruned_searcher.last_prune_stats or {})
 
     # training-data pipeline ops over the same corpus
     q("exact_dedup", lambda: dedup.exact_duplicate_groups(idx.docs, text_col="text"))
@@ -135,6 +154,9 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         "n_postings_blocks": n_blocks,
         "docs_per_sec": round(n_docs / timings["index_build"], 1),
         "qps": round(len(query_names) / total_query_sec, 2) if total_query_sec else 0.0,
+        "qps_batched": qps_batched,
+        "prune_term": prune_term,
+        "prune_boolean_or": prune_or,
     }
 
 

@@ -228,6 +228,50 @@ def highlight_term_entry(spark, sf_dir):
     return extras.highlight_term(s, "spark", window=2, k=5)
 
 
+_HP_IDF_SPARK = _idf_sql("(SELECT count(*) FROM tf WHERE term='spark')")
+_HP_IDF_JOIN = _idf_sql("(SELECT count(*) FROM tf WHERE term='join')")
+
+
+@register(
+    "highlight_passages",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('hp1', 'spark')},
+{_term_scores_cte('hp2', 'join')},
+hp_u AS (SELECT * FROM hp1 UNION ALL SELECT * FROM hp2),
+hp_sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM hp_u GROUP BY doc_id
+),
+hp_top AS (SELECT doc_id, score FROM hp_sc ORDER BY score DESC, doc_id ASC LIMIT 5),
+hp_tok AS (
+  SELECT t.doc_id, top.score, t.term AS tok, t.pos,
+         (t.pos // 8)::INTEGER AS passage_idx
+  FROM tok t JOIN hp_top top USING (doc_id)
+),
+hp_p AS (
+  SELECT doc_id, score, passage_idx,
+         CAST(sum(CAST(CASE WHEN tok = 'spark' THEN {_HP_IDF_SPARK}
+                            WHEN tok = 'join' THEN {_HP_IDF_JOIN}
+                            ELSE 0.0 END AS DOUBLE)) AS FLOAT) AS passage_score,
+         string_agg(tok, ' ' ORDER BY pos) AS snippet
+  FROM hp_tok GROUP BY doc_id, score, passage_idx
+),
+hp_best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY passage_score DESC, passage_idx ASC) AS rk
+  FROM hp_p WHERE passage_score > 0
+)
+SELECT doc_id, score, passage_idx, passage_score, snippet
+FROM hp_best WHERE rk = 1 ORDER BY doc_id""",
+)
+def highlight_passages_entry(spark, sf_dir):
+    """Passage-ranked highlighting: best idf-weighted 8-token passage per
+    top-5 doc of (spark OR join) — UnifiedHighlighter/FieldHighlighter
+    analog with ANALYSIS offsets (see extras.highlight_passages)."""
+    _, s = get_searcher(spark, sf_dir)
+    return extras.highlight_passages(s, ["spark", "join"], k=5, passage_len=8)
+
+
 # ---- CombinedFieldQuery (sandbox/search/CombinedFieldQuery.java:79) --------
 
 _LANG_IDX_CACHE: dict = {}
@@ -373,3 +417,157 @@ GROUP BY ua.doc_id ORDER BY ua.doc_id""",
 def intervals_unordered(spark, sf_dir):
     _, s = get_searcher(spark, sf_dir)
     return extras.interval_within(s, "key", "value", width=5, ordered=False)
+
+
+# ---- FeatureField (document/FeatureField.java:106) -------------------------
+
+
+@register(
+    "feature_field_query",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('ffs', 'query')},
+ff_feat AS (
+  SELECT doc_id,
+         CAST(CAST(0.5 AS DOUBLE)
+              * (CAST(CAST(n_chars / 100.0 AS FLOAT) AS DOUBLE)
+                 / (CAST(CAST(n_chars / 100.0 AS FLOAT) AS DOUBLE) + CAST(2.5 AS DOUBLE)))
+              AS FLOAT) AS score
+  FROM documents WHERE n_chars > 0
+),
+ff_u AS (SELECT * FROM ffs UNION ALL SELECT * FROM ff_feat),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM ff_u GROUP BY doc_id
+)
+{_topk_sql('sc')}""",
+)
+def feature_field_query(spark, sf_dir):
+    """BM25 TermQuery + FeatureField saturation signal combined as SHOULD
+    clauses (the FeatureField javadoc ranking pattern): score =
+    bm25('query') + 0.5 * S/(S + 2.5) with S = n_chars/100 stored as a
+    float32 feature value (freq-as-signal, DOCS_AND_CUSTOM_FREQS)."""
+    idx, s = get_searcher(spark, sf_dir)
+    if idx.features is None:
+        idx.features = idx.docs.select(
+            "doc_id",
+            F.lit("pagerank").alias("feature"),
+            (F.col("n_chars") / F.lit(100.0)).cast("float").alias("value"),
+        )
+    q = Q.BooleanQuery.of(
+        should=[
+            Q.TermQuery("text", "query"),
+            Q.FeatureQuery(
+                "features", "pagerank", "saturation", pivot=2.5, boost=0.5
+            ),
+        ]
+    )
+    return s.search(q, k=10).select("doc_id", "score")
+
+
+# ---- full minimal-interval algebra (queries/intervals/Intervals.java) ------
+
+from lucene_spark.search import intervals as IV
+
+# minimal ordered intervals of (key .. value): per a-start the earliest
+# b-end after it, dominated (properly-containing) intervals dropped
+_IV_ORDERED_CTES = """
+iva AS (SELECT doc_id, pos FROM tok WHERE term = 'key'),
+ivb AS (SELECT doc_id, pos FROM tok WHERE term = 'value'),
+iv_cand AS (
+  SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
+  FROM iva a JOIN ivb b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY a.doc_id, a.pos
+),
+iv_min AS (
+  SELECT * FROM iv_cand d WHERE NOT EXISTS (
+    SELECT 1 FROM iv_cand d2
+    WHERE d2.doc_id = d.doc_id AND d2.s > d.s AND d2.e <= d.e)
+)
+""".strip()
+
+
+@register(
+    "intervals_ordered_minimal",
+    f"""WITH {BASE_CTES},
+{_IV_ORDERED_CTES}
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM iv_min GROUP BY doc_id ORDER BY doc_id""",
+)
+def intervals_ordered_minimal(spark, sf_dir):
+    """Intervals.ordered(term, term): count of minimal ordered intervals
+    per doc (no interval properly contains another)."""
+    _, s = get_searcher(spark, sf_dir)
+    return IV.count_intervals(s, IV.Ordered(IV.Term("key"), IV.Term("value")))
+
+
+@register(
+    "intervals_maxgaps",
+    f"""WITH {BASE_CTES},
+{_IV_ORDERED_CTES}
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM iv_min WHERE e - s - 1 <= 2
+GROUP BY doc_id ORDER BY doc_id""",
+)
+def intervals_maxgaps(spark, sf_dir):
+    """Intervals.maxgaps(2, ordered(key, value)): ordered intervals with
+    at most 2 non-matching positions inside."""
+    _, s = get_searcher(spark, sf_dir)
+    return IV.count_intervals(
+        s, IV.MaxGaps(2, IV.Ordered(IV.Term("key"), IV.Term("value")))
+    )
+
+
+@register(
+    "intervals_containing",
+    f"""WITH {BASE_CTES},
+ica AS (SELECT doc_id, pos FROM tok WHERE term = 'key'),
+icb AS (SELECT doc_id, pos FROM tok WHERE term = 'value'),
+ic_cand AS (
+  SELECT a.doc_id, least(a.pos, b.pos) AS s, greatest(a.pos, b.pos) AS e
+  FROM ica a JOIN icb b ON b.doc_id = a.doc_id
+),
+ic_dedup AS (SELECT doc_id, s, min(e) AS e FROM ic_cand GROUP BY doc_id, s),
+ic_min AS (
+  SELECT * FROM ic_dedup d WHERE NOT EXISTS (
+    SELECT 1 FROM ic_dedup d2
+    WHERE d2.doc_id = d.doc_id AND d2.s > d.s AND d2.e <= d.e)
+),
+ic_has AS (
+  SELECT m.doc_id, m.s, m.e FROM ic_min m
+  WHERE EXISTS (
+    SELECT 1 FROM tok t WHERE t.term = 'data'
+      AND t.doc_id = m.doc_id AND t.pos >= m.s AND t.pos <= m.e)
+)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM ic_has GROUP BY doc_id ORDER BY doc_id""",
+)
+def intervals_containing(spark, sf_dir):
+    """Intervals.containing(unordered(key, value), term(data)): minimal
+    unordered key/value windows that also cover a 'data' occurrence."""
+    _, s = get_searcher(spark, sf_dir)
+    src = IV.Containing(
+        IV.Unordered(IV.Term("key"), IV.Term("value")), IV.Term("data")
+    )
+    return IV.count_intervals(s, src)
+
+
+@register(
+    "intervals_or_phrases",
+    f"""WITH {BASE_CTES},
+iop AS (
+  SELECT p0.doc_id, p0.pos AS s, p1.pos AS e
+  FROM tok p0 JOIN tok p1
+    ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE (p0.term = 'key' AND p1.term = 'value')
+     OR (p0.term = 'value' AND p1.term = 'key')
+)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM iop GROUP BY doc_id ORDER BY doc_id""",
+)
+def intervals_or_phrases(spark, sf_dir):
+    """Intervals.or(phrase(key value), phrase(value key)): adjacent pair
+    in either order (width-2 intervals are never nested, so the union is
+    already minimal)."""
+    _, s = get_searcher(spark, sf_dir)
+    src = IV.Or(IV.Phrase("key", "value"), IV.Phrase("value", "key"))
+    return IV.count_intervals(s, src)

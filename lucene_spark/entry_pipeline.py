@@ -256,6 +256,54 @@ hb AS (
 """.strip()
 
 
+# ---- filtered KNN through the Query AST (KnnFloatVectorQuery.java:40) ------
+
+_KNN_ORACLE = f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9_]+')) AS term FROM documents
+),
+tf AS (SELECT DISTINCT doc_id, term FROM tok),
+{_EMB_CTES},
+kqe AS (SELECT unnest(qv) AS v, unnest(generate_series(1, len(qv))) AS i
+        FROM eq WHERE vec_id = 0),
+knq AS (SELECT sum(v * v)::BIGINT AS nsq FROM kqe),
+kd AS (
+  SELECT c.vec_id AS doc_id, sum(c.v * q.v)::BIGINT AS dot
+  FROM ee c JOIN kqe q ON q.i = c.i
+  WHERE c.vec_id IN (SELECT doc_id FROM tf WHERE term = 'vector')
+  GROUP BY c.vec_id
+),
+kc AS (
+  SELECT kd.doc_id,
+         CAST(dot AS DOUBLE)
+           / (sqrt(CAST(en.nsq AS DOUBLE)) * sqrt(CAST((SELECT nsq FROM knq) AS DOUBLE))) AS score
+  FROM kd JOIN en ON en.vec_id = kd.doc_id
+)
+SELECT doc_id, score FROM kc ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
+@register("knn_vector_filtered", _KNN_ORACLE)
+def knn_vector_filtered(spark, sf_dir):
+    """Filtered KNN as an index query: docs matching TermQuery('vector')
+    are scored exactly against query vector 0 (the reference's
+    exact-search fallback over the filter set,
+    AbstractKnnVectorQuery.java:89), top-10 by fixed-point cosine."""
+    from lucene_spark.entry_impl import get_searcher
+    from lucene_spark.search import query as Q
+
+    idx, s = get_searcher(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if idx.vectors is None:
+        idx.attach_vectors(emb, id_col="vec_id", vec_col="embedding")
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    q = Q.KnnFloatVectorQuery(
+        "vector",
+        tuple(float(x) for x in qv),
+        k=10,
+        filter=Q.TermQuery("text", "vector"),
+    )
+    return s.search(q, k=10).select("doc_id", "score")
+
+
 @register(
     "ann_lsh_bucketed_topk",
     f"""WITH {_EMB_CTES},

@@ -123,6 +123,24 @@ class InvertedIndex:
     #: live-docs complement (doc_id rows) — anti-joined at query time;
     #: stats keep counting deleted docs until merge reclaim, like Lucene
     deletes: DataFrame | None = None
+    #: per-doc float vectors (doc_id, vector: array<float>) — the
+    #: KnnFloatVectorField analog (document/KnnFloatVectorField.java);
+    #: queried via Q.KnnFloatVectorQuery
+    vectors: DataFrame | None = None
+    #: static scoring signals (doc_id, feature, value: float) — the
+    #: FeatureField analog (document/FeatureField.java:106, freq-as-signal);
+    #: queried via Q.FeatureQuery
+    features: DataFrame | None = None
+
+    def attach_vectors(
+        self, df: DataFrame, id_col: str = "doc_id", vec_col: str = "vector"
+    ) -> None:
+        """Attach a vector column keyed by doc_id (KnnFloatVectorField
+        ingestion: vectors ride a side table joined on the doc key)."""
+        self.vectors = df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(vec_col).alias("vector"),
+        )
 
     def save(self, index_dir: str) -> None:
         """Persist as a parquet 'segment directory' (Iceberg-shaped layout).

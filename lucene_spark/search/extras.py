@@ -202,6 +202,80 @@ def highlight_term(
     )
 
 
+def highlight_passages(
+    searcher: IndexSearcher,
+    terms: list[str],
+    k: int = 5,
+    passage_len: int = 10,
+) -> DataFrame:
+    """Passage-ranked highlighting (``uhighlight/UnifiedHighlighter.java:96``,
+    ``FieldHighlighter``): for the query's top-k docs, split the stored
+    text into fixed `passage_len`-token passages (the BreakIterator break
+    policy, with fixed windows as our deterministic boundary rule), score
+    each passage as the sum of matched terms' float32 idf weights
+    (PassageScorer's term-weighted scoring), and return each doc's best
+    passage with its token snippet.
+
+    Offsets come from re-analysis of the stored text — the reference's
+    OffsetSource.ANALYSIS path, chosen when offsets are not stored in
+    postings — executed JVM-side via the SQL tokenizer expressions.
+
+    Output: (doc_id, score, passage_idx, passage_score, snippet).
+    """
+    from pyspark.sql import Window as _W
+
+    cfg = searcher.index.config
+    field = cfg.field_name
+    if len(terms) == 1:
+        q: Q.Query = Q.TermQuery(field, terms[0])
+    else:
+        q = Q.BooleanQuery.of(should=[Q.TermQuery(field, t) for t in terms])
+    top = searcher.search(q, k=k)
+    fs = searcher.index.fieldstats[field]
+    ctx = searcher._resolve_stats(q)
+    weights = {
+        t: float(
+            searcher.sim.idf(
+                ctx.term_stats.get((field, t), (0, 0))[0], fs.doc_count
+            )
+        )
+        for t in terms
+    }
+    w_col = F.lit(0.0)
+    for t, wv in weights.items():
+        w_col = F.when(F.col("tok") == t, F.lit(wv)).otherwise(w_col)
+    toks = (
+        searcher.index.docs.join(F.broadcast(top), "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            F.posexplode(
+                sql_tokens(F.col(cfg.text_col), cfg.max_token_length)
+            ).alias("pos", "tok"),
+        )
+        .withColumn("passage_idx", F.floor(F.col("pos") / passage_len).cast("int"))
+    )
+    passages = toks.groupBy("doc_id", "score", "passage_idx").agg(
+        F.sum(w_col.cast("double")).cast("float").alias("passage_score"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("snippet"),
+    )
+    best = _W.partitionBy("doc_id").orderBy(
+        F.desc("passage_score"), F.asc("passage_idx")
+    )
+    return (
+        passages.filter(F.col("passage_score") > 0)
+        .withColumn("_rk", F.row_number().over(best))
+        .filter(F.col("_rk") == 1)
+        .select("doc_id", "score", "passage_idx", "passage_score", "snippet")
+    )
+
+
 def combined_field_topk(
     fields: "dict[str, tuple]",
     term: str,

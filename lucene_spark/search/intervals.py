@@ -1,0 +1,280 @@
+"""Minimal-interval algebra (``lucene/queries/.../intervals/Intervals.java``).
+
+Every source yields, per doc, a set of MINIMAL intervals ``[start, end]``
+over token positions — no interval of the same source properly contains
+another (the minimality contract of ``IntervalIterator``; algebra after
+Clarke & Cormack's GC-lists, which the reference package implements).
+
+Combinators (all plain DataFrame plans — position joins + window
+minimalization, no Python):
+
+- ``Term(t)``         one-position intervals (``Intervals.term``)
+- ``Ordered(a, b, …)``   sub-intervals in order, non-overlapping: each
+  next interval starts after the previous ends (``Intervals.ordered``);
+  n-ary = left fold of the binary combinator
+- ``Unordered(a, b)``  minimal windows containing one interval of each,
+  overlap allowed (``Intervals.unordered``); n-ary = left fold (for >2
+  sources the fold is an approximation of the reference's n-ary
+  enumeration — documented, binary is exact)
+- ``MaxGaps(n, src)``  keep intervals with ≤ n internal gaps; gaps =
+  width − matched-token count (``Intervals.maxgaps``)
+- ``MaxWidth(n, src)`` keep intervals of width ≤ n (``Intervals.maxwidth``)
+- ``Containing(big, small)``    big intervals containing a small one
+  (``Intervals.containing``)
+- ``ContainedBy(small, big)``   small intervals inside a big one
+  (``Intervals.containedBy``)
+- ``Or(a, b, …)``      union, re-minimalized (``Intervals.or``)
+- ``Phrase(t1, t2, …)`` consecutive terms (``Intervals.phrase``)
+
+``matches(searcher, source)`` returns (doc_id, start, end, wmatch) where
+wmatch = number of matched token positions inside the interval (carried
+so MaxGaps is exact for term-leaf algebras).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = [
+    "IntervalsSource",
+    "Term",
+    "Ordered",
+    "Unordered",
+    "Phrase",
+    "MaxGaps",
+    "MaxWidth",
+    "Containing",
+    "ContainedBy",
+    "Or",
+    "matches",
+    "count_intervals",
+]
+
+
+class IntervalsSource:
+    """Marker base class."""
+
+
+@dataclass(frozen=True)
+class Term(IntervalsSource):
+    term: str
+
+
+@dataclass(frozen=True)
+class Ordered(IntervalsSource):
+    sources: tuple[IntervalsSource, ...]
+
+    def __init__(self, *sources: IntervalsSource):
+        object.__setattr__(self, "sources", tuple(sources))
+
+
+@dataclass(frozen=True)
+class Unordered(IntervalsSource):
+    sources: tuple[IntervalsSource, ...]
+
+    def __init__(self, *sources: IntervalsSource):
+        object.__setattr__(self, "sources", tuple(sources))
+
+
+@dataclass(frozen=True)
+class Phrase(IntervalsSource):
+    terms: tuple[str, ...]
+
+    def __init__(self, *terms: str):
+        object.__setattr__(self, "terms", tuple(terms))
+
+
+@dataclass(frozen=True)
+class MaxGaps(IntervalsSource):
+    max_gaps: int
+    source: IntervalsSource
+
+
+@dataclass(frozen=True)
+class MaxWidth(IntervalsSource):
+    max_width: int
+    source: IntervalsSource
+
+
+@dataclass(frozen=True)
+class Containing(IntervalsSource):
+    big: IntervalsSource
+    small: IntervalsSource
+
+
+@dataclass(frozen=True)
+class ContainedBy(IntervalsSource):
+    small: IntervalsSource
+    big: IntervalsSource
+
+
+@dataclass(frozen=True)
+class Or(IntervalsSource):
+    sources: tuple[IntervalsSource, ...]
+
+    def __init__(self, *sources: IntervalsSource):
+        object.__setattr__(self, "sources", tuple(sources))
+
+
+def _minimalize(df: DataFrame) -> DataFrame:
+    """Drop intervals properly containing another interval of the set.
+
+    Same-start duplicates keep the shortest; then an interval is dominated
+    iff some later-starting interval ends at or before its end (running
+    min of `end` over strictly-greater starts, one window pass).
+    """
+    dedup = (
+        df.groupBy("doc_id", "start")
+        .agg(F.min(F.struct("end", "wmatch")).alias("_m"))
+        .select(
+            "doc_id",
+            "start",
+            F.col("_m.end").alias("end"),
+            F.col("_m.wmatch").alias("wmatch"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("start"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    dominated = F.min("end").over(w)
+    return (
+        dedup.withColumn("_dom", dominated)
+        .filter(F.col("_dom").isNull() | (F.col("_dom") > F.col("end")))
+        .drop("_dom")
+    )
+
+
+def _term_df(searcher, term: str) -> DataFrame:
+    field = searcher.index.config.field_name
+    return (
+        searcher._decoded(field, F.col("term") == term, with_positions=True)
+        .select("doc_id", F.explode("positions").alias("p"))
+        .select(
+            "doc_id",
+            F.col("p").alias("start"),
+            F.col("p").alias("end"),
+            F.lit(1).alias("wmatch"),
+        )
+    )
+
+
+def _ordered2(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Binary ordered: for each a-interval, the earliest-ending b-interval
+    starting after a ends; then minimalize (OrderedIntervalsSource)."""
+    bb = b.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("start").alias("bs"),
+        F.col("end").alias("be"),
+        F.col("wmatch").alias("bw"),
+    )
+    j = a.join(bb, "doc_id").filter(F.col("bs") > F.col("end"))
+    cand = (
+        j.groupBy("doc_id", "start", "end", "wmatch")
+        .agg(F.min(F.struct("be", "bw")).alias("_b"))
+        .select(
+            "doc_id",
+            "start",
+            F.col("_b.be").alias("end"),
+            (F.col("wmatch") + F.col("_b.bw")).alias("wmatch"),
+        )
+    )
+    return _minimalize(cand)
+
+
+def _unordered2(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Binary unordered: minimal covering windows of one interval of each
+    (overlap allowed, UnorderedIntervalsSource)."""
+    bb = b.select(
+        F.col("doc_id").alias("doc_id"),
+        F.col("start").alias("bs"),
+        F.col("end").alias("be"),
+        F.col("wmatch").alias("bw"),
+    )
+    j = a.join(bb, "doc_id")
+    cand = j.select(
+        "doc_id",
+        F.least(F.col("start"), F.col("bs")).alias("start"),
+        F.greatest(F.col("end"), F.col("be")).alias("end"),
+        (F.col("wmatch") + F.col("bw")).alias("wmatch"),
+    )
+    return _minimalize(cand)
+
+
+def _build(searcher, src: IntervalsSource) -> DataFrame:
+    if isinstance(src, Term):
+        return _term_df(searcher, src.term)
+    if isinstance(src, Phrase):
+        return _build(
+            searcher,
+            MaxGaps(0, Ordered(*[Term(t) for t in src.terms])),
+        )
+    if isinstance(src, Ordered):
+        parts = [_build(searcher, s) for s in src.sources]
+        out = parts[0]
+        for p in parts[1:]:
+            out = _ordered2(out, p)
+        return out
+    if isinstance(src, Unordered):
+        parts = [_build(searcher, s) for s in src.sources]
+        out = parts[0]
+        for p in parts[1:]:
+            out = _unordered2(out, p)
+        return out
+    if isinstance(src, MaxGaps):
+        inner = _build(searcher, src.source)
+        gaps = (F.col("end") - F.col("start") + 1) - F.col("wmatch")
+        return inner.filter(gaps <= src.max_gaps)
+    if isinstance(src, MaxWidth):
+        inner = _build(searcher, src.source)
+        return inner.filter(F.col("end") - F.col("start") + 1 <= src.max_width)
+    if isinstance(src, Containing):
+        big = _build(searcher, src.big)
+        small = _build(searcher, src.small).select(
+            "doc_id", F.col("start").alias("ss"), F.col("end").alias("se")
+        )
+        return big.join(
+            small,
+            (big["doc_id"] == small["doc_id"])
+            & (F.col("ss") >= big["start"])
+            & (F.col("se") <= big["end"]),
+            "left_semi",
+        )
+    if isinstance(src, ContainedBy):
+        small = _build(searcher, src.small)
+        big = _build(searcher, src.big).select(
+            F.col("doc_id").alias("doc_id"),
+            F.col("start").alias("bs"),
+            F.col("end").alias("be"),
+        )
+        return small.join(
+            big,
+            (small["doc_id"] == big["doc_id"])
+            & (small["start"] >= F.col("bs"))
+            & (small["end"] <= F.col("be")),
+            "left_semi",
+        )
+    if isinstance(src, Or):
+        parts = [_build(searcher, s) for s in src.sources]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return _minimalize(out)
+    raise NotImplementedError(type(src).__name__)
+
+
+def matches(searcher, source: IntervalsSource) -> DataFrame:
+    """(doc_id, start, end, wmatch) minimal intervals of `source`."""
+    return _build(searcher, source)
+
+
+def count_intervals(searcher, source: IntervalsSource) -> DataFrame:
+    """(doc_id, n_intervals) — one row per doc with >= 1 interval."""
+    return (
+        matches(searcher, source)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_intervals"))
+    )

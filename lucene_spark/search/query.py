@@ -35,6 +35,8 @@ __all__ = [
     "MatchNoDocsQuery",
     "PointRangeQuery",
     "FieldExistsQuery",
+    "FeatureQuery",
+    "KnnFloatVectorQuery",
 ]
 
 
@@ -255,4 +257,49 @@ class FieldExistsQuery(Query):
     """Docs with a non-null value (``search/FieldExistsQuery.java:41``)."""
 
     column: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class FeatureQuery(Query):
+    """Static-signal scoring via a feature value carried as a custom term
+    frequency (``document/FeatureField.java:106``,
+    ``index/IndexOptions.java:52-56`` DOCS_AND_CUSTOM_FREQS). The engine
+    stores features as a (doc_id, feature, value:float) side table
+    (InvertedIndex.features). Scoring functions mirror FeatureField's:
+
+    - ``log``:        boost * ln(scale + S)
+    - ``saturation``: boost * S / (S + pivot)
+    - ``sigmoid``:    boost * S^exp / (S^exp + pivot^exp)
+
+    with S = the doc's feature value, all float32 at the end. Composes
+    with BM25 queries as a SHOULD clause (the recommended ranking-signal
+    pattern in FeatureField's javadoc)."""
+
+    field: str
+    feature: str
+    function: str = "saturation"
+    pivot: float = 1.0
+    exp: float = 1.0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class KnnFloatVectorQuery(Query):
+    """k nearest neighbors of `vector` over the index's vector column
+    (``search/KnnFloatVectorQuery.java:40``). With a `filter`, only docs
+    matching it are eligible, and the engine scores the filter set
+    EXACTLY — the reference's exact-search fallback when the filter set
+    is small relative to k·visit-limit (``AbstractKnnVectorQuery.java:89``);
+    pass ``approximate=True`` to force the LSH-bucketed scale path
+    instead (deterministic hyperplane buckets, candidate-join not
+    all-pairs). Rewrites to the k scored docs, like Lucene's rewrite to a
+    DocAndScoreQuery. Scores are fixed-point cosine similarities
+    (quantized to 2^20 so a SQL oracle reproduces them bit-exactly)."""
+
+    field: str
+    vector: tuple[float, ...]
+    k: int = 10
+    filter: Query | None = None
+    approximate: bool = False
     boost: float = 1.0

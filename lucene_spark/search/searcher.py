@@ -29,7 +29,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
@@ -408,6 +408,10 @@ class IndexSearcher:
                 + F.lit(tie) * (F.col("sm") - F.col("mx").cast("double"))
             ).cast("float")
             return agg.select("doc_id", expr.alias("score"))
+        if isinstance(q, Q.FeatureQuery):
+            return self._scored_feature(q, boost)
+        if isinstance(q, Q.KnnFloatVectorQuery):
+            return self._scored_knn(q, boost)
         if isinstance(q, (Q.PhraseQuery, Q.MultiPhraseQuery)):
             return self._scored_phrase(q, boost, ctx)
         if isinstance(q, Q.BooleanQuery):
@@ -662,6 +666,88 @@ class IndexSearcher:
         return matched.select(
             "doc_id",
             self._score_col(q.field, F.col("freq"), F.col("norm"), w).alias("score"),
+        )
+
+    def _scored_feature(self, q: Q.FeatureQuery, boost: np.float32) -> DataFrame:
+        """FeatureQuery (``document/FeatureField.java:106``): score docs by
+        a stored static signal through log/saturation/sigmoid, float32 at
+        the end — freq-as-feature without decoding any postings."""
+        feats = self.index.features
+        if feats is None:
+            raise ValueError("FeatureQuery needs InvertedIndex.features")
+        w = F.lit(float(F32(boost * F32(q.boost)))).cast("double")
+        s = F.col("value").cast("double")
+        a = F.lit(float(q.pivot)).cast("double")
+        if q.function == "log":
+            expr = w * F.log(a + s)
+        elif q.function == "saturation":
+            expr = w * (s / (s + a))
+        elif q.function == "sigmoid":
+            e = float(q.exp)
+            expr = w * (F.pow(s, e) / (F.pow(s, e) + F.pow(a, e)))
+        else:
+            raise ValueError(f"unknown feature function {q.function!r}")
+        return (
+            feats.filter(F.col("feature") == q.feature)
+            .filter(F.col("value") > 0)
+            .select("doc_id", expr.cast("float").alias("score"))
+        )
+
+    def _scored_knn(self, q: Q.KnnFloatVectorQuery, boost: np.float32) -> DataFrame:
+        """KnnFloatVectorQuery (``search/KnnFloatVectorQuery.java:40``).
+
+        Returns the k (doc_id, score) rows — the reference rewrites a KNN
+        query to a DocAndScoreQuery over its k results, so the "match set"
+        IS the top-k. With a filter, the filter's match set is scored
+        exactly (the exact-search fallback of
+        ``AbstractKnnVectorQuery.java:89``); unfiltered + approximate=True
+        takes the deterministic hyperplane-LSH bucket path (score only the
+        query's bucket — the 100 TB shape). Scores are fixed-point cosine
+        similarities (2^20 quantization, same contract as the pipeline ANN
+        operators so a SQL oracle reproduces them bit-exactly).
+        """
+        from lucene_spark.pipeline.dedup import cosine_from_int, int_dot, quantize
+
+        vec = self.index.vectors
+        if vec is None:
+            raise ValueError(
+                "KnnFloatVectorQuery needs InvertedIndex.vectors "
+                "(attach_vectors)"
+            )
+        qv = [int(math.floor(float(x) * 1048576.0)) for x in q.vector]
+        base = self._live(vec)
+        if q.filter is not None:
+            allowed = self._live(
+                self._matches(q.filter, self._resolve_stats(q.filter))
+            )
+            base = base.join(allowed.select("doc_id").distinct(), "doc_id", "left_semi")
+        quantized = base.select(
+            "doc_id", quantize(F.col("vector")).alias("_qv")
+        )
+        if q.approximate and q.filter is None:
+            from lucene_spark.pipeline.similarity import _plane_weight
+
+            n_planes, dim = 8, len(qv)
+            qbucket = 0
+            for p in range(n_planes):
+                s = sum(qv[i] * _plane_weight(p, i) for i in range(dim))
+                if s >= 0:
+                    qbucket |= 1 << p
+            from lucene_spark.pipeline.similarity import hyperplane_bucket
+
+            quantized = quantized.withColumn(
+                "_bkt", hyperplane_bucket(F.col("_qv"), dim, n_planes)
+            ).filter(F.col("_bkt") == qbucket)
+        qcol = F.array(*[F.lit(v).cast("long") for v in qv])
+        nq = F.lit(int(sum(v * v for v in qv))).cast("long")
+        cos = cosine_from_int(
+            int_dot(F.col("_qv"), qcol), int_dot(F.col("_qv"), F.col("_qv")), nq
+        )
+        score = (cos * F.lit(float(F32(boost * F32(q.boost))))).alias("score")
+        return (
+            quantized.select("doc_id", score)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(q.k)
         )
 
     # -------------------------------------------------------------- matching
@@ -959,6 +1045,126 @@ class IndexSearcher:
             )
         )
         return exact.join(F.broadcast(cand), "doc_id", "left_semi")
+
+    # ------------------------------------------------------- batched serving
+
+    def search_many(self, queries: dict[str, Q.Query], k: int = 10) -> DataFrame:
+        """Execute a batch of term/boolean queries as ONE DataFrame job:
+        (query_id, doc_id, score, rank), rank <= k per query, scores
+        bit-identical to per-query ``search``.
+
+        Amortizes per-query driver scheduling (the single-node QPS cost of
+        running each search as separate Spark jobs): all clauses become a
+        broadcast clause table, the postings decode runs once over the
+        union of terms, and per-query top-k is one window. Supports
+        TermQuery and BooleanQuery over TermQuerys (all occurs, msm);
+        other query types raise — run those individually.
+        """
+        field = self.index.config.field_name
+        clause_rows: list[tuple] = []   # (qid, term, weight, occur)
+        query_rows: list[tuple] = []    # (qid, n_required, msm)
+        wanted = Q.BooleanQuery.of(
+            should=[
+                c.query if isinstance(c, Q.BooleanClause) else c
+                for q in queries.values()
+                for c in (
+                    q.clauses if isinstance(q, Q.BooleanQuery) else [q]
+                )
+            ]
+        )
+        ctx = self._resolve_stats(wanted)
+        fs = self.index.fieldstats[field]
+
+        def weight_of(tq: Q.TermQuery) -> float:
+            df, _ = ctx.term_stats.get((field, tq.term), (0, 0))
+            return float(self.sim.weight(F32(tq.boost), self.sim.idf(df, fs.doc_count)))
+
+        for qid, q in queries.items():
+            if isinstance(q, Q.TermQuery):
+                clause_rows.append((qid, q.term, weight_of(q), "should"))
+                query_rows.append((qid, 0, 1))
+            elif isinstance(q, Q.BooleanQuery):
+                n_req = 0
+                n_should = 0
+                for c in q.clauses:
+                    if not isinstance(c.query, Q.TermQuery):
+                        raise NotImplementedError(
+                            "search_many supports term clauses only"
+                        )
+                    t = c.query
+                    if c.occur is Q.Occur.MUST:
+                        clause_rows.append((qid, t.term, weight_of(t), "must"))
+                        n_req += 1
+                    elif c.occur is Q.Occur.FILTER:
+                        clause_rows.append((qid, t.term, 0.0, "filter"))
+                        n_req += 1
+                    elif c.occur is Q.Occur.SHOULD:
+                        clause_rows.append((qid, t.term, weight_of(t), "should"))
+                        n_should += 1
+                    else:
+                        clause_rows.append((qid, t.term, 0.0, "not"))
+                msm = q.minimum_should_match
+                if n_req == 0:
+                    msm = max(msm, 1)
+                query_rows.append((qid, n_req, msm))
+            else:
+                raise NotImplementedError(
+                    f"search_many does not support {type(q).__name__}"
+                )
+        spark = self.index.docs.sparkSession
+        clauses = spark.createDataFrame(
+            clause_rows, schema="query_id string, term string, w float, occur string"
+        )
+        qmeta = spark.createDataFrame(
+            query_rows, schema="query_id string, n_required int, msm int"
+        )
+        terms = sorted({r[1] for r in clause_rows})
+        d = self._decoded(field, F.col("term").isin(terms))
+        j = d.join(F.broadcast(clauses), "term")
+        pos = j.filter(F.col("occur") != "not")
+        per = pos.select(
+            "query_id",
+            "doc_id",
+            F.when(
+                F.col("occur") == "filter", F.lit(0.0).cast("float")
+            )
+            .otherwise(
+                self._score_col(field, F.col("freq"), F.col("norm"), F.col("w"))
+            )
+            .alias("s"),
+            F.when(F.col("occur").isin("must", "filter"), 1)
+            .otherwise(0)
+            .alias("req"),
+            F.when(F.col("occur") == "should", 1).otherwise(0).alias("sh"),
+        )
+        agg = per.groupBy("query_id", "doc_id").agg(
+            F.sum(F.col("s").cast("double")).alias("sum_s"),
+            F.sum("req").alias("nreq"),
+            F.sum("sh").alias("nsh"),
+        )
+        scored = (
+            agg.join(F.broadcast(qmeta), "query_id")
+            .filter(
+                (F.col("nreq") == F.col("n_required"))
+                & (F.col("nsh") >= F.col("msm"))
+            )
+            .select("query_id", "doc_id", F.col("sum_s").cast("float").alias("score"))
+        )
+        neg = (
+            j.filter(F.col("occur") == "not")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        scored = scored.join(neg, ["query_id", "doc_id"], "left_anti")
+        scored = self._live(scored)
+        win = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
 
     def _retire_scratch(self, df: DataFrame) -> None:
         """Track per-query scratch caches; unpersist the previous query's

@@ -172,3 +172,47 @@ def test_sha256_invariant(built):
         F.sha2(F.coalesce(F.col("content"), F.lit("")), 256) != F.col("content_sha256")
     ).count()
     assert bad == 0
+
+
+def test_search_many_matches_individual(built):
+    """Batched serving: one-job search_many must return bit-identical
+    (doc_id, score) per query to the per-query search() path."""
+    _, searcher, oracle = built
+    batch = {
+        "q_term": Q.TermQuery("content", "the"),
+        "q_or": Q.BooleanQuery.of(
+            should=[Q.TermQuery("content", "the"), Q.TermQuery("content", "index")]
+        ),
+        "q_and": Q.BooleanQuery.of(
+            must=[Q.TermQuery("content", "the"), Q.TermQuery("content", "return")]
+        ),
+        "q_not": Q.BooleanQuery.of(
+            must=[Q.TermQuery("content", "the")],
+            must_not=[Q.TermQuery("content", "if")],
+        ),
+        "q_msm": Q.BooleanQuery.of(
+            should=[
+                Q.TermQuery("content", "the"),
+                Q.TermQuery("content", "if"),
+                Q.TermQuery("content", "return"),
+            ],
+            minimum_should_match=2,
+        ),
+        "q_filter": Q.BooleanQuery.of(
+            must=[Q.TermQuery("content", "the")],
+            filter=[Q.TermQuery("content", "if")],
+        ),
+    }
+    got = searcher.search_many(batch, k=7).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], int(r["doc_id"]), float(r["score"]))
+        )
+    for qid, q in batch.items():
+        want = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in searcher.search(q, k=7, prune=False).collect()
+        ]
+        rows = sorted(by_q.get(qid, []))
+        assert [(d, s) for _, d, s in rows] == want, qid
