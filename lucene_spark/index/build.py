@@ -485,14 +485,31 @@ def build_index(
     # query read this plan — without the cache they would re-run the build
     postings.persist()
 
-    doclens = docs.select("doc_id", cfg.text_col).mapInPandas(
-        _make_doclen_counter(cfg), schema=_DOCLEN_COUNT_SCHEMA
-    ).select(
-        "doc_id",
-        F.lit(cfg.field_name).alias("field"),
-        "length",
-        "norm",
-    )
+    if not cfg.stopwords:
+        # JVM-side doclens: the emitted-token count is expressible as a
+        # native regexp + filter + fold (analysis/sql.py, equivalence
+        # pinned vs the Python analyzer in tests) — no second Python
+        # tokenize pass, halving the build's Python CPU and keeping the
+        # counting stage inside whole-stage codegen
+        from lucene_spark.analysis.sql import sql_emitted_count, sql_norm_byte
+
+        length = sql_emitted_count(F.col(cfg.text_col), cfg.max_token_length)
+        doclens = docs.select(
+            "doc_id",
+            F.lit(cfg.field_name).alias("field"),
+            length.cast("int").alias("length"),
+        ).withColumn("norm", sql_norm_byte(F.col("length")))
+    else:
+        # stopword removal changes the emitted count — fall back to the
+        # Python counting pass which shares the analyzer implementation
+        doclens = docs.select("doc_id", cfg.text_col).mapInPandas(
+            _make_doclen_counter(cfg), schema=_DOCLEN_COUNT_SCHEMA
+        ).select(
+            "doc_id",
+            F.lit(cfg.field_name).alias("field"),
+            "length",
+            "norm",
+        )
 
     termstats = (
         postings.groupBy("term")

@@ -11,9 +11,8 @@ no ``Window.orderBy`` over a single partition, scales to any corpus size.
 
 from __future__ import annotations
 
-from typing import Iterator, Sequence
+from typing import Sequence
 
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["with_doc_ids"]
@@ -56,19 +55,28 @@ def with_doc_ids(
         bases[pid] = running
         running += counts[pid]
 
-    schema_out = ranged.drop("_pid").schema.add(doc_id_col, "long", False)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        offset = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if offset is None:
-                offset = bases[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf[doc_id_col] = range(offset, offset + len(pdf))
-            offset += len(pdf)
-            yield pdf
-
-    out = ranged.mapInPandas(assign, schema=schema_out)
+    # id = base[pid] + row-rank within the (cached, hence pinned) partition.
+    # monotonically_increasing_id is (partitionId << 33) + rowNumber in row
+    # order, and rows are already in the wanted order (sorted within range
+    # partitions / arrival), so the rank is mid minus the partition's id
+    # prefix — the whole assignment stays JVM-side: the previous
+    # mapInPandas implementation pushed every corpus row (full text)
+    # through an Arrow round-trip just to attach this column, which was
+    # pure serialization overhead at build scale.
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(
+        [(int(pid), int(b)) for pid, b in bases.items()], "_pid int, _base long"
+    )
+    out = (
+        ranged.withColumn("_mid", F.monotonically_increasing_id())
+        .join(F.broadcast(base_df), "_pid")
+        .withColumn(
+            doc_id_col,
+            (
+                F.col("_base")
+                + (F.col("_mid") - F.col("_pid").cast("long") * F.lit(1 << 33))
+            ).cast("long"),
+        )
+        .drop("_pid", "_mid", "_base")
+    )
     return out

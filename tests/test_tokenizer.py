@@ -88,3 +88,47 @@ def test_term_position_arrays_equivalent_to_tokens():
             assert terms == [t.term for t in toks]
             assert pos.tolist() == [t.position for t in toks]
             assert n == len(toks)
+
+
+def test_sql_token_expressions_match_python_analyzer(spark):
+    """The JVM-side token/count/norm expressions (analysis/sql.py) must
+    equal the Python StandardAnalyzer chain on corpus text plus tricky
+    Unicode / over-long-token cases — they back the SQL doclens fast path
+    and the monitor/highlighter tokenization."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.sql import (
+        sql_emitted_count,
+        sql_norm_byte,
+        sql_tokens,
+    )
+    from lucene_spark.analysis.tokenizer import StandardAnalyzer
+    from lucene_spark.testing.corpus import generate_corpus
+    from lucene_spark.util.smallfloat import encode_lengths
+
+    texts = list(generate_corpus(40, seed=3)["content"])
+    texts += [
+        "İstanbul Straße ÇOK naïve café",
+        "foo_bar a.b can't 1,000 3.14 x-y",
+        "x" * 300 + " normal " + "y" * 255,
+        "",
+        "日本語のテキスト und_Unterstrich MixedCASE99",
+    ]
+    an = StandardAnalyzer()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    rows = df.select(
+        "doc_id",
+        sql_tokens("content").alias("toks"),
+        sql_emitted_count("content").alias("cnt"),
+        sql_norm_byte(sql_emitted_count("content")).alias("nb"),
+    ).collect()
+    for r in rows:
+        t = texts[r["doc_id"]]
+        assert list(r["toks"]) == an.terms(t), t[:60]
+        assert r["cnt"] == an.emitted_count(t), t[:60]
+        assert r["nb"] == int(
+            encode_lengths(np.array([an.emitted_count(t)]))[0]
+        ), t[:60]
