@@ -419,6 +419,63 @@ def intervals_unordered(spark, sf_dir):
     return extras.interval_within(s, "key", "value", width=5, ordered=False)
 
 
+# ---- taxonomy facets / fuzzy suggest / index-sort early exit ---------------
+
+
+@register(
+    "taxonomy_facet_counts",
+    f"""WITH {BASE_CTES},
+tx AS (
+  SELECT d.source || '/' || d.lang AS leaf, d.source AS root
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'group')
+),
+tp AS (
+  SELECT root AS path FROM tx UNION ALL SELECT leaf FROM tx
+)
+SELECT path, count(*)::BIGINT AS cnt FROM tp GROUP BY path ORDER BY path""",
+)
+def taxonomy_facet_counts(spark, sf_dir):
+    """Hierarchical facet counts over source/lang paths: every match
+    counts toward each ancestor node (facet/taxonomy counting)."""
+    _, s = get_searcher(spark, sf_dir)
+    return extras.taxonomy_counts(
+        s, Q.TermQuery("text", "group"), path_cols=["source", "lang"]
+    )
+
+
+@register(
+    "suggest_fuzzy",
+    f"""WITH {BASE_CTES},
+ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df FROM ts
+WHERE term LIKE 'sca%' OR levenshtein(substring(term, 1, 3), 'sca') <= 1
+ORDER BY df DESC, term ASC LIMIT 10""",
+)
+def suggest_fuzzy_entry(spark, sf_dir):
+    """FuzzySuggester analog: popularity-ranked completions whose head is
+    within 1 edit of the typed prefix."""
+    _, s = get_searcher(spark, sf_dir)
+    return extras.suggest_fuzzy(s, "sca", n=10, max_edits=1)
+
+
+@register(
+    "sort_by_field_early",
+    f"""WITH {BASE_CTES}
+SELECT d.doc_id, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'line')
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 10""",
+)
+def sort_by_field_early(spark, sf_dir):
+    """Index-sort early termination: same result as sort_by_field, but
+    through the sorted-layout LocalLimit plan (setIndexSort analog)."""
+    idx, s = get_searcher(spark, sf_dir)
+    if "n_chars" not in getattr(idx, "_sorted_docs", {}):
+        extras.optimize_for_sort(idx, "n_chars")
+    return extras.sorted_index_topk(s, Q.TermQuery("text", "line"), "n_chars", k=10)
+
+
 # ---- FeatureField (document/FeatureField.java:106) -------------------------
 
 

@@ -202,6 +202,98 @@ def highlight_term(
     )
 
 
+def taxonomy_counts(
+    searcher: IndexSearcher,
+    query: Q.Query,
+    path_cols: list[str],
+    sep: str = "/",
+) -> DataFrame:
+    """Hierarchical (taxonomy) facet counts
+    (``facet/taxonomy/TaxonomyReader.java``, ``FastTaxonomyFacetCounts``):
+    every match contributes a count to EVERY ancestor node of its category
+    path. The taxonomy tree is implicit in the path columns (level i's
+    node = the `sep`-joined prefix of length i+1); counting = explode the
+    prefix array + one groupBy — no side taxonomy index needed, the
+    ordinal->path role is played by the path string itself."""
+    m = searcher.matches(query)
+    docs = searcher.index.docs.join(m, "doc_id", "semi")
+    prefixes = F.array(
+        *[
+            F.concat_ws(sep, *[F.col(c) for c in path_cols[: i + 1]])
+            for i in range(len(path_cols))
+        ]
+    )
+    return (
+        docs.select(F.explode(prefixes).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def suggest_fuzzy(
+    searcher: IndexSearcher, prefix: str, n: int = 10, max_edits: int = 1
+) -> DataFrame:
+    """Fuzzy completion (``suggest/analyzing/FuzzySuggester.java``,
+    AnalyzingSuggester family): dictionary terms whose length-|prefix|
+    head is within `max_edits` Levenshtein of the typed prefix, ranked by
+    popularity (df) like the FST weights. Pure term-dictionary scan."""
+    p = prefix
+    head = F.substring(F.col("term"), 1, len(p))
+    pred = F.col("term").startswith(p) | (
+        F.levenshtein(head, F.lit(p)) <= max_edits
+    )
+    return (
+        searcher.index.termstats.filter(pred)
+        .select("term", "df")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(n)
+    )
+
+
+def sorted_index_topk(
+    searcher: IndexSearcher,
+    query: Q.Query,
+    sort_col: str,
+    k: int = 10,
+    ascending: bool = False,
+) -> DataFrame:
+    """Index-sort early termination
+    (``index/IndexWriterConfig.java:475`` setIndexSort +
+    ``TopFieldCollector`` early exit): when the docs table is maintained
+    sorted by the query sort, top-k = broadcast-semi-filter the sorted
+    scan and stop after k rows — Spark's LocalLimit short-circuits each
+    task's scan, so full-match-set sorting never happens. The caller
+    provides the sorted layout via ``optimize_for_sort`` (or a sorted
+    save); this plan is correct on any layout but early-terminates only
+    on a sorted one."""
+    sorted_docs = getattr(searcher.index, "_sorted_docs", {}).get(sort_col)
+    if sorted_docs is None:
+        sorted_docs = searcher.index.docs.orderBy(
+            F.col(sort_col).asc() if ascending else F.col(sort_col).desc(),
+            F.col("doc_id").asc(),
+        )
+    m = searcher.matches(query)
+    return (
+        sorted_docs.join(F.broadcast(m), "doc_id", "semi")
+        .select("doc_id", sort_col)
+        .limit(k)
+    )
+
+
+def optimize_for_sort(index, sort_col: str, ascending: bool = False) -> None:
+    """Maintain a sort-ordered docs layout for early-terminating top-k
+    (the setIndexSort analog: segments persisted in Sort order)."""
+    order = [
+        F.col(sort_col).asc() if ascending else F.col(sort_col).desc(),
+        F.col("doc_id").asc(),
+    ]
+    layout = index.docs.orderBy(*order).persist()
+    layout.count()
+    if not hasattr(index, "_sorted_docs"):
+        index._sorted_docs = {}
+    index._sorted_docs[sort_col] = layout
+
+
 def highlight_passages(
     searcher: IndexSearcher,
     terms: list[str],
@@ -298,25 +390,34 @@ def combined_field_topk(
       the whole plan stays JVM-side.
     """
     import numpy as np
-    from pyspark.sql import Window as _W
 
-    from lucene_spark.util.smallfloat import LENGTH_TABLE_INT
+    from lucene_spark.analysis.sql import sql_norm_byte
     from lucene_spark.search.similarity import BM25Similarity
 
     F32 = np.float32
     sim = BM25Similarity(k1=k1, b=b)
     items = list(fields.items())
-    spark = items[0][1][0].docs.sparkSession
 
     doc_count = max(idx.fieldstats[f].doc_count for f, (idx, _) in items)
     sum_ttf = sum(
         w * idx.fieldstats[f].sum_total_term_freq for f, (idx, w) in items
     )
-    df_blend = 0
+    # blended df = max over fields, resolved in ONE job: union the (tiny)
+    # per-field termstats lookups instead of collect()-ing each
+    df_parts = [
+        idx.termstats.filter(F.col("term") == term).select(
+            F.col("df").cast("long").alias("df")
+        )
+        for _, (idx, _w) in items
+    ]
+    df_u = df_parts[0]
+    for p in df_parts[1:]:
+        df_u = df_u.unionByName(p)
+    row = df_u.agg(F.max("df").alias("df")).collect()[0]
+    df_blend = int(row["df"] or 0)
+
     freq_parts, len_parts = [], []
     for f, (idx, w) in items:
-        ts = idx.termstats.filter(F.col("term") == term).collect()
-        df_blend = max(df_blend, int(ts[0]["df"]) if ts else 0)
         searcher = IndexSearcher(idx)
         d = searcher._decoded(f, F.col("term") == term)
         freq_parts.append(
@@ -340,22 +441,14 @@ def combined_field_topk(
     idf = sim.idf(df_blend, doc_count)
     w_scalar = float(F32(idf))
     inv_cache = sim.norm_inv_cache(avgdl)
-    # byte4 floor table: norm byte of a combined length = max nb with
-    # floor_len <= len (SmallFloat.java:103-157 staircase)
-    b4 = spark.createDataFrame(
-        [(nb, int(v), float(inv_cache[nb])) for nb, v in enumerate(LENGTH_TABLE_INT)],
-        schema="nb int, floor_len long, inv float",
-    )
+    # combined length re-quantizes through the byte4 staircase as a pure
+    # expression (searchsorted over the 256 floors; SmallFloat.java:103-157)
+    # + a literal-array inverse-norm lookup — no join, stays in codegen
+    inv_lit = F.lit([float(x) for x in inv_cache]).cast("array<float>")
     with_norm = (
         freqs.join(lens, "doc_id")
-        .join(F.broadcast(b4), F.col("floor_len") <= F.col("clen"))
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                _W.partitionBy("doc_id").orderBy(F.desc("nb"))
-            ),
-        )
-        .filter(F.col("_rk") == 1)
+        .withColumn("_nb", sql_norm_byte(F.col("clen")))
+        .withColumn("inv", F.element_at(inv_lit, F.col("_nb") + F.lit(1)))
     )
     wc = F.lit(w_scalar).cast("float")
     one = F.lit(1.0).cast("float")

@@ -1,0 +1,81 @@
+"""Minimal-interval algebra + spans layer semantics on a hand-built corpus
+(queries/intervals/Intervals.java; queries/spans mapped onto intervals)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index.build import IndexConfig, build_index
+from lucene_spark.search import intervals as IV, spans as SP
+from lucene_spark.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def s(spark):
+    texts = [
+        (0, "a x b y a b c"),          # a:0,4  b:2,5  c:6
+        (1, "b a"),                    # out of order
+        (2, "a x x x b"),              # gap 3
+        (3, "c c c"),                  # no a/b
+        (4, "a b a b"),                # dense
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    idx = build_index(
+        spark, docs, IndexConfig(text_col="text", field_name="text", doc_id_col="doc_id")
+    )
+    return IndexSearcher(idx)
+
+
+def _rows(df):
+    return sorted(
+        (int(r["doc_id"]), int(r["start"]), int(r["end"])) for r in df.collect()
+    )
+
+
+def test_ordered_minimal(s):
+    got = _rows(IV.matches(s, IV.Ordered(IV.Term("a"), IV.Term("b"))))
+    # doc0: a0..b2 dominated by a4..b5? [0,2] and [4,5] — neither contains
+    # the other; doc1 has no a-before-b; doc2: [0,4]; doc4: [0,1],[2,3]
+    assert got == [(0, 0, 2), (0, 4, 5), (2, 0, 4), (4, 0, 1), (4, 2, 3)]
+
+
+def test_unordered_includes_reversed(s):
+    got = _rows(IV.matches(s, IV.Unordered(IV.Term("a"), IV.Term("b"))))
+    assert (1, 0, 1) in got  # "b a" matches unordered
+
+
+def test_maxgaps_filters(s):
+    got = _rows(
+        IV.matches(s, IV.MaxGaps(1, IV.Ordered(IV.Term("a"), IV.Term("b"))))
+    )
+    assert (2, 0, 4) not in got          # 3 gaps
+    assert (0, 0, 2) in got              # 1 gap
+    assert (4, 0, 1) in got              # 0 gaps
+
+
+def test_containing_and_contained_by(s):
+    big = IV.Unordered(IV.Term("a"), IV.Term("c"))
+    got = _rows(IV.matches(s, IV.Containing(big, IV.Term("b"))))
+    # doc0: minimal a..c window [4,6] contains b at 5
+    assert got == [(0, 4, 6)]
+    inner = _rows(IV.matches(s, IV.ContainedBy(IV.Term("b"), big)))
+    assert inner == [(0, 5, 5)]
+
+
+def test_or_minimalizes(s):
+    got = _rows(IV.matches(s, IV.Or(IV.Term("a"), IV.Term("b"))))
+    # plain union of single positions (never nested)
+    assert (0, 0, 0) in got and (0, 2, 2) in got
+
+
+def test_spans_map_to_intervals(s):
+    near = SP.SpanNearQuery(
+        (SP.SpanTermQuery("a"), SP.SpanTermQuery("b")), slop=1, in_order=True
+    )
+    got = {
+        (int(r["doc_id"]), int(r["n_spans"]))
+        for r in SP.span_count(s, near).collect()
+    }
+    assert got == {(0, 2), (4, 2)}
+    first = SP.SpanFirstQuery(SP.SpanTermQuery("b"), end=3)
+    fgot = _rows(SP.span_matches(s, first))
+    assert fgot == [(0, 2, 2), (1, 0, 0), (4, 1, 1)]

@@ -94,3 +94,28 @@ def test_sloppy_phrase_two_term_plan_is_jvm_side(saved):
     plan = _plan(s.scored(Q.PhraseQuery("text", ("table", "part"), slop=2)))
     assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sorted_layout_topk_early_terminates(saved):
+    """Index-sort early termination (setIndexSort analog): the sorted-
+    layout top-k must carry a LocalLimit directly over the (filtered)
+    sorted scan — no global Sort of the full match set — and agree with
+    the sort-everything plan."""
+    from lucene_spark.search import extras
+
+    s = IndexSearcher(saved)
+    extras.optimize_for_sort(saved, "n_chars")
+    df = extras.sorted_index_topk(s, Q.TermQuery("text", "line"), "n_chars", k=10)
+    plan = _plan(df)
+    assert "LocalLimit" in plan or "CollectLimit" in plan
+    got = [(int(r["doc_id"]), int(r["n_chars"])) for r in df.collect()]
+    m = s.matches(Q.TermQuery("text", "line"))
+    want = [
+        (int(r["doc_id"]), int(r["n_chars"]))
+        for r in saved.docs.join(m, "doc_id", "semi")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+        .collect()
+    ]
+    assert got == want
