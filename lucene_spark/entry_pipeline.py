@@ -451,17 +451,28 @@ def text_fingerprints(spark, sf_dir):
 
 # ---- multimodal plumbing ---------------------------------------------------
 
+# mirrors multimodal._make_payload + the REAL BMP decode: dimensions and
+# frame count are md5-derived; pixel rows alternate v1 (even rows) and v2,
+# so the decoded mean intensity has the closed form
+# ((ceil(h/2)*v1 + floor(h/2)*v2) / height) / 255
 _MM_CTE = f"""
 mm AS (
   SELECT doc_id, {_H("coalesce(text, '')")} AS h FROM documents
 ),
-mm_meta AS (
+mm_dims AS (
   SELECT doc_id,
          (16 + h % 240)::INTEGER AS width,
          (16 + (h // 256) % 240)::INTEGER AS height,
          (1 + (h // 65536) % 8)::INTEGER AS n_frames,
-         (h % 256) / 255.0 AS mean_intensity
+         (h % 256)::BIGINT AS v1,
+         ((h // 16777216) % 256)::BIGINT AS v2
   FROM mm
+),
+mm_meta AS (
+  SELECT doc_id, width, height, n_frames,
+         (CAST(((height + 1) // 2) * v1 + (height // 2) * v2 AS DOUBLE)
+          / CAST(height AS DOUBLE)) / 255.0 AS mean_intensity
+  FROM mm_dims
 )
 """.strip()
 

@@ -1,64 +1,163 @@
-"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal-column processing: binary image payloads + typed metadata.
 
-Images/audio/video ride through the pipeline as ``binary`` columns with a
-metadata struct; the heavy per-item work (decode, resize, frame-sample,
-feature-extract) runs as Arrow-batched pandas UDFs via ``mapInPandas`` so
-each Spark task streams record batches without materializing a partition.
+Images/video ride through the pipeline as ``binary`` columns; the heavy
+per-item work (decode, frame-sample) runs as Arrow-batched pandas UDFs via
+``mapInPandas`` so each Spark task streams record batches without
+materializing a partition.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this environment:
-``decode_image`` raises ``NotImplementedError`` by design, and the tested
-path uses ``fake_decode_meta`` — a deterministic md5-derived stand-in with
-the REAL plumbing (schema, batching, partitioning) so swapping in a real
-decoder is a one-function change.
+The decode path is REAL: payloads are uncompressed 24-bit BMP images (a
+pure-stdlib codec — no PIL/libjpeg needed in this environment), optionally
+wrapped in a tiny multi-frame container (``LSMF`` magic + frame count) for
+the video case. ``decode_image`` parses the actual BITMAPFILEHEADER /
+BITMAPINFOHEADER and pixel rows (4-byte-aligned, bottom-up) and computes
+mean intensity from the pixel bytes. JPEG/PNG/ffmpeg formats raise — wire
+a library decoder into ``decode_image`` and every downstream operator
+(schema, batching, partitioning) is unchanged.
+
+The synthetic payload generator is deterministic (dimensions and frame
+count derived from md5 of the source text; pixel rows alternate two
+constant intensities), so a SQL oracle reproduces the decoded metadata in
+closed form while the engine path genuinely decodes bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
 __all__ = [
     "attach_payload",
+    "encode_bmp",
     "decode_image",
-    "fake_decode_meta",
+    "decode_container",
     "image_meta",
     "sample_frames",
 ]
+
+_MAGIC = b"LSMF"  # multi-frame container: magic + u32 frame count + frames
+
+
+def encode_bmp(width: int, height: int, row_values: list[int]) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP; row y is the constant grayscale
+    ``row_values[y]`` (r=g=b). Rows padded to 4-byte boundaries."""
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    pixel_size = (row_bytes + pad) * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + pixel_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        v = row_values[y] & 0xFF
+        rows.append(bytes([v, v, v]) * width + b"\x00" * pad)
+    return header + info + b"".join(rows)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Parse a real BMP payload -> (width, height, mean_intensity).
+
+    mean_intensity = mean of all pixel channel bytes / 255 (padding
+    excluded). Non-BMP formats raise — swap in a library decoder here.
+    """
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            "only the built-in BMP codec is available in this environment; "
+            "wire PIL/libjpeg here for other formats — downstream plumbing "
+            "is format-agnostic"
+        )
+    off = struct.unpack_from("<I", payload, 10)[0]
+    size, width, height, _planes, bpp = struct.unpack_from(
+        "<IiiHH", payload, 14
+    )
+    if bpp != 24 or size != 40:
+        raise NotImplementedError("built-in codec reads 24-bit BITMAPINFOHEADER")
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    h = abs(height)
+    px = np.frombuffer(
+        payload, dtype=np.uint8, count=(row_bytes + pad) * h, offset=off
+    ).reshape(h, row_bytes + pad)[:, :row_bytes]
+    return width, h, float(px.mean()) / 255.0
+
+
+def decode_container(payload: bytes) -> tuple[int, bytes]:
+    """(n_frames, first_frame_bytes) of an LSMF multi-frame payload; a bare
+    BMP counts as a single frame."""
+    if payload[:4] == _MAGIC:
+        n = struct.unpack_from("<I", payload, 4)[0]
+        return n, payload[8:]
+    return 1, payload
+
+
+def _h60(data: bytes) -> int:
+    return int(hashlib.md5(data).hexdigest()[:15], 16)
+
+
+def _make_payload(text: str) -> bytes:
+    """Deterministic multi-frame BMP payload for one doc: dimensions/frame
+    count from md5(text); rows alternate two constant intensities (closed-
+    form mean for the SQL oracle)."""
+    h = _h60(text.encode("utf-8"))
+    width = 16 + h % 240
+    height = 16 + (h // 256) % 240
+    n_frames = 1 + (h // 65536) % 8
+    v1 = h % 256
+    v2 = (h // 16777216) % 256
+    rows = [v1 if y % 2 == 0 else v2 for y in range(height)]
+    frame = encode_bmp(width, height, rows)
+    return _MAGIC + struct.pack("<I", n_frames) + frame * n_frames
+
+
+_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
 
 
 def attach_payload(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, payload:binary, mime, n_bytes) — the multimodal column shape.
+    """(doc_id, payload:binary, mime, n_bytes) — the multimodal column
+    shape, payload = REAL multi-frame BMP bytes synthesized per doc. A
+    production pipeline reads ``binaryFile`` sources or Iceberg binary
+    columns into the same schema."""
 
-    The synthetic payload is the utf-8 content bytes; a real pipeline reads
-    ``binaryFile`` sources or Iceberg binary columns into the same schema.
-    """
-    payload = F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        payload.alias("payload"),
-        F.lit("image/fake").alias("mime"),
-        F.length(payload).alias("n_bytes"),
-    )
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _make_payload(t if isinstance(t, str) else "")
+                for t in pdf[text_col].fillna("")
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "video/x-lsmf-bmp",
+                    "n_bytes": np.array([len(p) for p in payloads], dtype="int64"),
+                }
+            )
 
-
-def decode_image(payload: bytes):
-    """Real image decode — requires PIL, which is not in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/libjpeg; wire a real decoder here and "
-        "reuse fake_decode_meta's mapInPandas plumbing unchanged"
-    )
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
 
 
 META_SCHEMA = StructType(
@@ -72,26 +171,25 @@ META_SCHEMA = StructType(
 )
 
 
-def _h60_bytes(payload: bytes) -> int:
-    return int(hashlib.md5(payload).hexdigest()[:15], 16)
-
-
-def fake_decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic decode stand-in: metadata derived from md5(payload).
-
-    width  = 16 + h60 % 240,  height = 16 + (h60 >> 8) % 240,
-    n_frames = 1 + (h60 >> 16) % 8,  mean_intensity = (h60 % 256) / 255.
-    (Mirrors to SQL via md5(text) — the oracle contract.)
-    """
+def _decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode: parse container + BMP headers + pixel rows per payload."""
     for pdf in batches:
-        hs = pdf["payload"].map(_h60_bytes)
+        out = {k: [] for k in ("doc_id", "width", "height", "n_frames", "mean_intensity")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames, frame = decode_container(bytes(payload))
+            w, h, mean = decode_image(frame)
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_frames"].append(n_frames)
+            out["mean_intensity"].append(mean)
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "width": (16 + hs % 240).astype("int32"),
-                "height": (16 + (hs // 256) % 240).astype("int32"),
-                "n_frames": (1 + (hs // 65536) % 8).astype("int32"),
-                "mean_intensity": (hs % 256) / 255.0,
+                "doc_id": np.array(out["doc_id"], dtype="int64"),
+                "width": np.array(out["width"], dtype="int32"),
+                "height": np.array(out["height"], dtype="int32"),
+                "n_frames": np.array(out["n_frames"], dtype="int32"),
+                "mean_intensity": np.array(out["mean_intensity"], dtype="float64"),
             }
         )
 
@@ -99,7 +197,7 @@ def fake_decode_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def image_meta(media: DataFrame) -> DataFrame:
     """payload table -> decoded metadata rows (Arrow-batched, no shuffle)."""
     return media.select("doc_id", "payload").mapInPandas(
-        fake_decode_meta, schema=META_SCHEMA
+        _decode_meta, schema=META_SCHEMA
     )
 
 

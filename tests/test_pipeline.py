@@ -149,6 +149,19 @@ def test_multimodal_meta_and_frames(docs):
         assert r["frame_idx"] % 2 == 0 and r["frame_idx"] < r["n_frames"]
 
 
-def test_real_decode_is_explicit_stub():
+def test_real_decode_roundtrip():
+    """The decode path is REAL: a stdlib BMP codec parses actual headers
+    and pixel rows; non-BMP formats still raise until a library decoder is
+    wired in."""
+    payload = multimodal.encode_bmp(5, 4, [10, 200, 10, 200])
+    w, h, mean = multimodal.decode_image(payload)
+    assert (w, h) == (5, 4)
+    assert abs(mean - ((2 * 10 + 2 * 200) / 4) / 255.0) < 1e-12
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8")
+        multimodal.decode_image(b"\xff\xd8jpeg-bytes")
+    # container: n frames + first-frame parse
+    n, frame = multimodal.decode_container(
+        b"LSMF" + (3).to_bytes(4, "little") + payload * 3
+    )
+    assert n == 3
+    assert multimodal.decode_image(frame)[0] == 5
