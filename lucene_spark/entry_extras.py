@@ -419,6 +419,48 @@ def intervals_unordered(spark, sf_dir):
     return extras.interval_within(s, "key", "value", width=5, ordered=False)
 
 
+# ---- PhraseWildcardQuery (sandbox/PhraseWildcardQuery.java) ----------------
+
+_PW_IDF_TERM = _idf_sql("df")
+_PW_IDF_PART = _idf_sql("(SELECT count(*) FROM tf WHERE term='part')")
+
+
+@register(
+    "phrase_wildcard_query",
+    f"""WITH {BASE_CTES},
+pw_df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf WHERE term LIKE 'ta%' GROUP BY term
+),
+pw_w(w) AS (
+  SELECT CAST(
+    list_reduce(list(CAST({_PW_IDF_TERM} AS DOUBLE) ORDER BY term), (a, b) -> a + b)
+    + CAST({_PW_IDF_PART} AS DOUBLE) AS FLOAT)
+  FROM pw_df
+),
+pw0 AS (SELECT DISTINCT doc_id, pos FROM tok WHERE term LIKE 'ta%'),
+pw1 AS (SELECT doc_id, pos FROM tok WHERE term = 'part'),
+pw AS (
+  SELECT pw0.doc_id, count(*)::INTEGER AS freq
+  FROM pw0 JOIN pw1 ON pw1.doc_id = pw0.doc_id AND pw1.pos = pw0.pos + 1
+  GROUP BY pw0.doc_id
+),
+sc AS (
+  SELECT pw.doc_id, {_score_expr('pw_w.w', 'pw.freq', 'i.inv')} AS score
+  FROM pw JOIN invn i USING (doc_id) CROSS JOIN pw_w
+)
+{_topk_sql('sc')}""",
+)
+def phrase_wildcard_query(spark, sf_dir):
+    """Phrase with a wildcard slot: 'ta* part' — the ta* slot expands
+    against the term dictionary (sorted, capped), then runs as a
+    MultiPhraseQuery; weight sums float32 idfs over every expanded
+    alternative in expansion order plus the literal slot."""
+    _, s = get_searcher(spark, sf_dir)
+    return extras.phrase_wildcard(s, ["ta*", "part"], k=10).select(
+        "doc_id", "score"
+    )
+
+
 # ---- taxonomy facets / fuzzy suggest / index-sort early exit ---------------
 
 

@@ -202,6 +202,51 @@ def highlight_term(
     )
 
 
+def phrase_wildcard(
+    searcher: IndexSearcher,
+    slots: "list[str]",
+    slop: int = 0,
+    max_expansions: int = 128,
+    k: int = 10,
+) -> DataFrame:
+    """PhraseWildcardQuery (``sandbox/.../PhraseWildcardQuery.java``):
+    a phrase where slots may be multi-term patterns (``*``/``?``
+    wildcards). Each pattern slot expands against the term dictionary
+    (capped like MultiTermQuery's 1024-clause limit, here
+    `max_expansions`), then the phrase runs as a MultiPhraseQuery — the
+    reference's own evaluation strategy (segment-based term expansion,
+    then phrase matching over the unioned postings)."""
+    import re as _re
+
+    from lucene_spark.search.searcher import _wildcard_to_regex
+
+    expanded: list[tuple[str, ...]] = []
+    for slot in slots:
+        if "*" in slot or "?" in slot:
+            rx = "^" + _wildcard_to_regex(slot) + "$"
+            terms = [
+                r["term"]
+                for r in searcher.index.termstats.filter(
+                    F.col("term").rlike(rx)
+                )
+                .select("term")
+                .orderBy("term")
+                .limit(max_expansions)
+                .collect()
+            ]
+            if not terms:
+                return searcher.index.docs.select("doc_id").limit(0).select(
+                    "doc_id", F.lit(0.0).cast("float").alias("score")
+                )
+            expanded.append(tuple(terms))
+        else:
+            expanded.append((slot,))
+    q = Q.MultiPhraseQuery(
+        searcher.index.config.field_name, tuple(expanded), slop=slop
+    )
+    return searcher.search(q, k=k)
+
+
 def taxonomy_counts(
     searcher: IndexSearcher,
     query: Q.Query,
