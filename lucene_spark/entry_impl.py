@@ -230,7 +230,13 @@ def _get_pruned_searcher(spark, sf_dir) -> IndexSearcher:
     (the production gate only opens on genuinely hot terms)."""
     if sf_dir not in _PRUNED_CACHE:
         idx, _ = get_searcher(spark, sf_dir)
-        _PRUNED_CACHE[sf_dir] = IndexSearcher(idx, prune_min_df=64)
+        s = IndexSearcher(idx, prune_min_df=64)
+        # force the rescore branch past the cost guard: at test scale
+        # every block survives the keep rule (tiny corpora can't show
+        # selectivity), and the point of these entries is proving the
+        # two-phase plan's arithmetic, not its cost model
+        s.prune_keep_frac = 2.0
+        _PRUNED_CACHE[sf_dir] = s
     return _PRUNED_CACHE[sf_dir]
 
 

@@ -150,6 +150,12 @@ class IndexSearcher:
         #: {"total_blocks", "phase1_blocks", "kept_blocks", "rescore_blocks"}
         self.collect_prune_stats = False
         self.last_prune_stats: dict[str, int] | None = None
+        #: disjunction-pruning cost guards (BooleanScorerSupplier role):
+        #: fall back to the plain one-shuffle disjunction when the keep
+        #: rule retains more than this fraction of blocks, or when the
+        #: candidate superset exceeds this row count (broadcast budget)
+        self.prune_keep_frac = 0.5
+        self.prune_max_candidates = 100_000
         self._stats_memo: dict[tuple[str, str], tuple[int, int]] = {}
         self._avgdl: dict[str, np.float32] = {}
         self._cache: dict[str, np.ndarray] = {}
@@ -1014,6 +1020,25 @@ class IndexSearcher:
         kept = blocks.filter(
             (F.col("_ub").cast("double") + ob_col) >= F.lit(theta)
         )
+        # cost-based guard (the BooleanScorerSupplier role: only take the
+        # pruned strategy when it actually prunes): on uniformly-hot
+        # clauses theta sits below most block bounds, the keep-rule
+        # retains nearly everything and the candidate set approaches the
+        # corpus — the broadcast rescore join would then be strictly worse
+        # than the plain one-shuffle disjunction. Two cheap metadata
+        # counts decide before any decode happens.
+        total_blocks = blocks.count()
+        kept_cnt = kept.count()
+        if kept_cnt > self.prune_keep_frac * total_blocks:
+            if self.collect_prune_stats:
+                self.last_prune_stats = {
+                    "total_blocks": total_blocks,
+                    "phase1_blocks": n_phase1 * len(terms),
+                    "kept_blocks": kept_cnt,
+                    "rescore_blocks": 0,
+                    "fell_back": True,
+                }
+            return fallback
         # candidate docs: superset of the true top-k (step 2 of docstring);
         # persisted — the returned plan reads it twice (range semi-join +
         # final membership), and a decode is expensive to recompute
@@ -1025,6 +1050,18 @@ class IndexSearcher:
             .persist()
         )
         self._retire_scratch(cand)
+        cand_cnt = cand.count()
+        if cand_cnt > max(self.prune_max_candidates, 64 * k):
+            # candidate superset too large to broadcast-rescore profitably
+            if self.collect_prune_stats:
+                self.last_prune_stats = {
+                    "total_blocks": total_blocks,
+                    "phase1_blocks": n_phase1 * len(terms),
+                    "kept_blocks": kept_cnt,
+                    "rescore_blocks": 0,
+                    "fell_back": True,
+                }
+            return fallback
         # exact rescore: every block whose doc span holds a candidate
         needed = blocks.join(
             F.broadcast(cand),
@@ -1034,10 +1071,11 @@ class IndexSearcher:
         )
         if self.collect_prune_stats:
             self.last_prune_stats = {
-                "total_blocks": blocks.count(),
+                "total_blocks": total_blocks,
                 "phase1_blocks": phase1.count(),
-                "kept_blocks": kept.count(),
+                "kept_blocks": kept_cnt,
                 "rescore_blocks": needed.count(),
+                "fell_back": False,
             }
         exact = combine(
             needed.select(decode_cols).mapInPandas(

@@ -80,12 +80,14 @@ def test_disjunction_pruned_equals_unpruned(built):
     idx, _, oracle = built
     searcher = IndexSearcher(idx, prune_min_df=1)
     searcher.collect_prune_stats = True
+    searcher.prune_keep_frac = 2.0  # force the rescore branch at test scale
     q_or = Q.BooleanQuery.of(
         should=[Q.TermQuery("content", "the"), Q.TermQuery("content", "if")]
     )
     pruned = searcher.search(q_or, k=5, prune=True).collect()
     assert searcher.last_prune_stats is not None
     stats = searcher.last_prune_stats
+    assert stats["fell_back"] is False  # the exact-rescore path executed
     assert stats["kept_blocks"] <= stats["total_blocks"]
     full = searcher.search(q_or, k=5, prune=False).collect()
     assert [(r["doc_id"], r["score"]) for r in pruned] == [
@@ -216,3 +218,23 @@ def test_search_many_matches_individual(built):
         ]
         rows = sorted(by_q.get(qid, []))
         assert [(d, s) for _, d, s in rows] == want, qid
+
+
+def test_disjunction_pruning_cost_guard_falls_back(built):
+    """Uniformly-hot clauses defeat block pruning (theta below most block
+    bounds): the cost guard must detect it and take the plain one-shuffle
+    disjunction instead of a corpus-sized broadcast rescore."""
+    idx, _, oracle = built
+    searcher = IndexSearcher(idx, prune_min_df=1)
+    searcher.collect_prune_stats = True  # default prune_keep_frac = 0.5
+    q_or = Q.BooleanQuery.of(
+        should=[Q.TermQuery("content", "the"), Q.TermQuery("content", "if")]
+    )
+    pruned = searcher.search(q_or, k=5, prune=True).collect()
+    stats = searcher.last_prune_stats
+    assert stats is not None
+    # either legitimately selective or fell back — and always exact:
+    full = searcher.search(q_or, k=5, prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in pruned] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
