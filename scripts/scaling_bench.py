@@ -211,7 +211,12 @@ def main() -> None:
             ln for ln in out.stdout.splitlines() if ln.startswith("SCALING_RESULT ")
         ]
         if not line:
-            raise RuntimeError(f"worker failed: {out.stderr[-2000:]}")
+            with open(f"/tmp/scaling_worker_{cpus}.stderr", "w") as f:
+                f.write(out.stderr)
+            raise RuntimeError(
+                f"worker failed (full stderr in /tmp/scaling_worker_{cpus}.stderr): "
+                f"{out.stderr[-2000:]}"
+            )
         return json.loads(line[-1][len("SCALING_RESULT "):])
 
     # alternate lo/hi and take the best run per level: single-box timings
