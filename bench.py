@@ -27,6 +27,7 @@ def make_spark(cpus: int) -> SparkSession:
         .appName("lucene-spark-bench")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.broadcastTimeout", "1200")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # throughput-friendly GC: G1's pacing on a large heap serialized

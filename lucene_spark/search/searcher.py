@@ -1039,19 +1039,22 @@ class IndexSearcher:
                     "fell_back": True,
                 }
             return fallback
-        # candidate docs: superset of the true top-k (step 2 of docstring);
-        # persisted — the returned plan reads it twice (range semi-join +
-        # final membership), and a decode is expensive to recompute
-        cand = (
-            kept.select(decode_cols)
+        # candidate docs: superset of the true top-k (step 2 of docstring).
+        # The count is bounded by the guard below, so the ids come back to
+        # the driver and re-enter the plan as a LOCAL relation — the two
+        # broadcast joins then ship ready bytes instead of re-running the
+        # decode inside the broadcast-exchange thread (which can blow
+        # spark.sql.broadcastTimeout under cache eviction/contention).
+        cand_ids = [
+            int(r["doc_id"])
+            for r in kept.select(decode_cols)
             .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
             .select("doc_id")
             .distinct()
-            .persist()
-        )
-        self._retire_scratch(cand)
-        cand_cnt = cand.count()
-        if cand_cnt > max(self.prune_max_candidates, 64 * k):
+            .limit(max(self.prune_max_candidates, 64 * k) + 1)
+            .collect()
+        ]
+        if len(cand_ids) > max(self.prune_max_candidates, 64 * k):
             # candidate superset too large to broadcast-rescore profitably
             if self.collect_prune_stats:
                 self.last_prune_stats = {
@@ -1062,6 +1065,10 @@ class IndexSearcher:
                     "fell_back": True,
                 }
             return fallback
+        spark = self.index.docs.sparkSession
+        cand = spark.createDataFrame(
+            [(x,) for x in cand_ids], schema="doc_id long"
+        )
         # exact rescore: every block whose doc span holds a candidate
         needed = blocks.join(
             F.broadcast(cand),

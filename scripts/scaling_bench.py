@@ -85,6 +85,7 @@ def make_spark(cpus: int):
         .appName(f"scaling-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", "128")
         .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.sql.broadcastTimeout", "1200")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
