@@ -521,28 +521,35 @@ def build_index(
     )
 
     # searcher-wide stats (IndexSearcher.java:1144-1159 sums over leaves):
-    # ONE action over a cross-join of the two single-row aggregates, so the
-    # doclens counting pass and the postings build run as concurrent stages
-    # of the same job instead of two serial jobs
-    agg = (
-        doclens.agg(
-            F.count("*").alias("max_doc"),
-            F.sum((F.col("length") > 0).cast("long")).alias("doc_count"),
-            F.sum("length").alias("sum_ttf"),
-        )
-        .crossJoin(termstats.agg(F.sum("df").alias("sum_df")))
-        .collect()[0]
+    # ONE action over a tagged UNION of the two single-row aggregates, so
+    # the doclens counting pass and the postings build run as concurrent
+    # stages of the same job instead of two serial jobs. NOT a crossJoin:
+    # Catalyst lowers that to a broadcast nested-loop join whose broadcast
+    # side would compute the ENTIRE postings build inside the
+    # broadcast-exchange thread — tripping spark.sql.broadcastTimeout on
+    # large corpora (observed at 1-4M docs on few cores).
+    a_dl = doclens.agg(
+        F.count("*").alias("max_doc"),
+        F.sum((F.col("length") > 0).cast("long")).alias("doc_count"),
+        F.sum("length").alias("sum_ttf"),
+    ).select(F.lit("dl").alias("side"), "max_doc", "doc_count", "sum_ttf")
+    a_ts = termstats.agg(F.sum("df").alias("sum_df")).select(
+        F.lit("ts").alias("side"), F.col("sum_df")
     )
-    sum_df = agg["sum_df"]
+    rows = {
+        r["side"]: r
+        for r in a_dl.unionByName(a_ts, allowMissingColumns=True).collect()
+    }
+    dl_row, ts_row = rows["dl"], rows["ts"]
     fieldstats = {
         cfg.field_name: FieldStats(
-            max_doc=int(agg["max_doc"]),
-            doc_count=int(agg["doc_count"] or 0),
-            sum_total_term_freq=int(agg["sum_ttf"] or 0),
-            sum_doc_freq=int(sum_df or 0),
+            max_doc=int(dl_row["max_doc"]),
+            doc_count=int(dl_row["doc_count"] or 0),
+            sum_total_term_freq=int(dl_row["sum_ttf"] or 0),
+            sum_doc_freq=int(ts_row["sum_df"] or 0),
         )
     }
-    max_doc = int(agg["max_doc"])
+    max_doc = int(dl_row["max_doc"])
 
     idx = InvertedIndex(
         docs=docs,

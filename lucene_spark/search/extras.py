@@ -216,8 +216,6 @@ def phrase_wildcard(
     `max_expansions`), then the phrase runs as a MultiPhraseQuery — the
     reference's own evaluation strategy (segment-based term expansion,
     then phrase matching over the unioned postings)."""
-    import re as _re
-
     from lucene_spark.search.searcher import _wildcard_to_regex
 
     expanded: list[tuple[str, ...]] = []

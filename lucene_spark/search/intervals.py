@@ -45,6 +45,7 @@ __all__ = [
     "Phrase",
     "MaxGaps",
     "MaxWidth",
+    "MaxEnd",
     "Containing",
     "ContainedBy",
     "Or",
@@ -99,6 +100,15 @@ class MaxWidth(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class MaxEnd(IntervalsSource):
+    """Intervals ending before `end` — the SpanFirstQuery /
+    SpanPositionRangeQuery position gate as a composable source."""
+
+    end: int
+    source: IntervalsSource
+
+
+@dataclass(frozen=True)
 class Containing(IntervalsSource):
     big: IntervalsSource
     small: IntervalsSource
@@ -125,14 +135,17 @@ def _minimalize(df: DataFrame) -> DataFrame:
     iff some later-starting interval ends at or before its end (running
     min of `end` over strictly-greater starts, one window pass).
     """
+    # same-start dedup keeps the shortest interval; on equal (start, end)
+    # keep the HIGHEST wmatch (fewest internal gaps) so MaxGaps over an Or
+    # of overlapping variants never rejects the denser match
     dedup = (
         df.groupBy("doc_id", "start")
-        .agg(F.min(F.struct("end", "wmatch")).alias("_m"))
+        .agg(F.min(F.struct(F.col("end"), (-F.col("wmatch")).alias("nw"))).alias("_m"))
         .select(
             "doc_id",
             "start",
             F.col("_m.end").alias("end"),
-            F.col("_m.wmatch").alias("wmatch"),
+            (-F.col("_m.nw")).alias("wmatch"),
         )
     )
     w = (
@@ -174,12 +187,14 @@ def _ordered2(a: DataFrame, b: DataFrame) -> DataFrame:
     j = a.join(bb, "doc_id").filter(F.col("bs") > F.col("end"))
     cand = (
         j.groupBy("doc_id", "start", "end", "wmatch")
-        .agg(F.min(F.struct("be", "bw")).alias("_b"))
+        .agg(
+            F.min(F.struct(F.col("be"), (-F.col("bw")).alias("nbw"))).alias("_b")
+        )
         .select(
             "doc_id",
             "start",
             F.col("_b.be").alias("end"),
-            (F.col("wmatch") + F.col("_b.bw")).alias("wmatch"),
+            (F.col("wmatch") - F.col("_b.nbw")).alias("wmatch"),
         )
     )
     return _minimalize(cand)
@@ -231,6 +246,9 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
     if isinstance(src, MaxWidth):
         inner = _build(searcher, src.source)
         return inner.filter(F.col("end") - F.col("start") + 1 <= src.max_width)
+    if isinstance(src, MaxEnd):
+        inner = _build(searcher, src.source)
+        return inner.filter(F.col("end") < src.end)
     if isinstance(src, Containing):
         big = _build(searcher, src.big)
         small = _build(searcher, src.small).select(
@@ -267,8 +285,9 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
 
 
 def matches(searcher, source: IntervalsSource) -> DataFrame:
-    """(doc_id, start, end, wmatch) minimal intervals of `source`."""
-    return _build(searcher, source)
+    """(doc_id, start, end, wmatch) minimal intervals of `source`,
+    live docs only (deletes anti-joined, like searcher.matches)."""
+    return searcher._live(_build(searcher, source))
 
 
 def count_intervals(searcher, source: IntervalsSource) -> DataFrame:

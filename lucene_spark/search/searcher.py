@@ -852,7 +852,13 @@ class IndexSearcher:
         ub = self._score_col(field, F.col("max_freq"), F.col("min_norm"), w)
         blocks = blocks.withColumn("_ub", ub)
         n_phase1 = max(1, math.ceil((4 * k) / forutil.BLOCK_SIZE))
-        phase1 = blocks.orderBy(F.col("_ub").desc()).limit(n_phase1)
+        # deterministic tie-break: the phase-1 set is evaluated by TWO jobs
+        # (key collect + decode) — equal upper bounds must not let them
+        # pick different blocks, or an excluded-but-undecoded block's docs
+        # would silently vanish from the union below
+        phase1 = blocks.orderBy(
+            F.col("_ub").desc(), F.col("seg_id").asc(), F.col("block_ord").asc()
+        ).limit(n_phase1)
         p1_keys = [
             (r["seg_id"], r["block_ord"]) for r in phase1.select("seg_id", "block_ord").collect()
         ]
@@ -993,7 +999,12 @@ class IndexSearcher:
             return agg.select("doc_id", expr.alias("score"))
 
         n_phase1 = max(1, math.ceil((4 * k) / forutil.BLOCK_SIZE))
-        phase1 = blocks.orderBy(F.col("_ub").desc()).limit(n_phase1 * len(terms))
+        phase1 = blocks.orderBy(
+            F.col("_ub").desc(),
+            F.col("term").asc(),
+            F.col("seg_id").asc(),
+            F.col("block_ord").asc(),
+        ).limit(n_phase1 * len(terms))
         scored1 = combine(
             phase1.select(decode_cols).mapInPandas(
                 _decode_blocks, schema=_DECODE_SCHEMA
@@ -1106,6 +1117,18 @@ class IndexSearcher:
         other query types raise — run those individually.
         """
         field = self.index.config.field_name
+        for q in queries.values():
+            subs = (
+                [c.query for c in q.clauses]
+                if isinstance(q, Q.BooleanQuery)
+                else [q]
+            )
+            for s in subs:
+                if isinstance(s, Q.TermQuery) and s.field != field:
+                    raise NotImplementedError(
+                        f"search_many scores field {field!r} only; "
+                        f"got a clause on {s.field!r}"
+                    )
         clause_rows: list[tuple] = []   # (qid, term, weight, occur)
         query_rows: list[tuple] = []    # (qid, n_required, msm)
         wanted = Q.BooleanQuery.of(
@@ -1211,36 +1234,36 @@ class IndexSearcher:
             .select("query_id", "doc_id", "score", "rank")
         )
 
-    def _retire_scratch(self, df: DataFrame) -> None:
-        """Track per-query scratch caches; unpersist the previous query's
-        scratch so serving doesn't accumulate storage."""
-        old = getattr(self, "_scratch", None)
-        if old is not None:
-            try:
-                old.unpersist(blocking=False)
-            except Exception:
-                pass
-        self._scratch = df
-
 
 def _as_prunable_disjunction(
     query: Q.Query,
 ) -> tuple[list[Q.TermQuery], float | None] | None:
     """(clauses, tie) when `query` is a pure scored disjunction of
     TermQuerys — the MAXSCORE-eligible shape BooleanScorerSupplier
-    selects for (``BooleanScorerSupplier.java:288-318``)."""
+    selects for (``BooleanScorerSupplier.java:288-318``). The pruned plan
+    keys its block table and weight lookup by bare term, so it also
+    requires a single field and no duplicate terms — other shapes take
+    the exact fallback."""
+
+    def eligible(subs: list[Q.Query]) -> bool:
+        if len(subs) < 2 or not all(isinstance(s, Q.TermQuery) for s in subs):
+            return False
+        fields = {s.field for s in subs}
+        terms = [s.term for s in subs]
+        return len(fields) == 1 and len(set(terms)) == len(terms)
+
     if isinstance(query, Q.BooleanQuery):
         if query.minimum_should_match > 1:
             return None
         if any(c.occur is not Q.Occur.SHOULD for c in query.clauses):
             return None
         subs = [c.query for c in query.clauses]
-        if len(subs) < 2 or not all(isinstance(s, Q.TermQuery) for s in subs):
+        if not eligible(subs):
             return None
         return list(subs), None
     if isinstance(query, Q.DisjunctionMaxQuery):
         subs = list(query.queries)
-        if len(subs) < 2 or not all(isinstance(s, Q.TermQuery) for s in subs):
+        if not eligible(subs):
             return None
         return subs, float(query.tie_breaker)
     return None

@@ -93,15 +93,14 @@ def _to_intervals(q: SpanQuery) -> IV.IntervalsSource:
     if isinstance(q, SpanWithinQuery):
         return IV.ContainedBy(_to_intervals(q.little), _to_intervals(q.big))
     if isinstance(q, SpanFirstQuery):
-        return q  # handled in span_matches (post-filter on end)
+        # SpanPositionRangeQuery position gate — composable, so nested
+        # SpanFirst inside near/or/containing works too
+        return IV.MaxEnd(q.end, _to_intervals(q.match))
     raise NotImplementedError(type(q).__name__)
 
 
 def span_matches(searcher, q: SpanQuery) -> DataFrame:
     """(doc_id, start, end, wmatch) minimal spans of `q`."""
-    if isinstance(q, SpanFirstQuery):
-        inner = span_matches(searcher, q.match)
-        return inner.filter(F.col("end") < q.end)
     return IV.matches(searcher, _to_intervals(q))
 
 

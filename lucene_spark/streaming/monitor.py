@@ -53,18 +53,28 @@ class Monitor:
     def unregister(self, query_id: str) -> None:
         self._entries.pop(query_id, None)
 
-    def _query_terms_table(self, spark: SparkSession) -> DataFrame:
-        """(query_id, term, kind, slot, n_required) rows.
+    def _query_tables(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, DataFrame]:
+        """(terms, meta):
 
-        kind: 'must' | 'should' | 'phrase' | 'not'; slot = phrase position
-        index; n_required = how many distinct must-terms / phrase slots the
-        query needs present for a match. 'not' rows anti-join candidate
-        pairs: one prohibited-term hit kills the (query, doc) match.
+        terms — (query_id, term, kind, slot, n_required): kind 'must' |
+        'should' | 'phrase' | 'not'; slot = phrase position index;
+        n_required = phrase slot count (phrase rows only). 'not' rows
+        anti-join candidate pairs.
+
+        meta — (query_id, n_must, msm): per-query requirements for the
+        term/boolean family; a doc matches iff it hits all n_must required
+        terms AND at least msm distinct SHOULD terms (BooleanQuery
+        semantics: msm constrains only when >= 1; pure disjunctions
+        require >= 1).
         """
         rows = []
+        meta = []
         for qid, q in self._entries.items():
             if isinstance(q, Q.TermQuery):
-                rows.append((qid, q.term, "must", 0, 1))
+                rows.append((qid, q.term, "must", 0, 0))
+                meta.append((qid, 1, 0))
             elif isinstance(q, Q.PhraseQuery):
                 for i, t in enumerate(q.terms):
                     rows.append((qid, t, "phrase", i, len(q.terms)))
@@ -84,18 +94,24 @@ class Monitor:
                     not isinstance(s, Q.TermQuery) for s in musts + shoulds + nots
                 ):
                     raise NotImplementedError("nested boolean in Monitor")
-                if musts:
-                    for s in musts:
-                        rows.append((qid, s.term, "must", 0, len(musts)))
-                else:
-                    n = max(q.minimum_should_match, 1)
+                for s in musts:
+                    rows.append((qid, s.term, "must", 0, 0))
+                msm = q.minimum_should_match if musts else max(
+                    q.minimum_should_match, 1
+                )
+                if msm >= 1:
                     for s in shoulds:
-                        rows.append((qid, s.term, "should", 0, n))
+                        rows.append((qid, s.term, "should", 0, 0))
                 for s in nots:
                     rows.append((qid, s.term, "not", 0, 0))
-        return spark.createDataFrame(
+                meta.append((qid, len(musts), msm))
+        terms_df = spark.createDataFrame(
             rows, schema="query_id string, term string, kind string, slot int, n_required int"
         )
+        meta_df = spark.createDataFrame(
+            meta, schema="query_id string, n_must int, msm int"
+        )
+        return terms_df, meta_df
 
     def match_batch(
         self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -106,7 +122,8 @@ class Monitor:
                 [], schema="query_id string, doc_id long"
             )
         spark = docs.sparkSession
-        qt = F.broadcast(self._query_terms_table(spark))
+        terms_df, meta_df = self._query_tables(spark)
+        qt = F.broadcast(terms_df)
         # analyzer-consistent doc-side tokenization (lowercase + the
         # StandardAnalyzer word-break regex), all JVM-side
         toks = docs.select(
@@ -114,12 +131,25 @@ class Monitor:
             F.posexplode(sql_tokens(F.col(text_col))).alias("pos", "term"),
         )
         j = toks.join(qt, "term")
-        # term/boolean semantics: count distinct matched terms vs n_required
+        # term/boolean semantics: ALL required terms present AND >= msm
+        # distinct SHOULD terms (the two counts must combine with AND —
+        # counting them in one per-kind group would accept either alone)
         flat = (
             j.filter(F.col("kind").isin("must", "should"))
-            .groupBy("query_id", "doc_id", "n_required")
-            .agg(F.countDistinct("term").alias("n_hit"))
-            .filter(F.col("n_hit") >= F.col("n_required"))
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.countDistinct(
+                    F.when(F.col("kind") == "must", F.col("term"))
+                ).alias("n_must_hit"),
+                F.countDistinct(
+                    F.when(F.col("kind") == "should", F.col("term"))
+                ).alias("n_should_hit"),
+            )
+            .join(F.broadcast(meta_df), "query_id")
+            .filter(
+                (F.col("n_must_hit") == F.col("n_must"))
+                & (F.col("n_should_hit") >= F.col("msm"))
+            )
             .select("query_id", "doc_id")
         )
         # phrase semantics: all slots align at some start position

@@ -66,34 +66,40 @@ def micro_segment_writer(
                 F.sha2(F.coalesce(F.col(cfg.text_col), F.lit("")), 256),
             )
         )
-        n_batch = docs.count()
-        if n_batch > epoch_capacity:
-            raise ValueError(
-                f"micro-batch of {n_batch} docs overflows the epoch id range "
-                f"(epoch_capacity={epoch_capacity}); raise epoch_capacity or "
-                "split the batch upstream"
+        # cache before counting: the overflow check and the segment build
+        # both consume this plan — without the cache each would re-run the
+        # single-partition window sort + sha256 pass
+        docs.persist()
+        try:
+            n_batch = docs.count()
+            if n_batch > epoch_capacity:
+                raise ValueError(
+                    f"micro-batch of {n_batch} docs overflows the epoch id "
+                    f"range (epoch_capacity={epoch_capacity}); raise "
+                    "epoch_capacity or split the batch upstream"
+                )
+            name = f"{name_prefix}_{int(epoch_id):06d}"
+            seg_dir = f"{index_dir}/segments/{name}"
+            n_docs, n_blocks = _build_one_segment(spark, docs, cfg, seg_dir)
+            docs.write.mode("append").parquet(f"{index_dir}/docs_delta")
+            _append_checkpoint(
+                spark,
+                index_dir,
+                [
+                    {
+                        "segment": name,
+                        "seg_lo": base,
+                        "seg_hi": base + n_docs,
+                        "n_docs": n_docs,
+                        "n_blocks": n_blocks,
+                        "content_xor": 0,
+                        "wall_sec": time.time() - t0,
+                        "status": "live",
+                    }
+                ],
             )
-        name = f"{name_prefix}_{int(epoch_id):06d}"
-        seg_cfg = cfg
-        seg_dir = f"{index_dir}/segments/{name}"
-        n_docs, n_blocks = _build_one_segment(spark, docs, seg_cfg, seg_dir)
-        docs.write.mode("append").parquet(f"{index_dir}/docs_delta")
-        _append_checkpoint(
-            spark,
-            index_dir,
-            [
-                {
-                    "segment": name,
-                    "seg_lo": base,
-                    "seg_hi": base + n_docs,
-                    "n_docs": n_docs,
-                    "n_blocks": n_blocks,
-                    "content_xor": 0,
-                    "wall_sec": time.time() - t0,
-                    "status": "live",
-                }
-            ],
-        )
+        finally:
+            docs.unpersist(blocking=False)
 
     return write_batch
 

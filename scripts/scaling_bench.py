@@ -63,18 +63,22 @@ def _tokenize_chunk(seed: int) -> int:
     return n
 
 
-def cpu_baseline(procs: int) -> float:
+def cpu_baseline(procs: int, repeats: int = 3) -> float:
     """Aggregate throughput (docs/s) of `procs` independent processes each
     running the build's tokenize+factorize kernel — the hardware parallel-
     scaling ceiling of this box for this workload (vCPU overcommit, SMT,
-    shared memory bandwidth), with zero Spark coordination."""
+    shared memory bandwidth), with zero Spark coordination. Best of
+    `repeats` (shared-hypervisor noise swings single shots ±30%)."""
     import multiprocessing as mp
     import time as _t
 
-    t0 = _t.time()
-    with mp.Pool(procs) as p:
-        p.map(_tokenize_chunk, range(procs))
-    return procs * _CEILING_DOCS / (_t.time() - t0)
+    best = 0.0
+    for _ in range(repeats):
+        t0 = _t.time()
+        with mp.Pool(procs) as p:
+            p.map(_tokenize_chunk, range(procs))
+        best = max(best, procs * _CEILING_DOCS / (_t.time() - t0))
+    return best
 
 
 def make_spark(cpus: int):
@@ -266,10 +270,11 @@ the 4N side brings its own cores, so this is the faithful analogy.
 
 - **Index-build scaling efficiency ({lo}→{hi} threads): {build_eff:.3f}**
   (target >= 0.8; efficiency = (docs_per_sec_{hi} / docs_per_sec_{lo}) / {ratio})
-- **Hardware ceiling on this box: {hw_eff:.3f}** — the same {lo}→{hi}
-  scaling measured with pure-CPU spinning processes (no Spark at all);
-  vCPU overcommit/SMT/shared memory bandwidth cap what ANY job can show
-  here. **Build efficiency normalized to the ceiling: {build_eff/hw_eff:.3f}.**
+- **Workload-matched hardware ceiling: {hw_eff:.3f}** — the same {lo}→{hi}
+  scaling measured by running the build's own tokenize+factorize kernel
+  in independent processes (no Spark at all), best of 3; vCPU
+  overcommit/SMT/shared memory bandwidth cap what ANY job can show here.
+  **Build efficiency normalized to the ceiling: {build_eff/hw_eff:.3f}.**
   On a real N→4N cluster each executor adds its own cores, memory
   bandwidth and GC heap, so the platform ceiling is ~1.0 there and the
   normalized figure is the decision-relevant one.

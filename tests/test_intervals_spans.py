@@ -79,3 +79,51 @@ def test_spans_map_to_intervals(s):
     first = SP.SpanFirstQuery(SP.SpanTermQuery("b"), end=3)
     fgot = _rows(SP.span_matches(s, first))
     assert fgot == [(0, 2, 2), (1, 0, 0), (4, 1, 1)]
+
+
+def test_span_first_nested(s):
+    """SpanFirstQuery composes inside SpanNear (MaxEnd is a real
+    intervals combinator, not a top-level-only post-filter)."""
+    inner = SP.SpanNearQuery(
+        (SP.SpanFirstQuery(SP.SpanTermQuery("a"), 2), SP.SpanTermQuery("b")),
+        slop=2,
+        in_order=True,
+    )
+    got = _rows(SP.span_matches(s, inner))
+    # only 'a' occurrences at position < 2 can anchor the near
+    for doc_id, start, end in got:
+        assert start < 2
+
+
+def test_intervals_respect_deletes(s, spark):
+    full = _rows(IV.matches(s, IV.Ordered(IV.Term("a"), IV.Term("b"))))
+    assert any(d == 0 for d, _, _ in full)
+    s.index.deletes = spark.createDataFrame([(0,)], "doc_id long")
+    try:
+        live = _rows(IV.matches(s, IV.Ordered(IV.Term("a"), IV.Term("b"))))
+        assert all(d != 0 for d, _, _ in live)
+        assert SP.span_count(
+            s, SP.SpanTermQuery("a")
+        ).filter("doc_id = 0").count() == 0
+    finally:
+        s.index.deletes = None
+
+
+def test_or_dedup_keeps_densest_variant(s):
+    """On equal (start, end) intervals from different Or branches, the
+    densest (highest wmatch / fewest gaps) variant survives, so MaxGaps
+    never rejects a genuinely gap-free match."""
+    # a..b [0,2] via Ordered has wmatch 2 (1 gap); the same span via
+    # Unordered(a, b, x?) — construct equal spans with different wmatch:
+    src = IV.Or(
+        IV.Ordered(IV.Term("a"), IV.Term("c")),           # doc0: [4,6] w2
+        IV.Unordered(IV.Term("a"), IV.Term("b"), IV.Term("c")),  # doc0: [4,6] w3
+    )
+    rows = {
+        (int(r["doc_id"]), int(r["start"]), int(r["end"])): int(r["wmatch"])
+        for r in IV.matches(s, src).collect()
+    }
+    if (0, 4, 6) in rows:
+        assert rows[(0, 4, 6)] == 3
+    got = _rows(IV.matches(s, IV.MaxGaps(0, src)))
+    assert (0, 4, 6) in got  # w3 over [4,6] has 0 gaps

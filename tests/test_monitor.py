@@ -99,3 +99,39 @@ def test_must_not_and_mixed_case(spark):
     )
     got = {(r["query_id"], r["doc_id"]) for r in m.match_batch(docs).collect()}
     assert got == {("q_notslow", 10)}
+
+
+def test_must_plus_should_with_msm(spark):
+    """MUST + SHOULD + minimum_should_match combine with AND: the doc
+    needs every required term AND >= msm distinct optional terms."""
+    docs = spark.createDataFrame(
+        [
+            (20, "alpha only here"),             # must hit, 0 shoulds
+            (21, "alpha with beta"),             # must hit, 1 should
+            (22, "beta gamma but no must"),      # 2 shoulds, no must
+            (23, "alpha beta gamma"),            # must + 2 shoulds
+        ],
+        schema="doc_id long, text string",
+    )
+    m = Monitor()
+    m.register(
+        "q",
+        Q.BooleanQuery.of(
+            must=[Q.TermQuery("text", "alpha")],
+            should=[Q.TermQuery("text", "beta"), Q.TermQuery("text", "gamma")],
+            minimum_should_match=1,
+        ),
+    )
+    got = {(r["query_id"], r["doc_id"]) for r in m.match_batch(docs).collect()}
+    assert got == {("q", 21), ("q", 23)}
+    # msm=0 with musts: shoulds are optional
+    m2 = Monitor()
+    m2.register(
+        "q0",
+        Q.BooleanQuery.of(
+            must=[Q.TermQuery("text", "alpha")],
+            should=[Q.TermQuery("text", "beta")],
+        ),
+    )
+    got0 = {(r["query_id"], r["doc_id"]) for r in m2.match_batch(docs).collect()}
+    assert got0 == {("q0", 20), ("q0", 21), ("q0", 23)}

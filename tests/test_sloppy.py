@@ -119,3 +119,36 @@ def test_engine_paths_agree(spark):
                 assert fold[d] == udf[d]
         else:
             assert fold == udf, (slop, fold, udf)
+
+
+def test_prunable_disjunction_shape_guard():
+    """Multi-field or duplicate-term disjunctions must NOT take the
+    single-field pruned plan (its block/weight tables key by bare term)."""
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import _as_prunable_disjunction
+
+    ok = _as_prunable_disjunction(
+        Q.BooleanQuery.of(
+            should=[Q.TermQuery("text", "a"), Q.TermQuery("text", "b")]
+        )
+    )
+    assert ok is not None
+    assert (
+        _as_prunable_disjunction(
+            Q.BooleanQuery.of(
+                should=[Q.TermQuery("title", "a"), Q.TermQuery("body", "a")]
+            )
+        )
+        is None
+    )
+    assert (
+        _as_prunable_disjunction(
+            Q.BooleanQuery.of(
+                should=[
+                    Q.TermQuery("text", "a"),
+                    Q.TermQuery("text", "a", boost=2.0),
+                ]
+            )
+        )
+        is None
+    )
