@@ -461,6 +461,31 @@ def phrase_wildcard_query(spark, sf_dir):
     )
 
 
+# ---- TermAutomatonQuery (sandbox/TermAutomatonQuery.java) ------------------
+
+
+@register(
+    "term_automaton_query",
+    f"""WITH {BASE_CTES},
+ta_k AS (SELECT doc_id, pos FROM tok WHERE term = 'key'),
+ta_v AS (SELECT doc_id, pos FROM tok WHERE term = 'value')
+SELECT k.doc_id, count(*)::BIGINT AS n_matches
+FROM ta_k k JOIN ta_v v ON v.doc_id = k.doc_id AND v.pos = k.pos + 2
+GROUP BY k.doc_id ORDER BY k.doc_id""",
+)
+def term_automaton_query(spark, sf_dir):
+    """Graph phrase 'key ANY value' (one arbitrary token between) through
+    the acyclic token-automaton matcher — frontier position joins, one
+    round per path edge."""
+    from lucene_spark.search.term_automaton import ANY, TermAutomaton, automaton_count
+
+    _, s = get_searcher(spark, sf_dir)
+    auto = TermAutomaton(
+        ((0, 1, "key"), (1, 2, ANY), (2, 3, "value")), frozenset({3})
+    )
+    return automaton_count(s, auto)
+
+
 # ---- taxonomy facets / fuzzy suggest / index-sort early exit ---------------
 
 

@@ -1,0 +1,203 @@
+"""TermAutomatonQuery (``sandbox/.../TermAutomatonQuery.java``): an
+automaton over token positions — the "graph phrase" query that subsumes
+synonym graphs, optional tokens and wildcard (ANY) gaps.
+
+Each transition consumes exactly one token position; a document matches
+when some accepting path aligns with consecutive positions. The automaton
+must be ACYCLIC (the practical shape — Lucene builds these from token
+graphs); matching lowers to `longest-path` rounds of position equi-joins:
+
+- the frontier relation holds (doc_id, start, nxt, state) = "a partial
+  path from `start` has consumed positions start..nxt-1 and sits in
+  `state`";
+- a term transition extends the frontier by joining the posting positions
+  of its label at position `nxt`;
+- an ANY transition joins the doclens table (positions are dense 0..len-1,
+  so "any token at nxt" == nxt < length);
+- rows whose state is accepting emit the interval [start, nxt-1].
+
+Everything is unions of equi-joins over the same exploded position
+relation the phrase operators use — JVM-side, no Python matching loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["TermAutomaton", "automaton_matches", "automaton_count"]
+
+ANY = None  # transition label matching any single token
+
+
+@dataclass(frozen=True)
+class TermAutomaton:
+    """transitions: (from_state, to_state, label) with label a term string
+    or ANY (None); state 0 is initial; `accept` holds accepting states."""
+
+    transitions: tuple[tuple[int, int, str | None], ...]
+    accept: frozenset[int]
+
+    def __post_init__(self):
+        # verify acyclic (defines the join-round bound) via Kahn's order
+        states = {0} | {s for s, t, _ in self.transitions for s in (s, t)}
+        out = {s: [] for s in states}
+        indeg = {s: 0 for s in states}
+        for s, t, _ in self.transitions:
+            out[s].append(t)
+            indeg[t] += 1
+        queue = [s for s in states if indeg[s] == 0]
+        seen = 0
+        while queue:
+            s = queue.pop()
+            seen += 1
+            for t in out[s]:
+                indeg[t] -= 1
+                if indeg[t] == 0:
+                    queue.append(t)
+        if seen != len(states):
+            raise ValueError("TermAutomaton must be acyclic")
+
+    def longest_path(self) -> int:
+        depth = {0: 0}
+        # topological relaxation (transitions are few; O(V*E) fine)
+        changed = True
+        n = 0
+        while changed:
+            changed = False
+            n += 1
+            if n > len(self.transitions) + 2:
+                break
+            for s, t, _ in self.transitions:
+                if s in depth and depth.get(t, -1) < depth[s] + 1:
+                    depth[t] = depth[s] + 1
+                    changed = True
+        return max(depth.values(), default=0)
+
+
+def automaton_matches(searcher, auto: TermAutomaton) -> DataFrame:
+    """(doc_id, start, end) distinct accepted intervals, live docs only."""
+    field = searcher.index.config.field_name
+    terms = sorted({t for _, _, t in auto.transitions if t is not None})
+    if not terms:
+        raise NotImplementedError("automaton needs at least one term label")
+    pos = (
+        searcher._decoded(field, F.col("term").isin(terms), with_positions=True)
+        .select("term", "doc_id", F.explode("positions").alias("p"))
+    )
+    lens = searcher.index.doclens.select("doc_id", F.col("length").alias("_len"))
+
+    def step_parts(frontier: DataFrame, from_states: set[int]):
+        parts = []
+        reached = set()
+        for s, t, label in auto.transitions:
+            if s not in from_states:
+                continue
+            reached.add(t)
+            f = frontier.filter(F.col("state") == s)
+            if label is None:
+                nxt = (
+                    f.join(lens, "doc_id")
+                    .filter(F.col("nxt") < F.col("_len"))
+                    .select(
+                        "doc_id",
+                        "start",
+                        (F.col("nxt") + 1).alias("nxt"),
+                        F.lit(t).alias("state"),
+                    )
+                )
+            else:
+                nxt = (
+                    f.join(
+                        pos.filter(F.col("term") == label).select(
+                            "doc_id", F.col("p").alias("_p")
+                        ),
+                        "doc_id",
+                    )
+                    .filter(F.col("_p") == F.col("nxt"))
+                    .select(
+                        "doc_id",
+                        "start",
+                        (F.col("nxt") + 1).alias("nxt"),
+                        F.lit(t).alias("state"),
+                    )
+                )
+            parts.append(nxt)
+        return parts, reached
+
+    # initial frontier: state-0 term transitions anchor on real positions
+    init_parts = []
+    init_states = set()
+    for s, t, label in auto.transitions:
+        if s != 0:
+            continue
+        init_states.add(t)
+        if label is None:
+            init_parts.append(
+                lens.select(
+                    "doc_id",
+                    F.explode(F.sequence(F.lit(0), F.col("_len") - 1)).alias(
+                        "start"
+                    ),
+                )
+                .select(
+                    "doc_id",
+                    "start",
+                    (F.col("start") + 1).alias("nxt"),
+                    F.lit(t).alias("state"),
+                )
+            )
+        else:
+            init_parts.append(
+                pos.filter(F.col("term") == label).select(
+                    "doc_id",
+                    F.col("p").alias("start"),
+                    (F.col("p") + 1).alias("nxt"),
+                    F.lit(t).alias("state"),
+                )
+            )
+    frontier = init_parts[0]
+    for p_ in init_parts[1:]:
+        frontier = frontier.unionByName(p_)
+
+    accepted: list[DataFrame] = []
+
+    def take_accepts(f: DataFrame, states: set[int]):
+        acc = states & auto.accept
+        if acc:
+            accepted.append(
+                f.filter(F.col("state").isin([int(a) for a in acc])).select(
+                    "doc_id", "start", (F.col("nxt") - 1).alias("end")
+                )
+            )
+
+    states = init_states
+    take_accepts(frontier, states)
+    for _ in range(auto.longest_path()):
+        parts, reached = step_parts(frontier, states)
+        if not parts:
+            break
+        frontier = parts[0]
+        for p_ in parts[1:]:
+            frontier = frontier.unionByName(p_)
+        states = reached
+        take_accepts(frontier, states)
+
+    if not accepted:
+        return searcher.index.docs.select(
+            "doc_id", F.lit(0).alias("start"), F.lit(0).alias("end")
+        ).limit(0)
+    out = accepted[0]
+    for a in accepted[1:]:
+        out = out.unionByName(a)
+    return searcher._live(out.distinct())
+
+
+def automaton_count(searcher, auto: TermAutomaton) -> DataFrame:
+    """(doc_id, n_matches) — distinct accepted intervals per doc."""
+    return (
+        automaton_matches(searcher, auto)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+    )

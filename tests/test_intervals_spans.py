@@ -127,3 +127,47 @@ def test_or_dedup_keeps_densest_variant(s):
         assert rows[(0, 4, 6)] == 3
     got = _rows(IV.matches(s, IV.MaxGaps(0, src)))
     assert (0, 4, 6) in got  # w3 over [4,6] has 0 gaps
+
+
+def test_term_automaton(s, spark):
+    """TermAutomatonQuery analog: graph phrases with ANY gaps and synonym
+    branches over token positions (sandbox/TermAutomatonQuery.java)."""
+    from lucene_spark.search.term_automaton import (
+        ANY,
+        TermAutomaton,
+        automaton_count,
+        automaton_matches,
+    )
+
+    # corpus (module fixture): doc0 "a x b y a b c", doc2 "a x x x b",
+    # doc4 "a b a b"
+    # "a ANY b": a at p, anything at p+1, b at p+2
+    auto = TermAutomaton(((0, 1, "a"), (1, 2, ANY), (2, 3, "b")), frozenset({3}))
+    got = sorted(
+        (int(r["doc_id"]), int(r["start"]), int(r["end"]))
+        for r in automaton_matches(s, auto).collect()
+    )
+    assert got == [(0, 0, 2)]  # doc0: a0 x1 b2; doc2 gap too long; doc4 none
+    # synonym branch: "a (b|c)"
+    auto2 = TermAutomaton(
+        ((0, 1, "a"), (1, 2, "b"), (1, 2, "c")), frozenset({2})
+    )
+    got2 = {
+        (int(r["doc_id"]), int(r["n_matches"]))
+        for r in automaton_count(s, auto2).collect()
+    }
+    assert got2 == {(0, 1), (4, 2)}  # doc0: a4 b5; doc4: a0 b1, a2 b3
+    # multiple path lengths to accept: "a b" or "a ANY b"
+    auto3 = TermAutomaton(
+        ((0, 1, "a"), (1, 2, "b"), (1, 3, ANY), (3, 2, "b")), frozenset({2})
+    )
+    got3 = sorted(
+        (int(r["doc_id"]), int(r["start"]), int(r["end"]))
+        for r in automaton_matches(s, auto3).collect()
+    )
+    assert (0, 0, 2) in got3 and (0, 4, 5) in got3 and (4, 0, 1) in got3
+    # cyclic automatons are rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        TermAutomaton(((0, 1, "a"), (1, 0, "b")), frozenset({1}))
