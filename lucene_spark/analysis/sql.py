@@ -72,15 +72,33 @@ def sql_emitted_count(text: Column | str, max_token_length: int = 255) -> Column
 def sql_norm_byte(length: Column) -> Column:
     """byte4 norm byte of a non-negative length column (int).
 
-    encode(len) = (#bucket floors <= len) - 1 over the sorted 256-entry
-    floor table — mirrors ``smallfloat.encode_lengths`` searchsorted.
+    CLOSED FORM of ``smallfloat.int_to_byte4`` (``util/SmallFloat.java:
+    103-157``), not a table scan: lengths below NUM_FREE_VALUES pass
+    through; above, keep the 4 significant bits plus exponent —
+    ``mantissa | ((bit_length-3) << 3)``. bit_length comes from
+    ``conv(x, 10, 2)``'s string length (exact integer arithmetic, no
+    float log2 boundary risk) and the shift is an exact power-of-two
+    division (x < 2^53 so double division by 2^k is exact). Everything
+    here is plain codegen-able scalar expressions — the earlier
+    256-literal ``aggregate`` fold was interpreted per ROW and dominated
+    the whole index build when a projection pushed it below an explode.
+
+    Equivalence with ``smallfloat.encode_lengths`` over the full byte
+    range is pinned in ``tests/test_tokenizer.py``.
     """
-    floors = F.lit([int(v) for v in LENGTH_TABLE_INT]).cast("array<long>")
-    return (
-        F.aggregate(
-            floors,
-            F.lit(0),
-            lambda acc, x: acc + F.when(x <= length, F.lit(1)).otherwise(F.lit(0)),
-        )
-        - F.lit(1)
-    ).cast("int")
+    from lucene_spark.util.smallfloat import NUM_FREE_VALUES
+
+    nfv = F.lit(int(NUM_FREE_VALUES))
+    x = (length.cast("long") - nfv).cast("long")
+    nb = F.when(x <= 0, F.lit(1)).otherwise(
+        F.length(F.conv(x.cast("string"), 10, 2))
+    )
+    shifted = F.floor(
+        x.cast("double") / F.pow(F.lit(2.0), (nb - F.lit(4)).cast("double"))
+    ).cast("long")
+    int4 = F.when(nb < 4, x).otherwise(
+        shifted.bitwiseAND(F.lit(7)) + (nb - F.lit(3)) * F.lit(8)
+    )
+    return F.when(length < nfv, length.cast("long")).otherwise(nfv + int4).cast(
+        "int"
+    )

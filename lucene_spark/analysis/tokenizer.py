@@ -140,6 +140,45 @@ class StandardAnalyzer:
         pos = np.fromiter((p for _, p in pairs), dtype=np.int32, count=len(pairs))
         return terms, pos, len(terms)
 
+    def term_position_offset_arrays(self, text: str):
+        """(terms, positions:int32, offsets:uint32[(start,end)x n], n).
+
+        The offsets variant of ``term_position_arrays`` for
+        DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS indexing
+        (``index/IndexOptions.java``): character spans into the ORIGINAL
+        text (the per-codepoint lowercase mapping is 1:1, so spans over
+        the lowered text are identical). Uses ``finditer`` — costlier than
+        the findall fast path, which is why offsets are opt-in like the
+        reference's IndexOptions level.
+        """
+        import numpy as np
+
+        lowered = java_lower(text)
+        mx = self.max_token_length
+        sw = self.stopwords
+        terms: list[str] = []
+        pos: list[int] = []
+        offs: list[int] = []
+        p = -1
+        for m in _TOKEN_RE.finditer(lowered):
+            t = m.group()
+            if len(t) > mx:
+                p += 1
+                continue
+            p += 1
+            if sw and t in sw:
+                continue
+            terms.append(t)
+            pos.append(p)
+            offs.append(m.start())
+            offs.append(m.end())
+        return (
+            terms,
+            np.asarray(pos, dtype=np.int32),
+            np.asarray(offs, dtype=np.uint32).reshape(-1, 2),
+            len(terms),
+        )
+
     def inverted(self, text: str) -> tuple[dict[str, list[int]], int]:
         """Per-doc inversion: term -> sorted positions, plus field length.
 

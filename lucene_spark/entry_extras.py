@@ -272,6 +272,84 @@ def highlight_passages_entry(spark, sf_dir):
     return extras.highlight_passages(s, ["spark", "join"], k=5, passage_len=8)
 
 
+# ---- POSTINGS-offset highlighting (UnifiedHighlighter OffsetSource.POSTINGS)
+
+_OFF_IDX_CACHE: dict = {}
+
+
+def _get_offsets_searcher(spark, sf_dir):
+    """A second index over the same corpus with stored offsets
+    (IndexConfig.with_offsets=True — the
+    DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS IndexOptions level)."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search.searcher import IndexSearcher
+
+    if sf_dir not in _OFF_IDX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cfg = IndexConfig(
+            text_col="text", field_name="text", doc_id_col="doc_id",
+            docs_per_segment=1024, with_offsets=True,
+        )
+        idx = build_index(spark, docs, cfg)
+        idx.postings.persist().count()
+        _OFF_IDX_CACHE[sf_dir] = IndexSearcher(idx)
+    return _OFF_IDX_CACHE[sf_dir]
+
+
+@register(
+    "highlight_postings_offsets",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('ho1', 'spark')},
+{_term_scores_cte('ho2', 'join')},
+ho_u AS (SELECT * FROM ho1 UNION ALL SELECT * FROM ho2),
+ho_sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM ho_u GROUP BY doc_id
+),
+ho_top AS (SELECT doc_id, score FROM ho_sc ORDER BY score DESC, doc_id ASC LIMIT 5),
+ho_off AS (
+  -- token start offsets: documents text is single-space joined, so
+  -- start(p) = sum(len(prev terms) + 1); mirrors the offsets stored in
+  -- the postings blocks by the offsets-enabled build
+  SELECT doc_id, term, pos,
+         COALESCE(sum(len(term) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+  FROM tok
+),
+ho_hit AS (
+  SELECT o.doc_id, top.score, o.term,
+         (o.start_off // 80)::INTEGER AS passage_idx
+  FROM ho_off o JOIN ho_top top USING (doc_id)
+  WHERE o.term IN ('spark', 'join')
+),
+ho_p AS (
+  SELECT doc_id, score, passage_idx,
+         CAST(sum(CAST(CASE WHEN term = 'spark' THEN {_HP_IDF_SPARK}
+                            WHEN term = 'join' THEN {_HP_IDF_JOIN}
+                            ELSE 0.0 END AS DOUBLE)) AS FLOAT) AS passage_score
+  FROM ho_hit GROUP BY doc_id, score, passage_idx
+),
+ho_best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY passage_score DESC, passage_idx ASC) AS rk
+  FROM ho_p
+)
+SELECT b.doc_id, b.score, b.passage_idx, b.passage_score,
+       substr(d.text, b.passage_idx * 80 + 1, 80) AS snippet
+FROM ho_best b JOIN documents d ON d.doc_id = b.doc_id
+WHERE b.rk = 1 ORDER BY b.doc_id""",
+)
+def highlight_postings_offsets_entry(spark, sf_dir):
+    """POSTINGS-source highlighting: offsets read from the index blocks,
+    the stored text never re-tokenized at query time
+    (uhighlight/UnifiedHighlighter.java:96, OffsetSource.POSTINGS);
+    80-char fixed passages, best idf-weighted passage per top-5 doc of
+    (spark OR join)."""
+    s = _get_offsets_searcher(spark, sf_dir)
+    return extras.highlight_postings(s, ["spark", "join"], k=5, passage_chars=80)
+
+
 # ---- CombinedFieldQuery (sandbox/search/CombinedFieldQuery.java:79) --------
 
 _LANG_IDX_CACHE: dict = {}

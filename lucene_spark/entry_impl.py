@@ -874,6 +874,58 @@ def query_time_join(spark, sf_dir):
     )
 
 
+@register(
+    "query_time_join_scored",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('sc', 'spark')},
+frm AS (
+  SELECT d.source, sc.score FROM sc JOIN documents d USING (doc_id)
+),
+grp AS (
+  SELECT source,
+         max(score) AS score_max,
+         sum(CAST(score AS DOUBLE)) AS tot,
+         count(*)::BIGINT AS n
+  FROM frm GROUP BY source
+)
+SELECT d.doc_id,
+       g.score_max,
+       CAST(g.tot AS FLOAT) AS score_total,
+       CAST(g.tot / g.n AS FLOAT) AS score_avg
+FROM documents d JOIN grp g USING (source)
+ORDER BY g.score_max DESC, d.doc_id ASC LIMIT 20""",
+)
+def query_time_join_scored(spark, sf_dir):
+    """JoinUtil score modes (join/JoinUtil.java:91-142, ScoreMode
+    Max/Total/Avg): the "from" side is a REAL index query (BM25 TermQuery),
+    its scores aggregate per join key onto every "to"-side doc sharing the
+    key — all three score modes as one grouped aggregate + broadcast join
+    (the joined dimension is small), top-20 by the Max mode.
+
+    Determinism note: the Total/Avg double accumulations are exact (each
+    addend is a float32 value; positive bounded-range float32s sum exactly
+    in double), so the float32 casts match the oracle bit-for-bit."""
+    idx, s = get_searcher(spark, sf_dir)
+    sc = s.scored(Q.TermQuery("text", "spark"))
+    frm = sc.join(idx.docs.select("doc_id", "source"), "doc_id")
+    grp = frm.groupBy("source").agg(
+        F.max("score").alias("score_max"),
+        F.sum(F.col("score").cast("double")).alias("_tot"),
+        F.count("*").alias("_n"),
+    )
+    to_side = idx.docs.select("doc_id", "source").join(F.broadcast(grp), "source")
+    return (
+        to_side.select(
+            "doc_id",
+            "score_max",
+            F.col("_tot").cast("float").alias("score_total"),
+            (F.col("_tot") / F.col("_n")).cast("float").alias("score_avg"),
+        )
+        .orderBy(F.desc("score_max"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def _register_all() -> None:
     from lucene_spark import entry_extras, entry_pipeline  # noqa: F401
 
@@ -892,7 +944,6 @@ _PRIORITY = [
     "boolean_or_pruned",
     "boolean_and",
     "boolean_mixed",
-    "boolean_min_should_match",
     "boolean_filter_context",
     "disjunction_max",
     "synonym_query",
@@ -913,15 +964,16 @@ _PRIORITY = [
     "top_terms_by_df",
     "block_join_parent",
     "query_time_join",
+    "query_time_join_scored",
     "suggest_prefix",
     "more_like_this",
     "function_score_query",
     "drill_sideways_lang",
     "highlight_passages",
+    "highlight_postings_offsets",
     "combined_field_query",
     "feature_field_query",
     "intervals_ordered_minimal",
-    "intervals_maxgaps",
     "intervals_containing",
     "knn_vector_filtered",
     "ann_brute_force_topk",

@@ -341,6 +341,76 @@ def ann_lsh_bucketed_topk(spark, sf_dir):
     )
 
 
+_N_PROBES = 4
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    f"""WITH {_EMB_CTES},
+hw AS (
+  SELECT p, i + 1 AS i, ({_H("p || '#' || i")} % 2001 - 1000) AS w
+  FROM (SELECT unnest(generate_series(0, 7)) AS p),
+       (SELECT unnest(generate_series(0, 63)) AS i)
+),
+hpp AS (
+  SELECT ee.vec_id, hw.p, sum(ee.v * hw.w)::BIGINT AS ps
+  FROM ee JOIN hw ON hw.i = ee.i
+  GROUP BY ee.vec_id, hw.p
+),
+hbm AS (
+  SELECT vec_id,
+         sum(CASE WHEN ps >= 0 THEN (1 << p) ELSE 0 END)::INTEGER AS bucket
+  FROM hpp GROUP BY vec_id
+),
+mq AS (SELECT vec_id FROM embeddings WHERE vec_id < 32),
+flips AS (
+  SELECT vec_id, p,
+         row_number() OVER (PARTITION BY vec_id ORDER BY abs(ps) ASC, p ASC) AS rk
+  FROM hpp WHERE vec_id IN (SELECT vec_id FROM mq)
+),
+probes AS (
+  SELECT b.vec_id, b.bucket AS probe
+  FROM hbm b WHERE b.vec_id IN (SELECT vec_id FROM mq)
+  UNION ALL
+  SELECT f.vec_id, xor(b.bucket, (1 << f.p))::INTEGER AS probe
+  FROM flips f JOIN hbm b USING (vec_id)
+  WHERE f.rk <= {_N_PROBES - 1}
+),
+mcand AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM probes p JOIN hbm c ON c.bucket = p.probe AND c.vec_id != p.vec_id
+),
+md AS (
+  SELECT mcand.query_id, mcand.neighbor_id, sum(a.v * b.v)::BIGINT AS dot
+  FROM mcand JOIN ee a ON a.vec_id = mcand.query_id
+             JOIN ee b ON b.vec_id = mcand.neighbor_id AND b.i = a.i
+  GROUP BY mcand.query_id, mcand.neighbor_id
+),
+mc AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+  FROM md JOIN en na ON na.vec_id = query_id JOIN en nb ON nb.vec_id = neighbor_id
+),
+mr AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC)::INTEGER AS rank
+  FROM mc
+)
+SELECT query_id, neighbor_id, cosine, rank FROM mr WHERE rank <= 5
+ORDER BY query_id, rank""",
+)
+def ann_lsh_multiprobe_topk(spark, sf_dir):
+    """Multi-probe LSH ANN: own bucket + the 3 smallest-|margin| Hamming-1
+    buckets per query — the recall-controlled approximate path (recall
+    measured against brute force in tests/test_pipeline.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.hyperplane_multiprobe_topk(
+        emb, emb.filter(F.col("vec_id") < 32), id_col="vec_id",
+        k=5, dim=64, n_planes=8, n_probes=_N_PROBES,
+    )
+
+
 # ---- text analysis ---------------------------------------------------------
 
 

@@ -8,7 +8,7 @@ Spark-native re-expression of the reference indexing chain:
   DocumentsWriterPerThread (``index/DocumentsWriterPerThread.java:52``);
 - postings grouped by ``(seg_id, field, term)`` and packed into 256-doc
   blocks with delta+FOR doc gaps, PFor freqs, raw norms, FOR positions and
-  per-block competitive impacts ``(max_freq, min_norm)``
+  per-block competitive impact frontiers (the ``(freq, norm)`` Pareto set)
   (``codecs/lucene104/Lucene104PostingsWriter.java:389``,
   ``codecs/CompetitiveImpactAccumulator.java:64``);
 - ``seg_id = doc_id // docs_per_segment`` bounds every shuffle group:
@@ -60,6 +60,12 @@ class IndexConfig:
     docs_per_segment: int = 1 << 20
     block_size: int = forutil.BLOCK_SIZE
     with_positions: bool = True
+    #: store per-occurrence character offsets next to positions
+    #: (DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS, index/IndexOptions.java):
+    #: opt-in like the reference's IndexOptions level — it forces the
+    #: Python invert pass (offsets come from regex match spans, which the
+    #: JVM tokenizer expressions cannot produce)
+    with_offsets: bool = False
     max_token_length: int = 255
     stopwords: frozenset[str] = field(default_factory=frozenset)
     num_partitions: int | None = None
@@ -77,6 +83,9 @@ _INVERTED_SCHEMA = StructType(
         StructField("freq", IntegerType()),
         StructField("norm", IntegerType()),
         StructField("positions", BinaryType()),
+        # interleaved (start, end) uint32 pairs per occurrence, position
+        # order; b"" when offsets are not indexed
+        StructField("offsets", BinaryType()),
     ]
 )
 
@@ -105,8 +114,45 @@ POSTINGS_SCHEMA = StructType(
         StructField("freqs", BinaryType()),
         StructField("norms", BinaryType()),
         StructField("positions", BinaryType()),
+        # FOR-encoded flat uint32 stream of interleaved (start, end)
+        # offset pairs (2*freq values per doc); b"" unless with_offsets
+        StructField("offsets", BinaryType()),
+        # competitive impacts (CompetitiveImpactAccumulator.java:64): the
+        # Pareto frontier of (freq asc-dominant, norm desc-dominant) pairs
+        # actually PRESENT in the block, interleaved [f0, n0, f1, n1, ...]
+        # with freqs descending. The block's score upper bound is the max
+        # BM25 over these pairs — tight, unlike score(max_freq, min_norm)
+        # whose freq and norm usually come from different docs. Truncated
+        # frontiers merge their tail into one dominating synthetic pair,
+        # so the bound stays sound.
+        StructField("impacts", ArrayType(IntegerType())),
     ]
 )
+
+
+_MAX_IMPACT_PAIRS = 8
+
+
+def _competitive_impacts(freqs: np.ndarray, norms: np.ndarray) -> list[int]:
+    """Pareto frontier of (freq, norm): pairs such that no other doc in the
+    block has both freq >= and norm <= (BM25 is monotone in freq and in
+    1/norm-length, so only these can set the block maximum for ANY k1/b/
+    avgdl). Returns interleaved [f, n, ...] sorted by freq descending."""
+    order = np.lexsort((norms, -freqs.astype(np.int64)))
+    out: list[int] = []
+    best_norm = 256
+    for i in order:
+        n = int(norms[i])
+        if n < best_norm:
+            out.append(int(freqs[i]))
+            out.append(n)
+            best_norm = n
+    if len(out) > 2 * _MAX_IMPACT_PAIRS:
+        head = out[: 2 * (_MAX_IMPACT_PAIRS - 1)]
+        tail_f = out[2 * (_MAX_IMPACT_PAIRS - 1)]  # max freq of the tail
+        tail_n = out[-1]  # min norm of the tail (norms strictly decrease)
+        out = head + [tail_f, tail_n]
+    return out
 
 
 @dataclass
@@ -199,19 +245,26 @@ def _make_inverter(cfg: IndexConfig):
     )
     text_col, dps = cfg.text_col, cfg.docs_per_segment
 
+    with_offsets = cfg.with_offsets
+
     def invert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # batch-vectorized inversion: tokenize per doc (C regex), then ONE
         # factorize + lexsort over the whole Arrow batch to group
-        # (doc, term) -> (freq, positions) — no per-token dict ops
+        # (doc, term) -> (freq, positions[, offsets]) — no per-token dict ops
         for pdf in batches:
             texts = pdf[text_col].fillna("")
             doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             n_docs = len(pdf)
             terms_all: list[str] = []
             pos_parts: list[np.ndarray] = []
+            off_parts: list[np.ndarray] = []
             counts = np.zeros(n_docs, dtype=np.int64)
             for i, text in enumerate(texts):
-                t, p, n = analyzer.term_position_arrays(text)
+                if with_offsets:
+                    t, p, o, n = analyzer.term_position_offset_arrays(text)
+                    off_parts.append(o)
+                else:
+                    t, p, n = analyzer.term_position_arrays(text)
                 terms_all.extend(t)
                 pos_parts.append(p)
                 counts[i] = n
@@ -224,6 +277,7 @@ def _make_inverter(cfg: IndexConfig):
                         "freq": np.empty(0, np.int32),
                         "norm": np.empty(0, np.int32),
                         "positions": pd.Series([], dtype="object"),
+                        "offsets": pd.Series([], dtype="object"),
                     }
                 )
                 continue
@@ -239,6 +293,15 @@ def _make_inverter(cfg: IndexConfig):
             norms = encode_lengths(counts).astype(np.int32)
             g_docs = doc_ids[g_ord]
             p_u32 = p_s.astype("<u4")
+            if with_offsets:
+                off_flat = np.concatenate(off_parts)  # (N, 2) uint32
+                o_s = off_flat[order].astype("<u4")
+                off_col = pd.Series(
+                    [a.tobytes() for a in np.split(o_s, starts[1:])],
+                    dtype="object",
+                )
+            else:
+                off_col = pd.Series([b""] * len(starts), dtype="object")
             yield pd.DataFrame(
                 {
                     "seg_id": g_docs // dps,
@@ -250,10 +313,193 @@ def _make_inverter(cfg: IndexConfig):
                         [a.tobytes() for a in np.split(p_u32, starts[1:])],
                         dtype="object",
                     ),
+                    "offsets": off_col,
                 }
             )
 
     return invert
+
+
+def _jvm_token_stream(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """JVM-side tokenize+explode: (seg_id, term, doc_id, pos, norm) rows.
+
+    The whole invert front-end as native Spark SQL (no Python anywhere):
+    the pinned-equivalent StandardAnalyzer regexp (``analysis/sql.py``,
+    equivalence goldens in ``tests/test_tokenizer.py``) extracts the raw
+    token array once per doc; ``posexplode`` assigns positions over the
+    RAW stream so over-long tokens still count a position
+    (``StandardTokenizer.java:163-173``) before the length filter drops
+    them; the byte4 norm is the per-doc staircase fold over the KEPT
+    count. Per-(doc, term) grouping moves into the block packer, which
+    already receives (seg_id, term)-partitioned doc-sorted runs — so the
+    build's only Python stage is the pack, and the only shuffle is still
+    the pack repartition (now carrying token rows instead of posting
+    rows: ~ttf/df ≈ 1.2-2x more, each a few bytes).
+
+    Only valid for the empty-stopword analyzer (stopword gaps change both
+    positions and norms); ``build_index`` falls back to the Python
+    inverter otherwise.
+    """
+    from lucene_spark.analysis.sql import TOKEN_PATTERN_JAVA, sql_norm_byte
+
+    text = F.coalesce(F.col(cfg.text_col), F.lit(""))
+    lowered = F.lower(F.translate(text, "İ", "i"))
+    raw = F.regexp_extract_all(lowered, F.lit(TOKEN_PATTERN_JAVA), F.lit(0))
+    max_len = F.lit(cfg.max_token_length)
+    with_toks = docs.select("doc_id", raw.alias("_toks"))
+    kept_count = F.size(F.filter(F.col("_toks"), lambda t: F.length(t) <= max_len))
+    return (
+        with_toks.select(
+            "doc_id",
+            sql_norm_byte(kept_count).alias("norm"),
+            F.posexplode("_toks").alias("pos", "term"),
+        )
+        .filter(F.length("term") <= max_len)
+        .select(
+            F.expr(f"doc_id DIV {cfg.docs_per_segment}").alias("seg_id"),
+            "term",
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("norm").cast("int").alias("norm"),
+        )
+    )
+
+
+def _make_block_packer_tokens(cfg: IndexConfig):
+    """Streaming per-partition packer over raw TOKEN rows.
+
+    Input: (seg_id, term, doc_id, pos, norm) repartitioned on
+    (seg_id, term) and sorted by (seg_id, term, doc_id, pos) — each
+    term's occurrences arrive as one contiguous doc-and-position-ordered
+    run. The per-(doc, term) aggregation the Python inverter used to do
+    happens here as two vectorized numpy boundary scans (doc boundaries,
+    then term boundaries over the doc-level arrays); positions are
+    already flat slices, so no per-doc concatenation is needed at all.
+    Emits the same POSTINGS_SCHEMA blocks as ``_make_block_packer``.
+    """
+    block_size, field_name, with_positions = (
+        cfg.block_size,
+        cfg.field_name,
+        cfg.with_positions,
+    )
+
+    def pack_runs(pdf: pd.DataFrame, out: list) -> None:
+        seg = pdf["seg_id"].to_numpy(dtype=np.int64)
+        terms = pdf["term"].to_numpy()
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        pos = pdf["pos"].to_numpy(dtype=np.uint32)
+        norms = pdf["norm"].to_numpy(dtype=np.uint8)
+        # token rows -> posting-level arrays: one row per (seg, term, doc)
+        change_doc = np.flatnonzero(
+            (seg[1:] != seg[:-1])
+            | (terms[1:] != terms[:-1])
+            | (doc_ids[1:] != doc_ids[:-1])
+        )
+        dstarts = np.concatenate(([0], change_doc + 1))
+        dends = np.concatenate((change_doc + 1, [len(pdf)]))
+        g_seg = seg[dstarts]
+        g_term = terms[dstarts]
+        g_doc = doc_ids[dstarts]
+        g_freq = (dends - dstarts).astype(np.uint32)
+        g_norm = norms[dstarts]
+        # (seg, term) run boundaries over the posting-level arrays
+        change_term = np.flatnonzero(
+            (g_seg[1:] != g_seg[:-1]) | (g_term[1:] != g_term[:-1])
+        )
+        tstarts = np.concatenate(([0], change_term + 1))
+        tends = np.concatenate((change_term + 1, [len(g_doc)]))
+        for s, e in zip(tstarts, tends):
+            seg_id = int(g_seg[s])
+            term = g_term[s]
+            if e - s == 1:
+                # df=1 singleton fast path (pulsing,
+                # Lucene104PostingsWriter.java:560-577)
+                fr = int(g_freq[s])
+                if with_positions:
+                    pos_buf = forutil.for_encode(pos[dstarts[s] : dends[s]])
+                else:
+                    pos_buf = b""
+                out.append(
+                    (
+                        field_name,
+                        seg_id,
+                        term,
+                        0,
+                        1,
+                        int(g_doc[s]),
+                        int(g_doc[s]),
+                        fr,
+                        int(g_norm[s]),
+                        fr,
+                        b"\x01\x00\x00",
+                        forutil.pfor_encode(g_freq[s : s + 1]),
+                        g_norm[s : s + 1].tobytes(),
+                        pos_buf,
+                        b"",
+                        [fr, int(g_norm[s])],
+                    )
+                )
+                continue
+            for ord_, bstart in enumerate(range(s, e, block_size)):
+                bend = min(bstart + block_size, e)
+                d = g_doc[bstart:bend]
+                f = g_freq[bstart:bend]
+                nm = g_norm[bstart:bend]
+                first, gaps = forutil.delta_encode(d)
+                if with_positions:
+                    pos_buf = forutil.for_encode(
+                        pos[dstarts[bstart] : dends[bend - 1]]
+                    )
+                else:
+                    pos_buf = b""
+                out.append(
+                    (
+                        field_name,
+                        seg_id,
+                        term,
+                        ord_,
+                        int(bend - bstart),
+                        int(first),
+                        int(d[-1]),
+                        int(f.max()),
+                        int(nm.min()),
+                        int(f.sum()),
+                        forutil.for_encode(gaps),
+                        forutil.pfor_encode(f),
+                        nm.tobytes(),
+                        pos_buf,
+                        b"",
+                        _competitive_impacts(f, nm),
+                    )
+                )
+
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+
+    def pack_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            seg = pdf["seg_id"].to_numpy(dtype=np.int64)
+            terms = pdf["term"].to_numpy()
+            tail = (seg == seg[-1]) & (terms == terms[-1])
+            cut = len(pdf) - int(tail[::-1].argmin()) if not tail.all() else 0
+            carry = pdf.iloc[cut:]
+            body = pdf.iloc[:cut]
+            if len(body) == 0:
+                continue
+            out: list = []
+            pack_runs(body, out)
+            yield pd.DataFrame(out, columns=cols)
+        if carry is not None and len(carry):
+            out = []
+            pack_runs(carry, out)
+            yield pd.DataFrame(out, columns=cols)
+
+    return pack_stream
 
 
 def _pos_array(p) -> np.ndarray:
@@ -314,10 +560,11 @@ def _make_block_packer(cfg: IndexConfig):
     (code corpora have huge df=1-dominated vocabularies; per-group
     applyInPandas overhead dominated the build before this).
     """
-    block_size, field_name, with_positions = (
+    block_size, field_name, with_positions, with_offsets = (
         cfg.block_size,
         cfg.field_name,
         cfg.with_positions,
+        cfg.with_offsets,
     )
 
     def pack_runs(pdf: pd.DataFrame, out: list) -> None:
@@ -327,6 +574,8 @@ def _make_block_packer(cfg: IndexConfig):
         freqs = pdf["freq"].to_numpy(dtype=np.uint32)
         norms = pdf["norm"].to_numpy(dtype=np.uint8)
         positions = pdf["positions"].to_numpy() if with_positions else None
+        has_off = with_offsets and "offsets" in pdf.columns
+        offcells = pdf["offsets"].to_numpy() if has_off else None
         # contiguous (seg_id, term) run boundaries
         change = np.flatnonzero((seg[1:] != seg[:-1]) | (terms[1:] != terms[:-1]))
         starts = np.concatenate(([0], change + 1))
@@ -343,6 +592,11 @@ def _make_block_packer(cfg: IndexConfig):
                     pos_buf = forutil.for_encode(_pos_array(positions[s]))
                 else:
                     pos_buf = b""
+                off_buf = (
+                    forutil.for_encode(np.frombuffer(offcells[s], dtype="<u4"))
+                    if has_off
+                    else b""
+                )
                 out.append(
                     (
                         field_name,
@@ -359,6 +613,8 @@ def _make_block_packer(cfg: IndexConfig):
                         forutil.pfor_encode(freqs[s : s + 1]),
                         norms[s : s + 1].tobytes(),
                         pos_buf,
+                        off_buf,
+                        [fr, int(norms[s])],
                     )
                 )
                 continue
@@ -383,6 +639,12 @@ def _make_block_packer(cfg: IndexConfig):
                     pos_buf = forutil.for_encode(flat)
                 else:
                     pos_buf = b""
+                if has_off:
+                    off_buf = forutil.for_encode(
+                        np.frombuffer(b"".join(offcells[bstart:bend]), dtype="<u4")
+                    )
+                else:
+                    off_buf = b""
                 out.append(
                     (
                         field_name,
@@ -399,6 +661,8 @@ def _make_block_packer(cfg: IndexConfig):
                         forutil.pfor_encode(f),
                         nm.tobytes(),
                         pos_buf,
+                        off_buf,
+                        _competitive_impacts(f, nm),
                     )
                 )
 
@@ -462,25 +726,38 @@ def build_index(
     # cache it so the docid-assignment + sha pipeline runs once
     docs.persist()
 
-    # The exploded (doc, term) stream is NOT cached and flows through
-    # exactly ONE shuffle (the pack repartition). Caching it and running
+    # The exploded stream is NOT cached and flows through exactly ONE
+    # shuffle (the pack repartition). Caching it and running
     # doclens/termstats groupBys over it (3 passes over ~35x the corpus
     # row count) was the build's scaling killer: allocation/GC pressure in
     # the single local JVM serialized all executor threads. Instead:
-    # doclens comes from a cheap counting-only tokenizer pass, and
-    # termstats is an aggregate over the PACKED block table (tiny).
-    inverted = docs.select("doc_id", cfg.text_col).mapInPandas(
-        _make_inverter(cfg), schema=_INVERTED_SCHEMA
-    )
+    # doclens comes from a cheap native-SQL counting pass, and termstats
+    # is an aggregate over the PACKED block table (tiny).
+    #
+    # Empty-stopword default: the whole tokenize+invert front-end runs
+    # JVM-side (_jvm_token_stream) and the packer aggregates token rows —
+    # the build's only Python stage is block packing. Stopwords or stored
+    # offsets force the Python inverter (shared analyzer implementation;
+    # offsets come from regex match spans).
+    if not cfg.stopwords and not cfg.with_offsets:
+        inverted = _jvm_token_stream(docs, cfg)
+        packer = _make_block_packer_tokens(cfg)
+        sort_cols = ["seg_id", "term", "doc_id", "pos"]
+    else:
+        inverted = docs.select("doc_id", cfg.text_col).mapInPandas(
+            _make_inverter(cfg), schema=_INVERTED_SCHEMA
+        )
+        packer = _make_block_packer(cfg)
+        sort_cols = ["seg_id", "term", "doc_id"]
 
     repart_cols = [F.col("seg_id"), F.col("term")]
     if cfg.num_partitions:
         repartitioned = inverted.repartition(cfg.num_partitions, *repart_cols)
     else:
         repartitioned = inverted.repartition(*repart_cols)
-    postings = repartitioned.sortWithinPartitions(
-        "seg_id", "term", "doc_id"
-    ).mapInPandas(_make_block_packer(cfg), schema=POSTINGS_SCHEMA)
+    postings = repartitioned.sortWithinPartitions(*sort_cols).mapInPandas(
+        packer, schema=POSTINGS_SCHEMA
+    )
     # materialize the index once here: termstats/fieldstats below and every
     # query read this plan — without the cache they would re-run the build
     postings.persist()

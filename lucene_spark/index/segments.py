@@ -278,6 +278,12 @@ def merge_segments(
         _decode_blocks_with_positions,
     )
 
+    if cfg.with_offsets:
+        raise NotImplementedError(
+            "segment merge does not carry stored offsets through the "
+            "decode/re-pack cycle — merge with with_offsets=False (offsets "
+            "drop) or rebuild the offset-carrying index"
+        )
     segs = list_segments(spark, index_dir)
     groups = (
         [candidates] if candidates else select_merge_candidates(segs)

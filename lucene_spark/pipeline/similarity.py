@@ -21,7 +21,12 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from lucene_spark.pipeline.dedup import cosine_from_int, int_dot, quantize
 
-__all__ = ["brute_force_topk", "hyperplane_bucketed_topk", "hyperplane_bucket"]
+__all__ = [
+    "brute_force_topk",
+    "hyperplane_bucketed_topk",
+    "hyperplane_multiprobe_topk",
+    "hyperplane_bucket",
+]
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, id_out: str) -> DataFrame:
@@ -99,6 +104,82 @@ def hyperplane_bucket(qv: Column, dim: int, n_planes: int = 8) -> Column:
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def hyperplane_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Multi-probe LSH ANN (the recall-controlled variant of
+    ``hyperplane_bucketed_topk``): each query scores its own bucket PLUS
+    the ``n_probes - 1`` Hamming-1 neighbor buckets whose hyperplanes have
+    the smallest |margin| (the planes the query sits closest to — the
+    standard multi-probe ordering). ``n_probes`` trades recall for cost:
+    candidates grow ~linearly in probes while staying a bucket join, never
+    all-pairs. Recall@10 vs the brute-force baseline is measured in
+    ``tests/test_pipeline.py::test_multiprobe_recall``.
+
+    Deterministic end-to-end (md5 planes, int64 margins, fixed tie-break
+    abs(margin) asc then plane asc), so a DuckDB oracle reproduces the
+    probe sets bit-exactly. Plays the role HNSW serves in the reference
+    (``codecs/lucene99/Lucene99HnswVectorsFormat.java:82`` — approximate
+    search with a tunable recall knob).
+    """
+    c = _prep(corpus, id_col, vec_col, "neighbor_id").withColumn(
+        "bucket", hyperplane_bucket(F.col("_qv_neighbor_id"), dim, n_planes)
+    )
+    q = _prep(queries, id_col, vec_col, "query_id")
+    sums = []
+    for p in range(n_planes):
+        w = F.array(
+            *[F.lit(_plane_weight(p, i)).cast("long") for i in range(dim)]
+        )
+        s = F.aggregate(
+            F.zip_with(F.col("_qv_query_id"), w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sums.append(s)
+    base = None
+    for p, s in enumerate(sums):
+        b = F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        base = b if base is None else base + b
+    base = base.cast("int")
+    # struct sort is lexicographic (m asc, p asc) — deterministic probe order
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(s).alias("m"), F.lit(p).alias("p"), F.lit(1 << p).alias("mask")
+            )
+            for p, s in enumerate(sums)
+        ]
+    )
+    flips = F.slice(F.sort_array(margins), 1, max(n_probes - 1, 0))
+    probes = F.array_union(
+        F.array(base),
+        F.transform(flips, lambda f: base.bitwiseXOR(f["mask"])),
+    )
+    q = q.withColumn("bucket", F.explode(probes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_from_int(
+                int_dot(F.col("_qv_neighbor_id"), F.col("_qv_query_id")),
+                F.col("_n_neighbor_id"),
+                F.col("_n_query_id"),
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, k)
 
 
 def hyperplane_bucketed_topk(

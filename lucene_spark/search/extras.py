@@ -411,6 +411,122 @@ def highlight_passages(
     )
 
 
+def _decode_offset_rows(batches):
+    """Postings blocks -> one row per occurrence:
+    (term, doc_id, start_off, end_off). Needs blocks built with
+    ``IndexConfig.with_offsets=True``."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_spark.index import forutil
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        terms, docs, s_off, e_off = [], [], [], []
+        for row in pdf.itertuples(index=False):
+            d = forutil.delta_decode(row.first_doc, forutil.for_decode(row.doc_gaps))
+            f = forutil.pfor_decode(row.freqs).astype(np.int64)
+            flat = forutil.for_decode(row.offsets).astype(np.int64)
+            if len(flat) != 2 * int(f.sum()):
+                raise ValueError(
+                    "postings carry no stored offsets — build the index "
+                    "with IndexConfig(with_offsets=True)"
+                )
+            pairs = flat.reshape(-1, 2)
+            rep = np.repeat(d, f)
+            terms.append(np.full(len(rep), row.term, dtype=object))
+            docs.append(rep)
+            s_off.append(pairs[:, 0])
+            e_off.append(pairs[:, 1])
+        if not terms:
+            continue
+        yield pd.DataFrame(
+            {
+                "term": np.concatenate(terms),
+                "doc_id": np.concatenate(docs),
+                "start_off": np.concatenate(s_off).astype(np.int64),
+                "end_off": np.concatenate(e_off).astype(np.int64),
+            }
+        )
+
+
+def highlight_postings(
+    searcher: IndexSearcher,
+    terms: list[str],
+    k: int = 5,
+    passage_chars: int = 80,
+) -> DataFrame:
+    """POSTINGS-offset-source highlighting
+    (``uhighlight/UnifiedHighlighter.java:96`` with
+    ``OffsetSource.POSTINGS``): match offsets come from the index blocks —
+    the stored text of the top-k docs is NEVER re-tokenized at query time
+    (contrast ``highlight_passages``, the ANALYSIS offset source).
+
+    Passages are fixed character windows of ``passage_chars`` (our
+    deterministic BreakIterator stand-in); each hit contributes its term's
+    float32 idf weight to its passage (PassageScorer term weighting);
+    the snippet is a plain substring slice of the stored text.
+
+    Output: (doc_id, score, passage_idx, passage_score, snippet).
+    """
+    from pyspark.sql import Window as _W
+
+    cfg = searcher.index.config
+    field = cfg.field_name
+    if len(terms) == 1:
+        q: Q.Query = Q.TermQuery(field, terms[0])
+    else:
+        q = Q.BooleanQuery.of(should=[Q.TermQuery(field, t) for t in terms])
+    top = searcher.search(q, k=k)
+    fs = searcher.index.fieldstats[field]
+    ctx = searcher._resolve_stats(q)
+    weights = {
+        t: float(
+            searcher.sim.idf(
+                ctx.term_stats.get((field, t), (0, 0))[0], fs.doc_count
+            )
+        )
+        for t in terms
+    }
+    w_col = F.lit(0.0)
+    for t, wv in weights.items():
+        w_col = F.when(F.col("term") == t, F.lit(wv)).otherwise(w_col)
+    occ_schema = "term string, doc_id long, start_off long, end_off long"
+    occ = (
+        searcher._blocks(field, F.col("term").isin(list(terms)))
+        .select("term", "first_doc", "doc_gaps", "freqs", "offsets")
+        .mapInPandas(_decode_offset_rows, schema=occ_schema)
+        .join(F.broadcast(top), "doc_id")
+        .withColumn(
+            "passage_idx",
+            F.floor(F.col("start_off") / F.lit(passage_chars)).cast("int"),
+        )
+    )
+    passages = occ.groupBy("doc_id", "score", "passage_idx").agg(
+        F.sum(w_col.cast("double")).cast("float").alias("passage_score")
+    )
+    best = _W.partitionBy("doc_id").orderBy(
+        F.desc("passage_score"), F.asc("passage_idx")
+    )
+    ranked = (
+        passages.withColumn("_rk", F.row_number().over(best))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return ranked.join(searcher.index.docs, "doc_id").select(
+        "doc_id",
+        "score",
+        "passage_idx",
+        "passage_score",
+        F.substring(
+            F.col(cfg.text_col),
+            (F.col("passage_idx") * passage_chars + 1).cast("int"),
+            passage_chars,
+        ).alias("snippet"),
+    )
+
+
 def combined_field_topk(
     fields: "dict[str, tuple]",
     term: str,

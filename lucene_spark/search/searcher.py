@@ -150,12 +150,22 @@ class IndexSearcher:
         #: {"total_blocks", "phase1_blocks", "kept_blocks", "rescore_blocks"}
         self.collect_prune_stats = False
         self.last_prune_stats: dict[str, int] | None = None
+        #: filled by the general sloppy path when collect_prune_stats is
+        #: True: {"docs_with_all_slots", "candidates"} — evidence the JVM
+        #: pre-filter shrank the Python matcher's input
+        self.last_sloppy_stats: dict[str, int] | None = None
         #: disjunction-pruning cost guards (BooleanScorerSupplier role):
         #: fall back to the plain one-shuffle disjunction when the keep
         #: rule retains more than this fraction of blocks, or when the
         #: candidate superset exceeds this row count (broadcast budget)
         self.prune_keep_frac = 0.5
         self.prune_max_candidates = 100_000
+        #: essential-strategy budget: candidates are exact-essential docs
+        #: that might still reach the top-k; past this count the
+        #: non-essential probe would touch every block anyway (flat score
+        #: distributions — near-duplicate corpora — land here) and the
+        #: plain one-shuffle disjunction is strictly cheaper
+        self.essential_max_candidates = 4096
         self._stats_memo: dict[tuple[str, str], tuple[int, int]] = {}
         self._avgdl: dict[str, np.float32] = {}
         self._cache: dict[str, np.ndarray] = {}
@@ -341,6 +351,26 @@ class IndexSearcher:
         # precision), so the op-order contract of BM25Similarity holds.
         quotient = (w / denom).cast("float")
         return (w - quotient).cast("float")
+
+    def _block_ub(self, field: str, weight) -> Column:
+        """Tight per-block score upper bound: max BM25 over the block's
+        COMPETITIVE IMPACT pairs (the (freq, norm) Pareto frontier stored
+        at build time, ``codecs/CompetitiveImpactAccumulator.java:64``;
+        consumed like ``search/MaxScoreCache.java:59-140``). The old
+        score(max_freq, min_norm) bound pairs a freq and a norm from
+        DIFFERENT docs — on realistic corpora it overshoots every real
+        score so far that theta can never demote a clause. Higher-order
+        exprs here are interpreted, but only over block METADATA rows."""
+        pair_idx = F.sequence(
+            F.lit(1), (F.size(F.col("impacts")) / F.lit(2)).cast("int")
+        )
+
+        def score_of(i):
+            fr = F.element_at(F.col("impacts"), (i * 2 - 1).cast("int"))
+            nm = F.element_at(F.col("impacts"), (i * 2).cast("int"))
+            return self._score_col(field, fr, nm, weight)
+
+        return F.array_max(F.transform(pair_idx, score_of))
 
     def _idf(self, field: str, term: str, ctx: _Ctx) -> np.float32:
         fs = self.index.fieldstats[field]
@@ -635,6 +665,55 @@ class IndexSearcher:
         uniq = list(dict.fromkeys(all_terms))
         d = self._decoded(q.field, F.col("term").isin(uniq), with_positions=True)
 
+        # JVM pre-filter before the per-doc Python matcher: every emitted
+        # sloppy match IS a choice of one adjusted position (raw - slot
+        # offset) per slot with spread <= slop, so a doc can only match
+        # when max_slot(min adj) - min_slot(max adj) <= slop (interval
+        # stabbing necessity; repeat-group advancement only shrinks the
+        # per-slot sets, which keeps the full-set condition necessary).
+        # Pure codegen aggregation — the Arrow-shipped group count drops
+        # to the docs that can actually align, not every doc holding all
+        # terms.
+        spark = self.index.docs.sparkSession
+        slot_map = spark.createDataFrame(
+            [(t, i) for i, s in enumerate(slots) for t in s],
+            schema="term string, slot int",
+        )
+        per_slot = (
+            d.join(F.broadcast(slot_map), "term")
+            .groupBy("doc_id", "slot")
+            .agg(
+                (F.min(F.array_min("positions")) - F.col("slot")).alias("amin"),
+                (F.max(F.array_max("positions")) - F.col("slot")).alias("amax"),
+            )
+        )
+        cand = (
+            per_slot.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("_ns"),
+                F.max("amin").alias("_m_hi"),
+                F.min("amax").alias("_m_lo"),
+            )
+            .filter(
+                (F.col("_ns") == F.lit(k))
+                & (F.col("_m_hi") - F.col("_m_lo") <= F.lit(slop))
+            )
+            .select("doc_id")
+        )
+        if self.collect_prune_stats:
+            n_all = (
+                per_slot.groupBy("doc_id")
+                .agg(F.count("*").alias("_ns"))
+                .filter(F.col("_ns") == F.lit(k))
+                .count()
+            )
+            n_cand = cand.count()
+            self.last_sloppy_stats = {
+                "docs_with_all_slots": n_all,
+                "candidates": n_cand,
+            }
+        d = d.join(cand, "doc_id", "left_semi")
+
         out_schema = StructType(
             [
                 StructField("doc_id", LongType()),
@@ -849,8 +928,7 @@ class IndexSearcher:
         # small postings: decode everything (pruning wouldn't pay)
         if df <= max(4 * k, self.prune_min_df):
             return self._scored(q, F32(1.0), ctx)
-        ub = self._score_col(field, F.col("max_freq"), F.col("min_norm"), w)
-        blocks = blocks.withColumn("_ub", ub)
+        blocks = blocks.withColumn("_ub", self._block_ub(field, w))
         n_phase1 = max(1, math.ceil((4 * k) / forutil.BLOCK_SIZE))
         # deterministic tie-break: the phase-1 set is evaluated by TWO jobs
         # (key collect + decode) — equal upper bounds must not let them
@@ -965,16 +1043,27 @@ class IndexSearcher:
         # a filter over the (persisted) postings cache — cheap to recompute,
         # no persist needed
         blocks = self._blocks(field, F.col("term").isin(terms)).withColumn(
-            "_ub", self._score_col(field, F.col("max_freq"), F.col("min_norm"), w_col)
+            "_ub", self._block_ub(field, w_col)
         )
-        # per-clause global max bound (tiny metadata aggregate, 1 job)
-        mx_rows = blocks.groupBy("term").agg(F.max("_ub").alias("mx")).collect()
-        maxub = {r["term"]: float(r["mx"]) for r in mx_rows}
+        decode_cols = ["term", "first_doc", "doc_gaps", "freqs", "norms"]
+        n_phase1 = max(1, math.ceil((4 * k) / forutil.BLOCK_SIZE))
+        # ONE metadata job yields both the per-clause top-block anchors and
+        # every clause's global max bound (the rank-1 row's _ub)
+        wnd = Window.partitionBy("term").orderBy(
+            F.col("_ub").desc(), F.col("seg_id").asc(), F.col("block_ord").asc()
+        )
+        meta_rows = (
+            blocks.withColumn("_rk", F.row_number().over(wnd))
+            .filter(F.col("_rk") <= n_phase1)
+            .select("term", "first_doc", "last_doc", "_ub", "_rk")
+            .collect()
+        )
+        maxub = {
+            r["term"]: float(r["_ub"]) for r in meta_rows if r["_rk"] == 1
+        }
         if len(maxub) < 2:
             return fallback  # degenerate: <=1 clause has postings
         s_all = sum(maxub.values())
-
-        decode_cols = ["term", "first_doc", "doc_gaps", "freqs", "norms"]
 
         def combine(decoded: DataFrame) -> DataFrame:
             per = decoded.select(
@@ -998,13 +1087,23 @@ class IndexSearcher:
             ).cast("float")
             return agg.select("doc_id", expr.alias("score"))
 
-        n_phase1 = max(1, math.ceil((4 * k) / forutil.BLOCK_SIZE))
-        phase1 = blocks.orderBy(
-            F.col("_ub").desc(),
-            F.col("term").asc(),
-            F.col("seg_id").asc(),
-            F.col("block_ord").asc(),
-        ).limit(n_phase1 * len(terms))
+        # phase 1: anchor on the STRONGEST clause's top blocks and decode
+        # every clause's blocks overlapping those [first_doc, last_doc]
+        # spans — partial scores then carry combined contributions across
+        # clauses. (Decoding each clause's top blocks in isolation puts
+        # theta below every clause bound on hot terms — blocks of
+        # different clauses rarely share a doc window across segments —
+        # and the essential split below could never engage.)
+        strongest = max(maxub, key=lambda t: maxub[t])
+        span_pred = None
+        for r in meta_rows:
+            if r["term"] != strongest:
+                continue
+            p = (F.col("first_doc") <= F.lit(int(r["last_doc"]))) & (
+                F.col("last_doc") >= F.lit(int(r["first_doc"]))
+            )
+            span_pred = p if span_pred is None else (span_pred | p)
+        phase1 = blocks.filter(span_pred)
         scored1 = combine(
             phase1.select(decode_cols).mapInPandas(
                 _decode_blocks, schema=_DECODE_SCHEMA
@@ -1031,16 +1130,35 @@ class IndexSearcher:
         kept = blocks.filter(
             (F.col("_ub").cast("double") + ob_col) >= F.lit(theta)
         )
-        # cost-based guard (the BooleanScorerSupplier role: only take the
-        # pruned strategy when it actually prunes): on uniformly-hot
-        # clauses theta sits below most block bounds, the keep-rule
-        # retains nearly everything and the candidate set approaches the
-        # corpus — the broadcast rescore join would then be strictly worse
-        # than the plain one-shuffle disjunction. Two cheap metadata
-        # counts decide before any decode happens.
+        # cost-based guard (the BooleanScorerSupplier role: pick the
+        # strategy that actually prunes): when the block-level keep rule
+        # retains little, the candidate-superset rescore below wins; on
+        # uniformly-hot clauses theta sits below most block bounds and
+        # nearly everything survives — there the MAXSCORE
+        # essential/non-essential split still prunes (decode only the
+        # strongest clauses fully; probe the weak ones at candidate spans;
+        # MaxScoreBulkScorer.java:28-70). Two cheap metadata counts decide
+        # before any decode happens.
         total_blocks = blocks.count()
         kept_cnt = kept.count()
         if kept_cnt > self.prune_keep_frac * total_blocks:
+            out = self._disjunction_topk_essential(
+                field,
+                weights,
+                maxub,
+                theta,
+                mode_tie,
+                k,
+                blocks,
+                decode_cols,
+                stats_base={
+                    "total_blocks": total_blocks,
+                    "phase1_blocks": n_phase1 * len(terms),
+                    "kept_blocks": kept_cnt,
+                },
+            )
+            if out is not None:
+                return out
             if self.collect_prune_stats:
                 self.last_prune_stats = {
                     "total_blocks": total_blocks,
@@ -1102,10 +1220,161 @@ class IndexSearcher:
         )
         return exact.join(F.broadcast(cand), "doc_id", "left_semi")
 
+    def _disjunction_topk_essential(
+        self,
+        field: str,
+        weights: dict[str, float],
+        maxub: dict[str, float],
+        theta: float,
+        mode_tie: float | None,
+        k: int,
+        blocks: DataFrame,
+        decode_cols: list[str],
+        stats_base: dict[str, int],
+    ) -> DataFrame | None:
+        """MAXSCORE essential/non-essential pruning for NON-selective
+        disjunctions (``search/MaxScoreBulkScorer.java:28-70`` — the shape
+        where the block-level keep rule retains everything because theta
+        sits below most block upper bounds, yet whole clauses can still be
+        demoted from "iterate fully" to "probe at candidates").
+
+        Clauses sorted by global max bound ascending; the non-essential
+        set N is the longest prefix whose COMBINED upper bound stays below
+        theta (sum for SHOULD-sum; max + tie*(sum-max) for dismax). Then:
+
+        - a doc matching only N clauses scores <= bound(N) < theta — its
+          postings are NEVER decoded (the 100 TB win: an OR of a stopword
+          term with a strong term decodes only the strong side fully);
+        - essential clauses decode fully (the fallback would decode them
+          anyway) into per-doc exact partials (e_sum, e_max);
+        - candidates = docs whose exact-essential partial + bound(N)
+          clears theta (both combiners are monotone per clause, so the
+          bound is sound); everything else is discarded before any
+          non-essential I/O;
+        - non-essential blocks decode only where their [first_doc,
+          last_doc] span holds a candidate; the final combine is exact
+          (each addend is a float32 value, so double accumulation is
+          exact regardless of grouping — bit-identical to the one-shot
+          sum).
+
+        Returns None when no essential split exists (theta below every
+        clause bound) or the candidate set exceeds the broadcast budget —
+        the caller then takes the plain one-shuffle disjunction.
+        """
+        tie = float(F32(mode_tie)) if mode_tie is not None else None
+
+        def comb(ms: list[float]) -> float:
+            if not ms:
+                return 0.0
+            if tie is None:
+                return sum(ms)
+            mx = max(ms)
+            return mx + tie * (sum(ms) - mx)
+
+        order = sorted(maxub, key=lambda t: (maxub[t], t))
+        ne: list[str] = []
+        for t in order[:-1]:  # keep >= 1 essential clause
+            if comb([maxub[x] for x in ne] + [maxub[t]]) < theta:
+                ne.append(t)
+            else:
+                break
+        if not ne:
+            return None
+        ess = [t for t in order if t not in ne]
+        ne_sum = sum(maxub[t] for t in ne)
+        ne_max = max(maxub[t] for t in ne)
+
+        w_col = F.lit(None).cast("float")
+        for t, wv in weights.items():
+            w_col = F.when(F.col("term") == t, F.lit(wv).cast("float")).otherwise(
+                w_col
+            )
+        e_blocks = blocks.filter(F.col("term").isin(ess))
+        e_per = (
+            e_blocks.select(decode_cols)
+            .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
+            .select(
+                "doc_id",
+                self._score_col(field, F.col("freq"), F.col("norm"), w_col).alias(
+                    "s"
+                ),
+            )
+        )
+        e_agg = e_per.groupBy("doc_id").agg(
+            F.sum(F.col("s").cast("double")).alias("e_sum"),
+            F.max("s").alias("e_max"),
+        )
+        if tie is None:
+            ub = F.col("e_sum") + F.lit(ne_sum)
+        else:
+            mxc = F.greatest(F.col("e_max").cast("double"), F.lit(ne_max))
+            smc = F.col("e_sum") + F.lit(ne_sum)
+            ub = mxc + F.lit(tie) * (smc - mxc)
+        cap = min(self.prune_max_candidates, max(self.essential_max_candidates, 64 * k))
+        cand_rows = (
+            e_agg.filter(ub >= F.lit(theta))
+            .select("doc_id", "e_sum", "e_max")
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(cand_rows) > cap:
+            return None
+        spark = self.index.docs.sparkSession
+        cand = spark.createDataFrame(
+            [
+                (int(r["doc_id"]), float(r["e_sum"]), float(r["e_max"]))
+                for r in cand_rows
+            ],
+            schema="doc_id long, e_sum double, e_max float",
+        )
+        n_blocks = blocks.filter(F.col("term").isin(ne))
+        needed = n_blocks.join(
+            F.broadcast(cand.select("doc_id")),
+            (F.col("doc_id") >= F.col("first_doc"))
+            & (F.col("doc_id") <= F.col("last_doc")),
+            "left_semi",
+        )
+        if self.collect_prune_stats:
+            self.last_prune_stats = {
+                **stats_base,
+                "essential_blocks": e_blocks.count(),
+                "rescore_blocks": needed.count(),
+                "n_candidates": len(cand_rows),
+                "fell_back": False,
+                "strategy": "maxscore_essential",
+            }
+        n_per = (
+            needed.select(decode_cols)
+            .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
+            .join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+            .select(
+                "doc_id",
+                self._score_col(field, F.col("freq"), F.col("norm"), w_col).alias(
+                    "s"
+                ),
+            )
+        )
+        n_agg = n_per.groupBy("doc_id").agg(
+            F.sum(F.col("s").cast("double")).alias("n_sum"),
+            F.max("s").alias("n_max"),
+        )
+        joined = cand.join(n_agg, "doc_id", "left")
+        sm = F.col("e_sum") + F.coalesce(F.col("n_sum"), F.lit(0.0))
+        if tie is None:
+            score = sm.cast("float")
+        else:
+            # BM25 scores are > 0, so 0 is neutral for the max
+            mx = F.greatest(
+                F.col("e_max").cast("double"),
+                F.coalesce(F.col("n_max").cast("double"), F.lit(0.0)),
+            )
+            score = (mx + F.lit(tie) * (sm - mx)).cast("float")
+        return joined.select("doc_id", score.alias("score"))
+
     # ------------------------------------------------------- batched serving
 
     def search_many(self, queries: dict[str, Q.Query], k: int = 10) -> DataFrame:
-        """Execute a batch of term/boolean queries as ONE DataFrame job:
+        """Execute a batch of queries as ONE DataFrame job:
         (query_id, doc_id, score, rank), rank <= k per query, scores
         bit-identical to per-query ``search``.
 
@@ -1113,14 +1382,27 @@ class IndexSearcher:
         running each search as separate Spark jobs): all clauses become a
         broadcast clause table, the postings decode runs once over the
         union of terms, and per-query top-k is one window. Supports
-        TermQuery and BooleanQuery over TermQuerys (all occurs, msm);
+        TermQuery, BooleanQuery over TermQuerys (all occurs, msm),
+        DisjunctionMaxQuery over TermQuerys, and exact PhraseQuery
+        (slop=0) — the single-shuffle query families keyable by query_id;
         other query types raise — run those individually.
         """
         field = self.index.config.field_name
-        for q in queries.values():
+        term_like: dict[str, Q.Query] = {}
+        phrases: dict[str, Q.PhraseQuery] = {}
+        for qid, q in queries.items():
+            if isinstance(q, Q.PhraseQuery) and q.slop == 0:
+                if q.field != field:
+                    raise NotImplementedError(
+                        f"search_many scores field {field!r} only"
+                    )
+                phrases[qid] = q
+                continue
             subs = (
                 [c.query for c in q.clauses]
                 if isinstance(q, Q.BooleanQuery)
+                else list(q.queries)
+                if isinstance(q, Q.DisjunctionMaxQuery)
                 else [q]
             )
             for s in subs:
@@ -1129,28 +1411,41 @@ class IndexSearcher:
                         f"search_many scores field {field!r} only; "
                         f"got a clause on {s.field!r}"
                     )
+            term_like[qid] = q
         clause_rows: list[tuple] = []   # (qid, term, weight, occur)
-        query_rows: list[tuple] = []    # (qid, n_required, msm)
-        wanted = Q.BooleanQuery.of(
-            should=[
-                c.query if isinstance(c, Q.BooleanClause) else c
-                for q in queries.values()
-                for c in (
-                    q.clauses if isinstance(q, Q.BooleanQuery) else [q]
-                )
-            ]
+        query_rows: list[tuple] = []    # (qid, n_required, msm, mode, tie)
+        all_term_qs: list[Q.TermQuery] = []
+        for q in term_like.values():
+            if isinstance(q, Q.BooleanQuery):
+                all_term_qs.extend(c.query for c in q.clauses)
+            elif isinstance(q, Q.DisjunctionMaxQuery):
+                all_term_qs.extend(q.queries)
+            else:
+                all_term_qs.append(q)
+        all_term_qs.extend(
+            Q.TermQuery(field, t) for p in phrases.values() for t in p.terms
         )
-        ctx = self._resolve_stats(wanted)
+        ctx = self._resolve_stats(Q.BooleanQuery.of(should=all_term_qs))
         fs = self.index.fieldstats[field]
 
         def weight_of(tq: Q.TermQuery) -> float:
             df, _ = ctx.term_stats.get((field, tq.term), (0, 0))
             return float(self.sim.weight(F32(tq.boost), self.sim.idf(df, fs.doc_count)))
 
-        for qid, q in queries.items():
+        for qid, q in term_like.items():
             if isinstance(q, Q.TermQuery):
                 clause_rows.append((qid, q.term, weight_of(q), "should"))
-                query_rows.append((qid, 0, 1))
+                query_rows.append((qid, 0, 1, "sum", 0.0))
+            elif isinstance(q, Q.DisjunctionMaxQuery):
+                for sub in q.queries:
+                    if not isinstance(sub, Q.TermQuery):
+                        raise NotImplementedError(
+                            "search_many dismax supports term clauses only"
+                        )
+                    clause_rows.append((qid, sub.term, weight_of(sub), "should"))
+                query_rows.append(
+                    (qid, 0, 1, "dismax", float(F32(q.tie_breaker)))
+                )
             elif isinstance(q, Q.BooleanQuery):
                 n_req = 0
                 n_should = 0
@@ -1174,56 +1469,81 @@ class IndexSearcher:
                 msm = q.minimum_should_match
                 if n_req == 0:
                     msm = max(msm, 1)
-                query_rows.append((qid, n_req, msm))
+                query_rows.append((qid, n_req, msm, "sum", 0.0))
             else:
                 raise NotImplementedError(
                     f"search_many does not support {type(q).__name__}"
                 )
         spark = self.index.docs.sparkSession
-        clauses = spark.createDataFrame(
-            clause_rows, schema="query_id string, term string, w float, occur string"
-        )
-        qmeta = spark.createDataFrame(
-            query_rows, schema="query_id string, n_required int, msm int"
-        )
-        terms = sorted({r[1] for r in clause_rows})
-        d = self._decoded(field, F.col("term").isin(terms))
-        j = d.join(F.broadcast(clauses), "term")
-        pos = j.filter(F.col("occur") != "not")
-        per = pos.select(
-            "query_id",
-            "doc_id",
-            F.when(
-                F.col("occur") == "filter", F.lit(0.0).cast("float")
+        parts: list[DataFrame] = []
+        if term_like:
+            clauses = spark.createDataFrame(
+                clause_rows,
+                schema="query_id string, term string, w float, occur string",
             )
-            .otherwise(
-                self._score_col(field, F.col("freq"), F.col("norm"), F.col("w"))
+            qmeta = spark.createDataFrame(
+                query_rows,
+                schema="query_id string, n_required int, msm int, "
+                "mode string, tie double",
             )
-            .alias("s"),
-            F.when(F.col("occur").isin("must", "filter"), 1)
-            .otherwise(0)
-            .alias("req"),
-            F.when(F.col("occur") == "should", 1).otherwise(0).alias("sh"),
-        )
-        agg = per.groupBy("query_id", "doc_id").agg(
-            F.sum(F.col("s").cast("double")).alias("sum_s"),
-            F.sum("req").alias("nreq"),
-            F.sum("sh").alias("nsh"),
-        )
-        scored = (
-            agg.join(F.broadcast(qmeta), "query_id")
-            .filter(
-                (F.col("nreq") == F.col("n_required"))
-                & (F.col("nsh") >= F.col("msm"))
+            terms = sorted({r[1] for r in clause_rows})
+            d = self._decoded(field, F.col("term").isin(terms))
+            j = d.join(F.broadcast(clauses), "term")
+            pos = j.filter(F.col("occur") != "not")
+            per = pos.select(
+                "query_id",
+                "doc_id",
+                F.when(
+                    F.col("occur") == "filter", F.lit(0.0).cast("float")
+                )
+                .otherwise(
+                    self._score_col(field, F.col("freq"), F.col("norm"), F.col("w"))
+                )
+                .alias("s"),
+                F.when(F.col("occur").isin("must", "filter"), 1)
+                .otherwise(0)
+                .alias("req"),
+                F.when(F.col("occur") == "should", 1).otherwise(0).alias("sh"),
             )
-            .select("query_id", "doc_id", F.col("sum_s").cast("float").alias("score"))
-        )
-        neg = (
-            j.filter(F.col("occur") == "not")
-            .select("query_id", "doc_id")
-            .distinct()
-        )
-        scored = scored.join(neg, ["query_id", "doc_id"], "left_anti")
+            agg = per.groupBy("query_id", "doc_id").agg(
+                F.sum(F.col("s").cast("double")).alias("sum_s"),
+                F.max("s").alias("max_s"),
+                F.sum("req").alias("nreq"),
+                F.sum("sh").alias("nsh"),
+            )
+            # per-mode combine: SHOULD-sum (double accumulate, one float
+            # round) or dismax mx + tie*(sm - mx) — same expressions as the
+            # individual _scored_boolean/_scored_dismax paths
+            dismax_score = (
+                F.col("max_s").cast("double")
+                + F.col("tie")
+                * (F.col("sum_s") - F.col("max_s").cast("double"))
+            ).cast("float")
+            scored = (
+                agg.join(F.broadcast(qmeta), "query_id")
+                .filter(
+                    (F.col("nreq") == F.col("n_required"))
+                    & (F.col("nsh") >= F.col("msm"))
+                )
+                .select(
+                    "query_id",
+                    "doc_id",
+                    F.when(F.col("mode") == "dismax", dismax_score)
+                    .otherwise(F.col("sum_s").cast("float"))
+                    .alias("score"),
+                )
+            )
+            neg = (
+                j.filter(F.col("occur") == "not")
+                .select("query_id", "doc_id")
+                .distinct()
+            )
+            parts.append(scored.join(neg, ["query_id", "doc_id"], "left_anti"))
+        if phrases:
+            parts.append(self._phrase_batch_scored(phrases, ctx))
+        scored = parts[0]
+        for p in parts[1:]:
+            scored = scored.unionByName(p)
         scored = self._live(scored)
         win = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
@@ -1232,6 +1552,71 @@ class IndexSearcher:
             scored.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "score", "rank")
+        )
+
+    def _phrase_batch_scored(
+        self, phrases: dict[str, Q.PhraseQuery], ctx: _Ctx
+    ) -> DataFrame:
+        """All exact phrases of a batch as ONE generic plan: a broadcast
+        (query_id, term, slot) table against the positions decode, slot
+        alignment on start = pos - slot (the same candidate-start
+        equi-join family as the individual phrase path), count == n_slots
+        per (query, doc, start), then BM25 on the per-doc start count —
+        scores bit-identical to per-query ``search``."""
+        field = self.index.config.field_name
+        spark = self.index.docs.sparkSession
+        slot_rows: list[tuple] = []
+        meta_rows: list[tuple] = []
+        for qid, q in phrases.items():
+            if len(set(q.terms)) != len(q.terms):
+                raise NotImplementedError(
+                    "batched phrase needs distinct terms — run repeated-term "
+                    "phrases individually"
+                )
+            idf_sum = 0.0
+            for t in q.terms:
+                idf_sum += float(self._idf(field, t, ctx))
+            w = float(self.sim.weight(F32(q.boost), F32(idf_sum)))
+            for i, t in enumerate(q.terms):
+                slot_rows.append((qid, t, i))
+            meta_rows.append((qid, len(q.terms), w))
+        slot_df = spark.createDataFrame(
+            slot_rows, schema="query_id string, term string, slot int"
+        )
+        meta_df = spark.createDataFrame(
+            meta_rows, schema="query_id string, n_slots int, w float"
+        )
+        terms = sorted({t for (_, t, _) in slot_rows})
+        d = self._decoded(field, F.col("term").isin(terms), with_positions=True)
+        e = (
+            d.join(F.broadcast(slot_df), "term")
+            .select(
+                "query_id",
+                "doc_id",
+                "norm",
+                "slot",
+                F.explode("positions").alias("p"),
+            )
+            .withColumn("start", F.col("p") - F.col("slot"))
+            .filter(F.col("start") >= 0)
+        )
+        m = (
+            e.groupBy("query_id", "doc_id", "start")
+            .agg(F.count("*").alias("_ns"), F.min("norm").alias("norm"))
+            .join(F.broadcast(meta_df), "query_id")
+            .filter(F.col("_ns") == F.col("n_slots"))
+        )
+        per_doc = m.groupBy("query_id", "doc_id").agg(
+            F.count("*").cast("int").alias("freq"),
+            F.min("norm").alias("norm"),
+            F.min("w").alias("w"),
+        )
+        return per_doc.select(
+            "query_id",
+            "doc_id",
+            self._score_col(field, F.col("freq"), F.col("norm"), F.col("w")).alias(
+                "score"
+            ),
         )
 
 

@@ -126,33 +126,47 @@ def automaton_matches(searcher, auto: TermAutomaton) -> DataFrame:
             parts.append(nxt)
         return parts, reached
 
-    # initial frontier: state-0 term transitions anchor on real positions
+    # initial frontier, anchored at the EARLIEST term transition: walking
+    # only ANY-labelled edges from the initial state yields states
+    # reachable after d wildcard tokens; each term transition out of such
+    # a state anchors on its label's real positions with start = p - d
+    # (positions are dense 0..len-1, so the d preceding wildcard tokens
+    # exist iff start >= 0). This replaces the old ANY-initial
+    # explode(sequence(0, len-1)) over the whole doclens table — an
+    # ANY-first automaton no longer materializes every position of every
+    # doc (corpus-wide at 100 TB); a path with no term transition at all
+    # cannot be anchored and raises, like the acyclicity check.
+    any_depths: dict[int, set[int]] = {0: {0}}
+    stack = [0]
+    while stack:
+        s_ = stack.pop()
+        for a, b, label in auto.transitions:
+            if a == s_ and label is None:
+                new = {d + 1 for d in any_depths[s_]}
+                before = any_depths.get(b, set())
+                if not new <= before:
+                    any_depths[b] = before | new
+                    stack.append(b)
+    if any(s_ in auto.accept for s_ in any_depths):
+        raise NotImplementedError(
+            "TermAutomaton accepting path with no term-labelled transition "
+            "(all-ANY prefix reaching an accept state) cannot be anchored — "
+            "add a term transition to every accepting path"
+        )
     init_parts = []
     init_states = set()
-    for s, t, label in auto.transitions:
-        if s != 0:
+    for s_, t, label in auto.transitions:
+        if s_ not in any_depths or label is None:
             continue
         init_states.add(t)
-        if label is None:
+        for d in sorted(any_depths[s_]):
+            anchored = pos.filter(F.col("term") == label)
+            if d > 0:
+                anchored = anchored.filter(F.col("p") >= d)
             init_parts.append(
-                lens.select(
+                anchored.select(
                     "doc_id",
-                    F.explode(F.sequence(F.lit(0), F.col("_len") - 1)).alias(
-                        "start"
-                    ),
-                )
-                .select(
-                    "doc_id",
-                    "start",
-                    (F.col("start") + 1).alias("nxt"),
-                    F.lit(t).alias("state"),
-                )
-            )
-        else:
-            init_parts.append(
-                pos.filter(F.col("term") == label).select(
-                    "doc_id",
-                    F.col("p").alias("start"),
+                    (F.col("p") - F.lit(d)).alias("start"),
                     (F.col("p") + 1).alias("nxt"),
                     F.lit(t).alias("state"),
                 )

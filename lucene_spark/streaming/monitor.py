@@ -43,10 +43,12 @@ class Monitor:
 
     def register(self, query_id: str, query: Q.Query) -> None:
         if not isinstance(
-            query, (Q.TermQuery, Q.BooleanQuery, Q.PhraseQuery)
+            query,
+            (Q.TermQuery, Q.BooleanQuery, Q.PhraseQuery, Q.PrefixQuery, Q.FuzzyQuery),
         ):
             raise NotImplementedError(
-                f"Monitor supports Term/Boolean/Phrase queries, got {type(query).__name__}"
+                "Monitor supports Term/Boolean/Phrase/Prefix/Fuzzy queries, "
+                f"got {type(query).__name__}"
             )
         self._entries[query_id] = query
 
@@ -72,6 +74,8 @@ class Monitor:
         rows = []
         meta = []
         for qid, q in self._entries.items():
+            if isinstance(q, (Q.PrefixQuery, Q.FuzzyQuery)):
+                continue  # expanded per batch in match_batch (presearcher)
             if isinstance(q, Q.TermQuery):
                 rows.append((qid, q.term, "must", 0, 0))
                 meta.append((qid, 1, 0))
@@ -123,13 +127,63 @@ class Monitor:
             )
         spark = docs.sparkSession
         terms_df, meta_df = self._query_tables(spark)
-        qt = F.broadcast(terms_df)
         # analyzer-consistent doc-side tokenization (lowercase + the
         # StandardAnalyzer word-break regex), all JVM-side
         toks = docs.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(sql_tokens(F.col(text_col))).alias("pos", "term"),
         )
+        # presearcher expansion for multi-term standing queries
+        # (TermFilteredPresearcher.java strategy): Prefix/Fuzzy queries
+        # expand against the BATCH's term dictionary at match time — a
+        # broadcast theta-join over the distinct batch terms, no per-doc
+        # Python — and then behave as 1-of term sets (SHOULD, msm=1).
+        pat_rows = []
+        pat_meta = []
+        for qid, q in self._entries.items():
+            if isinstance(q, Q.PrefixQuery):
+                pat_rows.append((qid, q.prefix, "prefix", 0, 0))
+                pat_meta.append((qid, 0, 1))
+            elif isinstance(q, Q.FuzzyQuery):
+                pat_rows.append(
+                    (qid, q.term, "fuzzy", int(q.max_edits), int(q.prefix_length))
+                )
+                pat_meta.append((qid, 0, 1))
+        if pat_rows:
+            pat_df = spark.createDataFrame(
+                pat_rows,
+                schema="query_id string, pattern string, pkind string, "
+                "edits int, plen int",
+            )
+            batch_terms = toks.select("term").distinct()
+            is_prefix = (F.col("pkind") == "prefix") & F.col("term").startswith(
+                F.col("pattern")
+            )
+            is_fuzzy = (
+                (F.col("pkind") == "fuzzy")
+                & (F.levenshtein(F.col("term"), F.col("pattern")) <= F.col("edits"))
+                & (
+                    F.expr(
+                        "substring(term, 1, plen) = substring(pattern, 1, plen)"
+                    )
+                )
+            )
+            expanded = batch_terms.join(
+                F.broadcast(pat_df), is_prefix | is_fuzzy
+            ).select(
+                "query_id",
+                "term",
+                F.lit("should").alias("kind"),
+                F.lit(0).alias("slot"),
+                F.lit(0).alias("n_required"),
+            )
+            terms_df = terms_df.unionByName(expanded)
+            meta_df = meta_df.unionByName(
+                spark.createDataFrame(
+                    pat_meta, schema="query_id string, n_must int, msm int"
+                )
+            )
+        qt = F.broadcast(terms_df)
         j = toks.join(qt, "term")
         # term/boolean semantics: ALL required terms present AND >= msm
         # distinct SHOULD terms (the two counts must combine with AND —

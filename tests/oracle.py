@@ -102,6 +102,31 @@ class OracleIndex:
                 out[d] = self.score_one(weight, freq, self.norms[d])
         return out
 
+    def sloppy_scores(
+        self, terms: list[str], slop: int, boost=1.0
+    ) -> dict[int, np.float32]:
+        """Sloppy phrase via the faithful SloppyPhraseMatcher port
+        (search/sloppy.py sloppy_freq — fidelity pinned by
+        tests/test_sloppy.py), scored with the float32 phrase weight."""
+        from lucene_spark.search.sloppy import sloppy_freq
+
+        idf_sum = 0.0
+        for t in terms:
+            idf_sum += float(self.idf(t))
+        weight = f32(f32(boost) * f32(idf_sum))
+        cand = None
+        for t in set(terms):
+            s = set(self.postings.get(t, {}))
+            cand = s if cand is None else cand & s
+        out = {}
+        for d in cand or set():
+            slot_pos = [sorted(self.postings[t][d]) for t in terms]
+            freq = sloppy_freq(slot_pos, slop, terms=list(terms))
+            if freq > 0:
+                inv = self.norm_inv(self.norms[d])
+                out[d] = f32(weight - weight / (f32(1.0) + f32(freq) * inv))
+        return out
+
     @staticmethod
     def top_k(scores: dict[int, np.float32], k: int) -> list[tuple[int, float]]:
         ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))

@@ -171,3 +171,43 @@ def test_term_automaton(s, spark):
 
     with _pytest.raises(ValueError):
         TermAutomaton(((0, 1, "a"), (1, 0, "b")), frozenset({1}))
+
+
+def test_term_automaton_any_initial_is_anchored(s):
+    """An ANY-first automaton must anchor its frontier at the earliest
+    term transition (start = term position - wildcard depth) instead of
+    materializing every position of every doc: the plan carries no
+    position-sequence explode, and the matches equal 'any token, then
+    a, then b' — a at p >= 1 with b at p+1."""
+    from lucene_spark.search.term_automaton import (
+        ANY,
+        TermAutomaton,
+        automaton_matches,
+    )
+
+    auto = TermAutomaton(
+        ((0, 1, ANY), (1, 2, "a"), (2, 3, "b")), frozenset({3})
+    )
+    df = automaton_matches(s, auto)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "sequence(" not in plan  # no corpus-wide position explode
+    got = sorted(
+        (int(r["doc_id"]), int(r["start"]), int(r["end"])) for r in df.collect()
+    )
+    # corpus: doc0 "a x b y a b c" -> a4 b5 with y3 before => [3,5];
+    # doc4 "a b a b" -> a2 b3 with b1 before => [1,3]; doc1 "b a" no b
+    # after a; doc2 gap too long
+    assert got == [(0, 3, 5), (4, 1, 3)]
+    # chained ANY prefix: ANY ANY a b — depth-2 anchoring
+    auto2 = TermAutomaton(
+        ((0, 1, ANY), (1, 2, ANY), (2, 3, "a"), (3, 4, "b")), frozenset({4})
+    )
+    got2 = sorted(
+        (int(r["doc_id"]), int(r["start"]), int(r["end"]))
+        for r in automaton_matches(s, auto2).collect()
+    )
+    assert got2 == [(0, 2, 5), (4, 0, 3)]
+    # a term-free accepting path cannot be anchored
+    auto3 = TermAutomaton(((0, 1, ANY), (1, 2, ANY)), frozenset({2}))
+    with pytest.raises(NotImplementedError):
+        automaton_matches(s, auto3)

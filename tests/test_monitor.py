@@ -135,3 +135,28 @@ def test_must_plus_should_with_msm(spark):
     )
     got0 = {(r["query_id"], r["doc_id"]) for r in m2.match_batch(docs).collect()}
     assert got0 == {("q0", 20), ("q0", 21), ("q0", 23)}
+
+
+def test_prefix_and_fuzzy_standing_queries(spark, docs):
+    """Presearcher expansion (TermFilteredPresearcher strategy): Prefix and
+    Fuzzy standing queries expand against the batch's term dictionary at
+    match time — no per-doc Python — and match as 1-of term sets."""
+    m = Monitor()
+    m.register("q_prefix", Q.PrefixQuery("text", "tab"))     # tables, table
+    m.register("q_fuzzy", Q.FuzzyQuery("text", "scan", max_edits=1))  # scans
+    m.register("q_term", Q.TermQuery("text", "spark"))
+    out = m.match_batch(docs)
+    got = {(r["query_id"], r["doc_id"]) for r in out.collect()}
+    assert got == {
+        ("q_prefix", 0),   # tables
+        ("q_prefix", 1),   # tables
+        ("q_prefix", 3),   # table
+        ("q_fuzzy", 1),    # scans (1 edit)
+        ("q_term", 0),
+        ("q_term", 2),
+    }
+    # no per-doc Python anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan

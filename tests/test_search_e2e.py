@@ -176,6 +176,24 @@ def test_sha256_invariant(built):
     assert bad == 0
 
 
+def test_sloppy_general_path_prefilters_in_jvm(built):
+    """The 3+-slot sloppy path must shrink the Python matcher's input with
+    the JVM window pre-filter (docs whose per-slot adjusted position
+    ranges cannot overlap a slop-wide window never reach Arrow), while
+    staying faithful to the reference matcher."""
+    idx, _, oracle = built
+    searcher = IndexSearcher(idx)
+    searcher.collect_prune_stats = True
+    q = Q.PhraseQuery("content", ("the", "if", "return"), slop=2)
+    got = searcher.search(q, k=10).collect()
+    stats = searcher.last_sloppy_stats
+    assert stats is not None
+    assert stats["candidates"] < stats["docs_with_all_slots"], stats
+    # faithful-matcher oracle over the same corpus
+    want = oracle.top_k(oracle.sloppy_scores(["the", "if", "return"], slop=2), 10)
+    assert [(int(r["doc_id"]), float(r["score"])) for r in got] == want
+
+
 def test_search_many_matches_individual(built):
     """Batched serving: one-job search_many must return bit-identical
     (doc_id, score) per query to the per-query search() path."""
@@ -204,6 +222,12 @@ def test_search_many_matches_individual(built):
             must=[Q.TermQuery("content", "the")],
             filter=[Q.TermQuery("content", "if")],
         ),
+        "q_dismax": Q.DisjunctionMaxQuery(
+            (Q.TermQuery("content", "the"), Q.TermQuery("content", "index")),
+            tie_breaker=0.5,
+        ),
+        "q_phrase": Q.PhraseQuery("content", ("the", "if")),
+        "q_phrase3": Q.PhraseQuery("content", ("the", "if", "return")),
     }
     got = searcher.search_many(batch, k=7).collect()
     by_q = {}
@@ -220,10 +244,13 @@ def test_search_many_matches_individual(built):
         assert [(d, s) for _, d, s in rows] == want, qid
 
 
-def test_disjunction_pruning_cost_guard_falls_back(built):
-    """Uniformly-hot clauses defeat block pruning (theta below most block
-    bounds): the cost guard must detect it and take the plain one-shuffle
-    disjunction instead of a corpus-sized broadcast rescore."""
+def test_disjunction_hot_clauses_take_essential_path(built):
+    """Uniformly-hot clauses defeat BLOCK-level pruning (theta below most
+    block bounds, keep rule retains everything) — the MAXSCORE
+    essential/non-essential split must engage instead of falling back to
+    a full decode (MaxScoreBulkScorer.java:28-70): the weaker clause is
+    demoted to probe-at-candidates, stats say so, and the result stays
+    bit-identical to the plain disjunction."""
     idx, _, oracle = built
     searcher = IndexSearcher(idx, prune_min_df=1)
     searcher.collect_prune_stats = True  # default prune_keep_frac = 0.5
@@ -233,8 +260,31 @@ def test_disjunction_pruning_cost_guard_falls_back(built):
     pruned = searcher.search(q_or, k=5, prune=True).collect()
     stats = searcher.last_prune_stats
     assert stats is not None
-    # either legitimately selective or fell back — and always exact:
+    # the keep rule retained too much -> essential strategy, not fallback
+    assert stats["kept_blocks"] > 0.5 * stats["total_blocks"]
+    assert stats["fell_back"] is False
+    assert stats["strategy"] == "maxscore_essential"
+    # only the essential clause(s) decode fully; the non-essential side
+    # decodes just the candidate-bearing blocks
+    assert stats["essential_blocks"] < stats["total_blocks"]
+    assert stats["rescore_blocks"] <= stats["total_blocks"] - stats["essential_blocks"]
     full = searcher.search(q_or, k=5, prune=False).collect()
     assert [(r["doc_id"], r["score"]) for r in pruned] == [
         (r["doc_id"], r["score"]) for r in full
+    ]
+    _assert_topk_identical(
+        searcher.search(q_or, k=5, prune=True),
+        oracle.top_k(oracle.or_scores(["the", "if"]), 5),
+        5,
+    )
+    # dismax flavor through the same essential machinery
+    searcher.last_prune_stats = None
+    q_dm = Q.DisjunctionMaxQuery(
+        (Q.TermQuery("content", "the"), Q.TermQuery("content", "if")),
+        tie_breaker=0.5,
+    )
+    pruned_dm = searcher.search(q_dm, k=5, prune=True).collect()
+    full_dm = searcher.search(q_dm, k=5, prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in pruned_dm] == [
+        (r["doc_id"], r["score"]) for r in full_dm
     ]

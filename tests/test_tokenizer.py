@@ -132,3 +132,30 @@ def test_sql_token_expressions_match_python_analyzer(spark):
         assert r["nb"] == int(
             encode_lengths(np.array([an.emitted_count(t)]))[0]
         ), t[:60]
+
+
+def test_sql_norm_byte_closed_form_full_range(spark):
+    """The closed-form byte4 expression must equal smallfloat.encode_lengths
+    on every bucket boundary: all lengths 0..4096, +-1 around every bucket
+    floor, and large values up to 2^30."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.sql import sql_norm_byte
+    from lucene_spark.util.smallfloat import LENGTH_TABLE_INT, encode_lengths
+
+    vals = set(range(0, 4097))
+    for fl in LENGTH_TABLE_INT.tolist():
+        for d in (-1, 0, 1):
+            if fl + d >= 0:
+                vals.add(int(fl + d))
+    vals.update([10**6, 2**20, 2**30, 2**30 + 12345])
+    vals = sorted(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {
+        r["v"]: r["nb"]
+        for r in df.select("v", sql_norm_byte(F.col("v")).alias("nb")).collect()
+    }
+    want = encode_lengths(np.array(vals, dtype=np.int64))
+    for v, w in zip(vals, want):
+        assert got[v] == int(w), (v, got[v], int(w))
