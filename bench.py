@@ -109,9 +109,20 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
             must=[Q.TermQuery("text", "stream")],
             should=[Q.TermQuery("text", "window"), Q.TermQuery("text", "fast")],
         ),
+        # round 3: dismax + exact-phrase families batch too
+        "b_dismax": Q.DisjunctionMaxQuery(
+            (Q.TermQuery("text", "hash"), Q.TermQuery("text", "merge")),
+            tie_breaker=0.5,
+        ),
+        "b_dismax2": Q.DisjunctionMaxQuery(
+            (Q.TermQuery("text", "table"), Q.TermQuery("text", "row")),
+            tie_breaker=0.1,
+        ),
+        "b_phrase": Q.PhraseQuery("text", ("table", "part")),
+        "b_phrase2": Q.PhraseQuery("text", ("key", "value")),
     }
-    q("batched_search_6q", lambda: searcher.search_many(batch, k=10))
-    qps_batched = round(len(batch) / timings["batched_search_6q"], 2)
+    q("batched_search_10q", lambda: searcher.search_many(batch, k=10))
+    qps_batched = round(len(batch) / timings["batched_search_10q"], 2)
 
     # block-max pruning evidence: hot-term + disjunction through the
     # two-phase path with a low gate, block counters recorded

@@ -1,0 +1,327 @@
+"""Token filters beyond the StandardAnalyzer chain (clean-room, Python).
+
+Behavioral parity targets in the reference analysis-common module:
+
+- ``miscellaneous/ASCIIFoldingFilter.java:74`` — fold Latin accented
+  codepoints to their ASCII base letters. The reference enumerates the
+  full Unicode Latin ranges in a giant switch; here the same mapping is
+  produced from ``unicodedata`` NFKD decomposition (strip combining
+  marks) plus the special-cased ligatures/letters NFKD cannot decompose
+  (æ, ø, đ, þ, ß, œ…), which is exactly the set the Java switch special-
+  cases. Pinned by goldens in ``tests/test_filters.py``.
+- ``en/PorterStemFilter.java:51`` — Porter's original algorithm (the
+  reference's PorterStemmer.java is a mechanical translation of Porter's
+  public-domain C; this is an independent implementation of the published
+  algorithm, steps 1a-5b).
+- ``synonym/SynonymGraphFilter.java:78`` — the position-preserving subset:
+  single-token synonym mapping (the multi-token graph output is what the
+  reference's TermAutomatonQuery/graph queries consume; out of scope
+  here, noted in COVERAGE.md).
+- ``shingle/ShingleFilter.java`` — word n-gram shingles with the
+  ``_``-free joined form; emitted as EXTRA tokens at the position of
+  their first word (posIncr 0 overlaps, so norms discount them,
+  ``FieldInvertState.java:38-43``).
+- ``ngram/NGramTokenFilter.java`` — character n-grams per token, emitted
+  at the source token's position (overlaps, like the reference with
+  preserveOriginal=false emits at the same position).
+
+All filters are pure functions over (terms, positions) arrays so both the
+tokenizer fast path and the oracle index share them; a filtered chain
+forces the Python invert pass (the JVM SQL twin covers only the plain
+StandardAnalyzer chain).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+__all__ = [
+    "ascii_fold",
+    "porter_stem",
+    "SynonymMap",
+    "FilteredAnalyzer",
+    "make_filter",
+]
+
+# ligatures & letters NFKD cannot decompose — the ASCIIFoldingFilter
+# special cases (both cases; output per the reference's switch)
+_FOLD_SPECIAL = {
+    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "đ": "d", "Đ": "D",
+    "ð": "d", "Ð": "D", "þ": "th", "Þ": "TH",
+    "ß": "ss", "ı": "i", "ł": "l", "Ł": "L",
+    "ħ": "h", "Ħ": "H", "ŋ": "n", "Ŋ": "N",
+    "ŧ": "t", "Ŧ": "T", "ĸ": "k",
+}
+
+
+def ascii_fold(term: str) -> str:
+    """ASCIIFoldingFilter: accented Latin -> ASCII base; non-Latin passes
+    through unchanged (the reference folds only the Latin ranges)."""
+    if term.isascii():
+        return term
+    out = []
+    for ch in term:
+        if ch.isascii():
+            out.append(ch)
+            continue
+        special = _FOLD_SPECIAL.get(ch)
+        if special is not None:
+            out.append(special)
+            continue
+        decomp = unicodedata.normalize("NFKD", ch)
+        folded = "".join(c for c in decomp if not unicodedata.combining(c))
+        out.append(folded if folded.isascii() and folded else ch)
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer — independent implementation of the published algorithm
+# (M.F. Porter, 1980), the algorithm PorterStemFilter.java applies.
+# ---------------------------------------------------------------------------
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    ch = word[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m = number of VC sequences in the [C](VC)^m[V] form."""
+    m = 0
+    i = 0
+    n = len(stem)
+    while i < n and _is_cons(stem, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    if not (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+    ):
+        return False
+    return word[-1] not in "wxy"
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("bli", "ble"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+    ("logi", "log"),
+]
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(word: str) -> str:
+    if len(word) <= 2 or not word.isascii() or not word.isalpha():
+        return word
+    w = word
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif (w.endswith("ed") and _has_vowel(w[:-2])) or (
+        w.endswith("ing") and _has_vowel(w[:-3])
+    ):
+        w = w[:-2] if w.endswith("ed") else w[:-3]
+        if w.endswith(("at", "bl", "iz")):
+            w = w + "e"
+        elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w = w + "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                continue
+            if _measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+class SynonymMap:
+    """Position-preserving synonym mapping: every member of a group maps
+    to the group's canonical form (first member) — the single-token subset
+    of SynonymGraphFilter. Apply at index AND query time."""
+
+    def __init__(self, groups: list[list[str]]):
+        self.mapping: dict[str, str] = {}
+        for g in groups:
+            canon = g[0]
+            for t in g:
+                self.mapping[t] = canon
+
+    def __call__(self, term: str) -> str:
+        return self.mapping.get(term, term)
+
+
+def make_filter(spec):
+    """Resolve a filter spec to a per-token callable:
+    "ascii_folding" | "porter" | SynonymMap instance | any callable."""
+    if callable(spec):
+        return spec
+    if spec == "ascii_folding":
+        return ascii_fold
+    if spec == "porter":
+        return porter_stem
+    raise ValueError(f"unknown token filter {spec!r}")
+
+
+class FilteredAnalyzer:
+    """StandardAnalyzer + a chain of per-token filters, plus optional
+    word-shingle / char-ngram expansion.
+
+    1:1 filters (fold/stem/synonym) preserve positions and counts; the
+    expanders emit EXTRA tokens at the source position (posIncr 0), so
+    field length (= norm input) still counts only the base tokens minus
+    overlaps, matching ``FieldInvertState`` discountOverlaps semantics.
+    Drop-in for StandardAnalyzer in the index build (forces the Python
+    invert pass) and in ``tests/oracle.py``'s OracleIndex.
+    """
+
+    def __init__(
+        self,
+        base=None,
+        filters: tuple = (),
+        shingle_size: int = 0,
+        char_ngram: int = 0,
+    ):
+        from lucene_spark.analysis.tokenizer import StandardAnalyzer
+
+        self.base = base or StandardAnalyzer()
+        self.filters = tuple(make_filter(f) for f in filters)
+        self.shingle_size = shingle_size
+        self.char_ngram = char_ngram
+        self.max_token_length = self.base.max_token_length
+        self.stopwords = self.base.stopwords
+
+    def _apply(self, term: str) -> str:
+        for f in self.filters:
+            term = f(term)
+        return term
+
+    def term_position_arrays(self, text: str):
+        import numpy as np
+
+        terms, pos, n = self.base.term_position_arrays(text)
+        terms = [self._apply(t) for t in terms]
+        if not self.shingle_size and not self.char_ngram:
+            return terms, pos, n
+        out_t = list(terms)
+        out_p = list(pos)
+        if self.shingle_size >= 2:
+            s = self.shingle_size
+            for i in range(len(terms) - s + 1):
+                # contiguous-position check: shingles never bridge gaps
+                # left by skipped over-long tokens
+                if pos[i + s - 1] - pos[i] == s - 1:
+                    out_t.append(" ".join(terms[i : i + s]))
+                    out_p.append(pos[i])
+        if self.char_ngram >= 2:
+            g = self.char_ngram
+            for t, p in zip(terms, pos):
+                for j in range(len(t) - g + 1):
+                    out_t.append(t[j : j + g])
+                    out_p.append(p)
+        order = np.argsort(np.asarray(out_p, dtype=np.int64), kind="stable")
+        return (
+            [out_t[i] for i in order],
+            np.asarray(out_p, dtype=np.int32)[order],
+            n,  # emitted length counts base tokens only (overlaps discounted)
+        )
+
+    def tokens(self, text: str):
+        """Token objects (1:1 filters only — expanders raise)."""
+        if self.shingle_size or self.char_ngram:
+            raise NotImplementedError("tokens() with expanders; use arrays")
+        from lucene_spark.analysis.tokenizer import Token
+
+        return [
+            Token(self._apply(t.term), t.position, t.start_offset, t.end_offset)
+            for t in self.base.tokens(text)
+        ]
+
+    def terms(self, text: str) -> list[str]:
+        t, _, _ = self.term_position_arrays(text)
+        return t
+
+    def emitted_count(self, text: str) -> int:
+        return self.base.emitted_count(text)

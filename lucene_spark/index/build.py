@@ -69,6 +69,13 @@ class IndexConfig:
     max_token_length: int = 255
     stopwords: frozenset[str] = field(default_factory=frozenset)
     num_partitions: int | None = None
+    #: custom analysis chain (Analyzer.createComponents analog,
+    #: ``analysis/Analyzer.java:153``): any object with the
+    #: StandardAnalyzer array API — e.g. ``analysis.filters.
+    #: FilteredAnalyzer`` (ASCII folding, Porter stemming, synonyms,
+    #: shingles, char n-grams). Forces the Python invert pass; the JVM
+    #: SQL twin covers only the plain StandardAnalyzer chain.
+    analyzer: object | None = None
 
 
 # positions travel as raw little-endian uint32 buffers (BinaryType), NOT
@@ -240,7 +247,7 @@ class InvertedIndex:
 
 
 def _make_inverter(cfg: IndexConfig):
-    analyzer = StandardAnalyzer(
+    analyzer = cfg.analyzer or StandardAnalyzer(
         max_token_length=cfg.max_token_length, stopwords=cfg.stopwords
     )
     text_col, dps = cfg.text_col, cfg.docs_per_segment
@@ -524,7 +531,7 @@ def _make_doclen_counter(cfg: IndexConfig):
     Re-tokenizes instead of aggregating the exploded posting stream — the
     second tokenize costs far less than shuffling + caching ~35x the corpus
     rows (see build_index notes)."""
-    analyzer = StandardAnalyzer(
+    analyzer = cfg.analyzer or StandardAnalyzer(
         max_token_length=cfg.max_token_length, stopwords=cfg.stopwords
     )
     text_col = cfg.text_col
@@ -739,7 +746,7 @@ def build_index(
     # the build's only Python stage is block packing. Stopwords or stored
     # offsets force the Python inverter (shared analyzer implementation;
     # offsets come from regex match spans).
-    if not cfg.stopwords and not cfg.with_offsets:
+    if not cfg.stopwords and not cfg.with_offsets and cfg.analyzer is None:
         inverted = _jvm_token_stream(docs, cfg)
         packer = _make_block_packer_tokens(cfg)
         sort_cols = ["seg_id", "term", "doc_id", "pos"]
@@ -762,7 +769,7 @@ def build_index(
     # query read this plan — without the cache they would re-run the build
     postings.persist()
 
-    if not cfg.stopwords:
+    if not cfg.stopwords and cfg.analyzer is None:
         # JVM-side doclens: the emitted-token count is expressible as a
         # native regexp + filter + fold (analysis/sql.py, equivalence
         # pinned vs the Python analyzer in tests) — no second Python

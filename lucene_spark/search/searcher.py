@@ -162,10 +162,10 @@ class IndexSearcher:
         self.prune_max_candidates = 100_000
         #: essential-strategy budget: candidates are exact-essential docs
         #: that might still reach the top-k; past this count the
-        #: non-essential probe would touch every block anyway (flat score
+        #: non-essential probe touches most blocks anyway (flat score
         #: distributions — near-duplicate corpora — land here) and the
         #: plain one-shuffle disjunction is strictly cheaper
-        self.essential_max_candidates = 4096
+        self.essential_max_candidates = 16384
         self._stats_memo: dict[tuple[str, str], tuple[int, int]] = {}
         self._avgdl: dict[str, np.float32] = {}
         self._cache: dict[str, np.ndarray] = {}
@@ -218,8 +218,12 @@ class IndexSearcher:
         spark = self.index.docs.sparkSession
         p = partitions or spark.sparkContext.defaultParallelism
         old = self.index.postings
-        compact = old.coalesce(p).persist()
-        compact.count()
+        # localCheckpoint (eager) instead of a plain persist: it TRUNCATES
+        # the logical plan at the materialized blocks, so every query job
+        # plans against a one-node scan instead of re-analyzing the whole
+        # build lineage (tokenize/explode/shuffle trees with large literal
+        # arrays) — multi-job pruned paths pay that planning cost per job
+        compact = old.coalesce(p).localCheckpoint(eager=True)
         self.index.postings = compact
         try:
             old.unpersist()
@@ -929,7 +933,14 @@ class IndexSearcher:
         if df <= max(4 * k, self.prune_min_df):
             return self._scored(q, F32(1.0), ctx)
         blocks = blocks.withColumn("_ub", self._block_ub(field, w))
-        n_phase1 = max(1, math.ceil((4 * k) / forutil.BLOCK_SIZE))
+        # with competitive-impact bounds a block's _ub IS its max real
+        # score, so the global top-k live in the top-ub blocks; anchor
+        # enough of them that theta lands at ~the true k-th
+        n_phase1 = max(
+            2 * k // forutil.BLOCK_SIZE + 1,
+            min(16, 2 * k),
+            math.ceil((4 * k) / forutil.BLOCK_SIZE),
+        )
         # deterministic tie-break: the phase-1 set is evaluated by TWO jobs
         # (key collect + decode) — equal upper bounds must not let them
         # pick different blocks, or an excluded-but-undecoded block's docs
@@ -1046,7 +1057,11 @@ class IndexSearcher:
             "_ub", self._block_ub(field, w_col)
         )
         decode_cols = ["term", "first_doc", "doc_gaps", "freqs", "norms"]
-        n_phase1 = max(1, math.ceil((4 * k) / forutil.BLOCK_SIZE))
+        # anchor width: with competitive-impact bounds a block's _ub IS its
+        # true max score, so the global top-k docs live in the top-ub
+        # blocks — k impact-ordered blocks (one could hold each top doc)
+        # plus slack for ties/truncated frontiers
+        n_phase1 = max(2 * k // forutil.BLOCK_SIZE + 1, min(16, 2 * k))
         # ONE metadata job yields both the per-clause top-block anchors and
         # every clause's global max bound (the rank-1 row's _ub)
         wnd = Window.partitionBy("term").orderBy(
@@ -1055,7 +1070,7 @@ class IndexSearcher:
         meta_rows = (
             blocks.withColumn("_rk", F.row_number().over(wnd))
             .filter(F.col("_rk") <= n_phase1)
-            .select("term", "first_doc", "last_doc", "_ub", "_rk")
+            .select("term", "seg_id", "block_ord", "_ub", "_rk")
             .collect()
         )
         maxub = {
@@ -1087,35 +1102,65 @@ class IndexSearcher:
             ).cast("float")
             return agg.select("doc_id", expr.alias("score"))
 
-        # phase 1: anchor on the STRONGEST clause's top blocks and decode
-        # every clause's blocks overlapping those [first_doc, last_doc]
-        # spans — partial scores then carry combined contributions across
-        # clauses. (Decoding each clause's top blocks in isolation puts
-        # theta below every clause bound on hot terms — blocks of
-        # different clauses rarely share a doc window across segments —
-        # and the essential split below could never engage.)
+        # phase 1 (theta): the STRONGEST clause's top-impact blocks yield k
+        # anchor docs; probing EVERY clause at just those docs (the blocks
+        # whose spans contain them — a broadcast of <= k ids) gives their
+        # EXACT combined scores. theta = the k-th of k real docs' true
+        # scores — sound, and usually near the true k-th because the top
+        # combined docs overlap the top strongest-clause docs. (This
+        # collapses MaxScoreBulkScorer's progressively-tightening theta
+        # into one anchored round; decoding each clause's top blocks in
+        # isolation instead puts theta below every clause bound — blocks
+        # of different clauses rarely share a doc window — and no split
+        # could ever engage.)
         strongest = max(maxub, key=lambda t: maxub[t])
-        span_pred = None
-        for r in meta_rows:
-            if r["term"] != strongest:
-                continue
-            p = (F.col("first_doc") <= F.lit(int(r["last_doc"]))) & (
-                F.col("last_doc") >= F.lit(int(r["first_doc"]))
-            )
-            span_pred = p if span_pred is None else (span_pred | p)
-        phase1 = blocks.filter(span_pred)
-        scored1 = combine(
-            phase1.select(decode_cols).mapInPandas(
-                _decode_blocks, schema=_DECODE_SCHEMA
+        key = F.concat_ws("#", F.col("seg_id"), F.col("block_ord"))
+        a_keys = [
+            f'{r["seg_id"]}#{r["block_ord"]}'
+            for r in meta_rows
+            if r["term"] == strongest
+        ]
+        anchor_sc = (
+            blocks.filter((F.col("term") == strongest) & key.isin(a_keys))
+            .select(decode_cols)
+            .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
+            .select(
+                "doc_id",
+                self._score_col(field, F.col("freq"), F.col("norm"), w_col).alias(
+                    "s"
+                ),
             )
         )
+        anchor_ids = [
+            int(r["doc_id"])
+            for r in anchor_sc.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .collect()
+        ]
+        if len(anchor_ids) < k:
+            return fallback  # not enough hits to prune safely
+        spark = self.index.docs.sparkSession
+        anchor_df = spark.createDataFrame(
+            [(x,) for x in anchor_ids], schema="doc_id long"
+        )
+        probe = blocks.join(
+            F.broadcast(anchor_df),
+            (F.col("doc_id") >= F.col("first_doc"))
+            & (F.col("doc_id") <= F.col("last_doc")),
+            "left_semi",
+        )
+        exact0 = combine(
+            probe.select(decode_cols)
+            .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
+            .join(F.broadcast(anchor_df), "doc_id", "left_semi")
+        )
         rows = (
-            scored1.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            exact0.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
             .collect()
         )
         if len(rows) < k:
-            return fallback  # not enough hits to prune safely
+            return fallback
         theta = float(rows[-1]["score"])
 
         # keep rule: ub_c(b) + bound(other clauses) >= theta
@@ -1127,38 +1172,44 @@ class IndexSearcher:
         ob_col = F.lit(0.0)
         for t, ov in other_bound.items():
             ob_col = F.when(F.col("term") == t, F.lit(ov)).otherwise(ob_col)
-        kept = blocks.filter(
-            (F.col("_ub").cast("double") + ob_col) >= F.lit(theta)
+        kept_pred = (F.col("_ub").cast("double") + ob_col) >= F.lit(theta)
+
+        def guard_counts() -> tuple[int, int]:
+            row = blocks.agg(
+                F.count("*").alias("t"),
+                F.sum(F.when(kept_pred, 1).otherwise(0)).alias("kp"),
+            ).collect()[0]
+            return int(row["t"]), int(row["kp"] or 0)
+
+        stats_counts = guard_counts() if self.collect_prune_stats else None
+        # strategy choice (the BooleanScorerSupplier role,
+        # BooleanScorerSupplier.java:288-318): prefer the MAXSCORE
+        # essential/non-essential split — the reference's pick — whenever
+        # theta demotes at least one clause; it handles both selective
+        # shapes (strongest clause is small) and hot shapes (weak stopword
+        # clauses probed, not iterated). The block-level candidate-superset
+        # rescore below covers what's left, guarded by the keep-rule
+        # fraction.
+        out = self._disjunction_topk_essential(
+            field,
+            weights,
+            maxub,
+            theta,
+            mode_tie,
+            k,
+            blocks,
+            decode_cols,
+            stats_base={
+                "total_blocks": stats_counts[0] if stats_counts else -1,
+                "phase1_blocks": n_phase1 * len(terms),
+                "kept_blocks": stats_counts[1] if stats_counts else -1,
+            },
         )
-        # cost-based guard (the BooleanScorerSupplier role: pick the
-        # strategy that actually prunes): when the block-level keep rule
-        # retains little, the candidate-superset rescore below wins; on
-        # uniformly-hot clauses theta sits below most block bounds and
-        # nearly everything survives — there the MAXSCORE
-        # essential/non-essential split still prunes (decode only the
-        # strongest clauses fully; probe the weak ones at candidate spans;
-        # MaxScoreBulkScorer.java:28-70). Two cheap metadata counts decide
-        # before any decode happens.
-        total_blocks = blocks.count()
-        kept_cnt = kept.count()
+        if out is not None:
+            return out
+        total_blocks, kept_cnt = stats_counts or guard_counts()
+        kept = blocks.filter(kept_pred)
         if kept_cnt > self.prune_keep_frac * total_blocks:
-            out = self._disjunction_topk_essential(
-                field,
-                weights,
-                maxub,
-                theta,
-                mode_tie,
-                k,
-                blocks,
-                decode_cols,
-                stats_base={
-                    "total_blocks": total_blocks,
-                    "phase1_blocks": n_phase1 * len(terms),
-                    "kept_blocks": kept_cnt,
-                },
-            )
-            if out is not None:
-                return out
             if self.collect_prune_stats:
                 self.last_prune_stats = {
                     "total_blocks": total_blocks,
@@ -1208,7 +1259,7 @@ class IndexSearcher:
         if self.collect_prune_stats:
             self.last_prune_stats = {
                 "total_blocks": total_blocks,
-                "phase1_blocks": phase1.count(),
+                "phase1_blocks": len(a_keys),
                 "kept_blocks": kept_cnt,
                 "rescore_blocks": needed.count(),
                 "fell_back": False,

@@ -110,41 +110,48 @@ def main() -> None:
 
         searcher = IndexSearcher(idx)
         searcher.optimize_for_serving()
-        q_or = Q.BooleanQuery.of(
-            should=[Q.TermQuery("content", "the"), Q.TermQuery("content", "if")]
-        )
-        # warm both paths (JIT + cache locality), then median-of-3 each
-        plain_rows = searcher.search(q_or, k=10, prune=False).collect()
-        t_plain = median_time(
-            lambda: searcher.search(q_or, k=10, prune=False).collect()
-        )
+        # two hot shapes: stopword OR stopword (worst case for any
+        # impact-ordered strategy — flat tiny weights) and stopword OR
+        # mid-frequency term (the textbook MAXSCORE case: the stopword
+        # clause is demoted and its postings are probed, not iterated)
+        shapes = {
+            "the_or_if": ("the", "if"),
+            "the_or_merge": ("the", "merge"),
+        }
+        out = {
+            "n_docs": n_docs,
+            "cpus": cpus,
+            "build_sec": round(build_sec, 1),
+        }
         # PRODUCTION gate (PRUNE_MIN_DF = 1<<16): the clauses are hot
         # enough that the two-phase path engages without test overrides
         pruned = IndexSearcher(idx)
         pruned.preload_stats()
-        pruned.collect_prune_stats = True
-        pruned_rows = pruned.search(q_or, k=10).collect()
-        stats = dict(pruned.last_prune_stats or {})
-        pruned.collect_prune_stats = False  # stats jobs excluded from timing
-        t_pruned = median_time(lambda: pruned.search(q_or, k=10).collect())
-
-        identical = [(r["doc_id"], r["score"]) for r in plain_rows] == [
-            (r["doc_id"], r["score"]) for r in pruned_rows
-        ]
-        print(
-            json.dumps(
-                {
-                    "n_docs": n_docs,
-                    "cpus": cpus,
-                    "build_sec": round(build_sec, 1),
-                    "hot_or_plain_sec": round(t_plain, 3),
-                    "hot_or_pruned_sec": round(t_pruned, 3),
-                    "speedup": round(t_plain / t_pruned, 2),
-                    "identical_topk": identical,
-                    "prune_stats": stats,
-                }
+        for name, (ta, tb) in shapes.items():
+            q_or = Q.BooleanQuery.of(
+                should=[Q.TermQuery("content", ta), Q.TermQuery("content", tb)]
             )
-        )
+            # warm both paths (JIT + cache locality), then median-of-3 each
+            plain_rows = searcher.search(q_or, k=10, prune=False).collect()
+            t_plain = median_time(
+                lambda: searcher.search(q_or, k=10, prune=False).collect()
+            )
+            pruned.collect_prune_stats = True
+            pruned_rows = pruned.search(q_or, k=10).collect()
+            stats = dict(pruned.last_prune_stats or {})
+            pruned.collect_prune_stats = False  # stats jobs out of timing
+            t_pruned = median_time(lambda: pruned.search(q_or, k=10).collect())
+            out[name] = {
+                "plain_sec": round(t_plain, 3),
+                "pruned_sec": round(t_pruned, 3),
+                "speedup": round(t_plain / t_pruned, 2),
+                "identical_topk": [
+                    (r["doc_id"], r["score"]) for r in plain_rows
+                ]
+                == [(r["doc_id"], r["score"]) for r in pruned_rows],
+                "prune_stats": stats,
+            }
+        print(json.dumps(out))
     finally:
         spark.stop()
 

@@ -1,0 +1,114 @@
+"""Analysis chain beyond StandardAnalyzer: ASCII folding, Porter stemming,
+synonyms, shingles, char n-grams (reference analysis-common module —
+ASCIIFoldingFilter.java:74, en/PorterStemFilter.java:51,
+synonym/SynonymGraphFilter.java:78 single-token subset, shingle/, ngram/)."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis.filters import (
+    FilteredAnalyzer,
+    SynonymMap,
+    ascii_fold,
+    porter_stem,
+)
+
+
+def test_ascii_folding_goldens():
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("naïve") == "naive"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("łódź") == "lodz"
+    assert ascii_fold("ærø") == "aero"
+    assert ascii_fold("þorn") == "thorn"
+    assert ascii_fold("ascii_only") == "ascii_only"
+    # non-Latin passes through (the reference folds only Latin ranges)
+    assert ascii_fold("日本語") == "日本語"
+
+
+def test_porter_stemmer_goldens():
+    # the famous conflation class + traceable cases from Porter's paper
+    for w in ("connect", "connected", "connecting", "connection", "connections"):
+        assert porter_stem(w) == "connect", w
+    assert porter_stem("caresses") == "caress"
+    assert porter_stem("ponies") == "poni"
+    assert porter_stem("cats") == "cat"
+    assert porter_stem("motoring") == "motor"
+    assert porter_stem("hopping") == "hop"
+    assert porter_stem("happy") == "happi"
+    assert porter_stem("sky") == "sky"
+    assert porter_stem("studies") == "studi"
+    assert porter_stem("studying") == "studi"
+    assert porter_stem("generalizations") == "gener"
+    assert porter_stem("feed") == "feed"
+    assert porter_stem("agreed") == "agre"
+    # guards: short words / non-alpha unchanged
+    assert porter_stem("is") == "is"
+    assert porter_stem("x86") == "x86"
+
+
+def test_synonym_map_canonicalizes():
+    syn = SynonymMap([["fast", "quick", "rapid"], ["big", "large"]])
+    an = FilteredAnalyzer(filters=(syn,))
+    assert an.terms("a QUICK large dog") == ["a", "fast", "big", "dog"]
+
+
+def test_filtered_chain_positions_preserved():
+    an = FilteredAnalyzer(filters=("ascii_folding", "porter"))
+    terms, pos, n = an.term_position_arrays("Connected cafés everywhere")
+    assert terms == ["connect", porter_stem("cafes"), porter_stem("everywhere")]
+    assert list(pos) == [0, 1, 2]
+    assert n == 3
+
+
+def test_shingles_emit_overlaps_at_first_word():
+    an = FilteredAnalyzer(shingle_size=2)
+    terms, pos, n = an.term_position_arrays("a b c")
+    assert n == 3  # norm input counts base tokens only (discountOverlaps)
+    got = list(zip(terms, pos.tolist()))
+    assert ("a b", 0) in got and ("b c", 1) in got
+    assert [t for t, _ in got if " " not in t] == ["a", "b", "c"]
+
+
+def test_char_ngrams_at_source_position():
+    an = FilteredAnalyzer(char_ngram=3)
+    terms, pos, n = an.term_position_arrays("abcd xy")
+    assert n == 2
+    got = set(zip(terms, pos.tolist()))
+    assert {("abcd", 0), ("abc", 0), ("bcd", 0), ("xy", 1)} <= got
+
+
+def test_stemmed_index_rank_identity(spark):
+    """End-to-end: an index built with the Porter chain matches the
+    pure-Python oracle using the SAME analyzer (BaseSimilarityTestCase /
+    CheckHits style) — custom analyzers plug into build_index via
+    IndexConfig.analyzer and force the Python invert pass."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+    from tests.oracle import OracleIndex
+
+    texts = [
+        "the connected services were connecting quickly",
+        "a connection failed while studying the studies",
+        "generalizations about connections rarely connect",
+        "nothing relevant here at all",
+        "connect connect connect",
+    ]
+    an = FilteredAnalyzer(filters=("porter",))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    cfg = IndexConfig(doc_id_col="doc_id", docs_per_segment=4, analyzer=an)
+    idx = build_index(spark, docs, cfg)
+    s = IndexSearcher(idx)
+    oracle = OracleIndex({i: t for i, t in enumerate(texts)}, analyzer=an)
+    # query-side analysis = index-side analysis (same chain on the query)
+    q_term = porter_stem("connections")
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in s.search(Q.TermQuery("content", q_term), k=5).collect()
+    ]
+    want = oracle.top_k(oracle.term_scores(q_term), 5)
+    assert got == want
+    assert len(got) == 4  # every doc with any 'connect*' form matches
