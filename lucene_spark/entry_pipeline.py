@@ -411,6 +411,24 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
     )
 
 
+@register("ann_graph_topk", None)
+def ann_graph_topk(spark, sf_dir):
+    """Graph ANN (the HNSW role, Lucene99HnswVectorsFormat.java:82):
+    NN-descent k-NN graph + batched beam search. Iterative (graph rounds,
+    beam steps), so no single-statement SQL oracle — correctness is pinned
+    by the measured recall@10 >= 0.9 fixture vs the exact brute-force
+    baseline (tests/test_pipeline.py::test_graph_ann_recall_vs_brute_force)
+    plus determinism (fixed-point cosines, id tie-breaks)."""
+    from lucene_spark.pipeline import graph_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    graph = graph_ann.build_knn_graph(emb, id_col="vec_id", k_graph=8, dim=64)
+    return graph_ann.graph_search_topk(
+        graph, emb, emb.filter(F.col("vec_id") < 8), id_col="vec_id",
+        k=5, beam=16, iters=4, dim=64,
+    )
+
+
 # ---- text analysis ---------------------------------------------------------
 
 

@@ -1,0 +1,271 @@
+"""Graph-based approximate nearest-neighbor search (the HNSW role).
+
+The reference's vector index is an HNSW graph
+(``codecs/lucene99/Lucene99HnswVectorsFormat.java:82``,
+``util/hnsw/HnswGraphBuilder.java``, ``util/hnsw/HnswGraphSearcher.java:40``)
+because graph search reaches high recall at a small, data-independent
+candidate budget — hyperplane LSH cannot do that on weakly-clustered
+embeddings (measured on this corpus: top-10 neighbors sit at mean cosine
+~0.30, per-plane agreement ~0.60, so an 8-plane bucket retains <2% of true
+neighbors; reaching recall 0.9 via probing would touch ~2/3 of the corpus).
+
+Spark-native re-expression, split the way a 100 TB deployment splits it:
+
+- **Offline graph build** (``build_knn_graph``): a k-NN graph via
+  NN-descent (Dong et al., WWW'11) — LSH-bucketed seed edges from a few
+  salted coarse tables, then rounds of neighbor-of-neighbor expansion with
+  exact fixed-point cosine scoring and per-node top-``k_graph`` pruning.
+  Every round is joins + one window agg; candidate volume is
+  O(N * k_graph^2) per round regardless of data size per partition.
+- **Batched beam search** (``graph_search_topk``): all queries advance one
+  beam step per Spark job — frontier ⋈ graph edges ⋈ corpus vectors,
+  dedup against visited, keep top-``beam`` per query. The per-query work
+  is O(beam * k_graph * iters) scored candidates, independent of corpus
+  size — the property that makes graph ANN the scale path. Queries are
+  broadcast; the only shuffled relation is the frontier-edge join keyed by
+  node id.
+
+All similarity arithmetic is 2^20 fixed-point int64 (``dedup.quantize``)
+with (cosine desc, id asc) tie-breaks, so builds and searches are
+bit-deterministic across partitionings and parallelism levels.
+
+Recall@10 vs brute force is measured in
+``tests/test_pipeline.py::test_graph_ann_recall_vs_brute_force`` (>= 0.9 at
+the documented beam/iters on the sf0.01 embeddings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from lucene_spark.pipeline.dedup import cosine_from_int, int_dot, quantize
+from lucene_spark.pipeline.similarity import _plane_weight
+
+__all__ = ["build_knn_graph", "graph_search_topk"]
+
+
+def _vectors(df: DataFrame, id_col: str, vec_col: str, id_out: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(id_out),
+        quantize(F.col(vec_col)).alias(f"qv_{id_out}"),
+    ).withColumn(f"n_{id_out}", int_dot(F.col(f"qv_{id_out}"), F.col(f"qv_{id_out}")))
+
+
+def _salted_bucket(qv, dim: int, n_planes: int, salt: str):
+    """Hyperplane bucket with salted md5 plane weights (independent tables)."""
+    bits = []
+    for p in range(n_planes):
+        w = F.array(
+            *[F.lit(_plane_weight(f"{salt}{p}", i)).cast("long") for i in range(dim)]
+        )
+        s = F.aggregate(
+            F.zip_with(qv, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _score_pairs(pairs: DataFrame, vecs: DataFrame) -> DataFrame:
+    """(src, dst) -> (src, dst, cosine) by joining both sides' vectors."""
+    s = vecs.select(
+        F.col("id_node").alias("src"),
+        F.col("qv_id_node").alias("qv_s"),
+        F.col("n_id_node").alias("n_s"),
+    )
+    d = vecs.select(
+        F.col("id_node").alias("dst"),
+        F.col("qv_id_node").alias("qv_d"),
+        F.col("n_id_node").alias("n_d"),
+    )
+    return (
+        pairs.join(s, "src")
+        .join(d, "dst")
+        .select(
+            "src",
+            "dst",
+            cosine_from_int(
+                int_dot(F.col("qv_s"), F.col("qv_d")), F.col("n_s"), F.col("n_d")
+            ).alias("cosine"),
+        )
+    )
+
+
+def _prune_topk(edges: DataFrame, k_graph: int) -> DataFrame:
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    return (
+        edges.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k_graph)
+        .drop("_r")
+    )
+
+
+def build_knn_graph(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_graph: int = 8,
+    dim: int = 64,
+    seed_tables: int = 3,
+    seed_planes: int = 4,
+    rounds: int = 2,
+) -> DataFrame:
+    """Approximate k-NN graph (src, dst, cosine) via NN-descent.
+
+    Seeding: ``seed_tables`` independent salted hyperplane tables at
+    ``seed_planes`` planes each; candidate pairs are same-bucket pairs
+    (bucket population ~ N / 2^seed_planes — pick seed_planes ~
+    log2(N / 256) at scale so seed buckets stay bounded). Refinement:
+    ``rounds`` NN-descent iterations — the undirected closure's
+    neighbor-of-neighbor pairs, scored exactly, merged, pruned to
+    ``k_graph`` per node (HnswGraphBuilder's role, expressed as joins).
+
+    The result is checkpointed per round (``localCheckpoint``) so the
+    iterative lineage never re-executes earlier rounds.
+    """
+    vecs = _vectors(corpus, id_col, vec_col, "id_node")
+    seeds = []
+    for t in range(seed_tables):
+        b = vecs.withColumn(
+            "bucket", _salted_bucket(F.col("qv_id_node"), dim, seed_planes, f"t{t}:")
+        ).select(F.col("id_node"), "bucket")
+        pairs = (
+            b.alias("a")
+            .join(b.alias("b"), "bucket")
+            .filter(F.col("a.id_node") != F.col("b.id_node"))
+            .select(
+                F.col("a.id_node").alias("src"), F.col("b.id_node").alias("dst")
+            )
+        )
+        seeds.append(pairs)
+    cand = seeds[0]
+    for s in seeds[1:]:
+        cand = cand.unionByName(s)
+    graph = _prune_topk(_score_pairs(cand.distinct(), vecs), k_graph).localCheckpoint()
+
+    for _ in range(rounds):
+        und = graph.select("src", "dst").unionByName(
+            graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        non = (
+            und.alias("a")
+            .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .filter(F.col("a.src") != F.col("b.dst"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .distinct()
+        )
+        merged = graph.unionByName(_score_pairs(non, vecs)).dropDuplicates(
+            ["src", "dst"]
+        )
+        graph = _prune_topk(merged, k_graph).localCheckpoint()
+    return graph
+
+
+def graph_search_topk(
+    graph: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    beam: int = 16,
+    iters: int = 4,
+    dim: int = 64,
+    entry_planes: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batched best-first beam search over a k-NN graph.
+
+    Entry points per query: the query's salted-LSH bucket mates (same
+    table family as the graph seeds) — a cheap data-dependent start — and
+    every iteration expands the current top-``beam`` unexpanded nodes
+    through the graph's out-edges, scores new nodes exactly, and re-ranks.
+    All queries advance together: each iteration is ONE frontier⋈edges
+    join + ONE vector-scoring join, so a 10k-query batch costs the same
+    number of Spark jobs as a single query (HnswGraphSearcher.java:40's
+    sequential loop, re-expressed batch-parallel).
+
+    Returns (query_id, neighbor_id, cosine, rank) like the other ANN ops.
+    """
+    vecs = _vectors(corpus, id_col, vec_col, "id_node").localCheckpoint()
+    q = _vectors(queries, id_col, vec_col, "query_id")
+
+    qb = q.withColumn(
+        "bucket", _salted_bucket(F.col("qv_query_id"), dim, entry_planes, "t0:")
+    )
+    cb = vecs.withColumn(
+        "bucket", _salted_bucket(F.col("qv_id_node"), dim, entry_planes, "t0:")
+    ).select("id_node", "bucket")
+    entry = qb.join(cb, "bucket").select("query_id", F.col("id_node").alias("node"))
+    # global fallback entries so empty buckets still converge: the `beam`
+    # smallest corpus ids (deterministic; the "entry node" of HNSW's top
+    # layer plays this role)
+    first = vecs.select(F.col("id_node").alias("node")).orderBy("node").limit(beam)
+    entry = entry.unionByName(
+        q.select("query_id").crossJoin(F.broadcast(first))
+    ).distinct()
+
+    qside = q.select(
+        F.col("query_id").alias("qid"),
+        F.col("qv_query_id").alias("qv_qid"),
+        F.col("n_query_id").alias("n_qid"),
+    )
+
+    def score_nodes(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(vecs, cand["node"] == vecs["id_node"])
+            .join(F.broadcast(qside), F.col("query_id") == F.col("qid"))
+            .select(
+                "query_id",
+                "node",
+                cosine_from_int(
+                    int_dot(F.col("qv_id_node"), F.col("qv_qid")),
+                    F.col("n_id_node"),
+                    F.col("n_qid"),
+                ).alias("cosine"),
+            )
+        )
+
+    visited = (
+        score_nodes(entry).withColumn("expanded", F.lit(False)).localCheckpoint()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("node"))
+    for _ in range(iters):
+        frontier = (
+            visited.filter(~F.col("expanded"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= beam)
+            .select("query_id", "node")
+        )
+        edges = (
+            frontier.join(graph, frontier["node"] == graph["src"])
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = edges.join(
+            visited.select("query_id", "node"), ["query_id", "node"], "left_anti"
+        )
+        visited = (
+            visited.join(
+                frontier.withColumn("_f", F.lit(True)), ["query_id", "node"], "left"
+            )
+            .withColumn("expanded", F.col("expanded") | F.col("_f").isNotNull())
+            .drop("_f")
+            .unionByName(score_nodes(fresh).withColumn("expanded", F.lit(False)))
+            .localCheckpoint()
+        )
+
+    out = visited
+    if exclude_self:
+        out = out.filter(F.col("node") != F.col("query_id"))
+    return (
+        out.withColumn("rank", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("node"))
+        ))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("node").alias("neighbor_id"), "cosine", "rank")
+    )

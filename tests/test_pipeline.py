@@ -167,37 +167,70 @@ def test_real_decode_roundtrip():
     assert multimodal.decode_image(frame)[0] == 5
 
 
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    return out
+
+
+def _recall(exact: dict, got: dict) -> float:
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    return hits / sum(len(v) for v in exact.values())
+
+
 def test_multiprobe_recall_vs_brute_force(spark):
-    """Multi-probe LSH must hit recall@10 >= 0.9 against the brute-force
-    baseline at the documented probe count (n_probes=4 of 2^8 buckets) on
-    the real sf0.01 embeddings — the recall-for-cost knob the reference's
-    HNSW provides (Lucene99HnswVectorsFormat.java:82). Single-probe recall
-    is strictly lower (sanity that probes actually add candidates)."""
+    """Multi-probe LSH: probing more buckets must monotonically add true
+    neighbors. On THIS corpus the absolute recall is inherently low — the
+    embeddings are weakly clustered (mean top-10 neighbor cosine ~0.30,
+    per-plane agreement ~0.60, so an 8-plane bucket keeps <2% of true
+    neighbors; measured: ~0.01 at 1 probe, ~0.06 at 4, ~0.48 at 64
+    probes while touching ~26% of the corpus). That ceiling is a property
+    of hyperplane LSH on unclustered data, not a bug — the recall >= 0.9
+    operator is the graph ANN below, which is why the reference indexes
+    vectors with HNSW rather than LSH."""
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 64)
-
-    def topk_sets(df):
-        out = {}
-        for r in df.collect():
-            out.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
-        return out
-
-    exact = topk_sets(
+    exact = _topk_sets(
         similarity.brute_force_topk(emb, queries, id_col="vec_id", k=10)
     )
 
     def recall(n_probes):
-        got = topk_sets(
+        got = _topk_sets(
             similarity.hyperplane_multiprobe_topk(
                 emb, queries, id_col="vec_id", k=10, dim=64, n_planes=8,
                 n_probes=n_probes,
             )
         )
-        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
-        total = sum(len(v) for v in exact.values())
-        return hits / total
+        return _recall(exact, got)
 
     r1 = recall(1)
     r4 = recall(4)
-    assert r4 >= 0.9, f"recall@10 at 4 probes = {r4:.3f}"
     assert r4 >= r1, (r1, r4)
+    assert r4 > 0, r4
+
+
+def test_graph_ann_recall_vs_brute_force(spark):
+    """Graph ANN (NN-descent graph + beam search) must hit recall@10 >= 0.9
+    vs the exact brute-force baseline at the documented budget (k_graph=8,
+    2 NN-descent rounds, beam=16, 4 beam steps) on the real sf0.01
+    embeddings — the recall-for-cost knob the reference's HNSW provides
+    (Lucene99HnswVectorsFormat.java:82). The visited-candidate budget is
+    O(beam * k_graph * iters), independent of corpus size."""
+    from lucene_spark.pipeline import graph_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 64)
+    exact = _topk_sets(
+        similarity.brute_force_topk(emb, queries, id_col="vec_id", k=10)
+    )
+    graph = graph_ann.build_knn_graph(
+        emb, id_col="vec_id", k_graph=8, dim=64, rounds=2
+    )
+    got = _topk_sets(
+        graph_ann.graph_search_topk(
+            graph, emb, queries, id_col="vec_id", k=10, beam=16, iters=4, dim=64
+        )
+    )
+    r = _recall(exact, got)
+    assert r >= 0.9, f"graph ANN recall@10 = {r:.3f}"
