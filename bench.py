@@ -152,6 +152,15 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
             emb, emb.limit(8), id_col="vec_id", vec_col="embedding", k=5
         ),
     )
+    def graph_ann_run():
+        from lucene_spark.pipeline import graph_ann
+
+        g = graph_ann.build_knn_graph(emb, id_col="vec_id", k_graph=8, dim=64)
+        return graph_ann.graph_search_topk(
+            g, emb, emb.limit(8), id_col="vec_id", k=5, beam=16, iters=4, dim=64
+        )
+
+    q("ann_graph_topk", graph_ann_run)
     q("quality_score", lambda: textops.quality_scores(docs, text_col="text"))
 
     query_names = [k for k in timings if k != "index_build"]

@@ -218,19 +218,62 @@ def porter_stem(word: str) -> str:
 
 
 class SynonymMap:
-    """Position-preserving synonym mapping: every member of a group maps
-    to the group's canonical form (first member) — the single-token subset
-    of SynonymGraphFilter. Apply at index AND query time."""
+    """Synonym mapping with SynonymGraphFilter's two shapes
+    (``synonym/SynonymGraphFilter.java:78``):
+
+    - single-token members rewrite 1:1 to the group's canonical form
+      (first member) — position-preserving, applied per token;
+    - MULTI-WORD members ("wide area network") match as phrases; the
+      canonical token is emitted as an OVERLAP at the match's first
+      position (posIncr 0 — the index-time FlattenGraphFilter projection
+      of the graph's posLength=n arc, ``core/.../FlattenGraphFilter.java``),
+      with the original tokens kept. A query for the canonical term then
+      matches docs containing the phrase — the graph use-case — while
+      field length still counts only base tokens (overlaps discounted,
+      ``FieldInvertState.java:38-43``).
+
+    Apply at index AND query time. Longest match wins at a given start
+    (the reference's greedy parse), matches never overlap.
+    """
 
     def __init__(self, groups: list[list[str]]):
         self.mapping: dict[str, str] = {}
+        self.phrases: dict[tuple, str] = {}
         for g in groups:
             canon = g[0]
+            if " " in canon:
+                raise ValueError("canonical (first) member must be single-token")
             for t in g:
-                self.mapping[t] = canon
+                words = tuple(t.split())
+                if len(words) == 1:
+                    self.mapping[t] = canon
+                else:
+                    self.phrases[words] = canon
+        self.max_phrase_len = max((len(w) for w in self.phrases), default=0)
 
     def __call__(self, term: str) -> str:
         return self.mapping.get(term, term)
+
+    def phrase_matches(self, terms: list, pos) -> list:
+        """(first_position, canonical) for every greedy longest phrase
+        match over a contiguous token run."""
+        out = []
+        i, n = 0, len(terms)
+        while i < n:
+            hit = None
+            for ln in range(min(self.max_phrase_len, n - i), 1, -1):
+                if int(pos[i + ln - 1]) - int(pos[i]) != ln - 1:
+                    continue  # bridges a gap left by a skipped token
+                cand = tuple(terms[i : i + ln])
+                if cand in self.phrases:
+                    hit = (ln, self.phrases[cand])
+                    break
+            if hit:
+                out.append((int(pos[i]), hit[1]))
+                i += hit[0]
+            else:
+                i += 1
+        return out
 
 
 def make_filter(spec):
@@ -283,10 +326,17 @@ class FilteredAnalyzer:
 
         terms, pos, n = self.base.term_position_arrays(text)
         terms = [self._apply(t) for t in terms]
-        if not self.shingle_size and not self.char_ngram:
+        phrase_maps = [
+            f for f in self.filters if isinstance(f, SynonymMap) and f.phrases
+        ]
+        if not self.shingle_size and not self.char_ngram and not phrase_maps:
             return terms, pos, n
         out_t = list(terms)
         out_p = list(pos)
+        for m in phrase_maps:
+            for p, canon in m.phrase_matches(terms, pos):
+                out_t.append(canon)
+                out_p.append(p)
         if self.shingle_size >= 2:
             s = self.shingle_size
             for i in range(len(terms) - s + 1):
@@ -310,7 +360,11 @@ class FilteredAnalyzer:
 
     def tokens(self, text: str):
         """Token objects (1:1 filters only — expanders raise)."""
-        if self.shingle_size or self.char_ngram:
+        if (
+            self.shingle_size
+            or self.char_ngram
+            or any(isinstance(f, SynonymMap) and f.phrases for f in self.filters)
+        ):
             raise NotImplementedError("tokens() with expanders; use arrays")
         from lucene_spark.analysis.tokenizer import Token
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from lucene_spark.entry_impl import (
     BASE_CTES,
     _INV_EXPR,
+    _PH_W,
     _fc,
     _idf_sql,
     _score_expr,
@@ -773,3 +774,235 @@ def intervals_or_phrases(spark, sf_dir):
     _, s = get_searcher(spark, sf_dir)
     src = IV.Or(IV.Phrase("key", "value"), IV.Phrase("value", "key"))
     return IV.count_intervals(s, src)
+
+
+# ---- PointInSetQuery (search/PointInSetQuery.java:59) ----------------------
+
+
+@register(
+    "point_in_set_query",
+    """SELECT doc_id, CAST(1.0 AS FLOAT) AS score
+FROM documents WHERE n_chars IN (64, 128, 256, 512) ORDER BY doc_id""",
+)
+def point_in_set_query(spark, sf_dir):
+    """IntPoint.newSetQuery analog: numeric set membership compiled to a
+    pushed-down IN filter (the BKD set-intersection's Catalyst twin)."""
+    _, s = get_searcher(spark, sf_dir)
+    return s.scored(Q.PointInSetQuery("n_chars", (64, 128, 256, 512))).select(
+        "doc_id", "score"
+    )
+
+
+# ---- Geo: LatLonPoint family (document/LatLonPoint.java) -------------------
+
+# Deterministic synthetic coordinates derived from the customer key in
+# EXACT integer arithmetic (identical in Spark and DuckDB), then divided
+# by 100: lat in [-90, 89.99], lon in [-180, 179.99].
+_GEO_LAT = "CAST((c_custkey * 7919) % 18000 AS DOUBLE) / 100.0 - 90.0"
+_GEO_LON = "CAST((c_custkey * 104729) % 36000 AS DOUBLE) / 100.0 - 180.0"
+
+
+def _geo_points(spark, sf_dir):
+    from pyspark.sql import functions as _F
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.select(
+        "c_custkey",
+        _F.expr(_GEO_LAT).alias("lat"),
+        _F.expr(_GEO_LON).alias("lon"),
+    )
+
+
+@register(
+    "geo_box_query",
+    f"""WITH pts AS (
+  SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer
+)
+SELECT c_custkey, lat, lon FROM pts
+WHERE lat >= -40.0 AND lat <= 40.0 AND (lon >= 140.0 OR lon <= -140.0)
+ORDER BY c_custkey""",
+)
+def geo_box_query(spark, sf_dir):
+    """LatLonPoint.newBoxQuery (LatLonPoint.java:214) with a
+    dateline-crossing box (min_lon 140 > max_lon -140): pure comparisons,
+    pushdown-able — Catalyst's parquet pruning plays the BKD role."""
+    from lucene_spark.search import geo
+
+    pts = _geo_points(spark, sf_dir)
+    return geo.box_filter(pts, -40.0, 40.0, 140.0, -140.0).orderBy("c_custkey")
+
+
+@register(
+    "geo_distance_query",
+    f"""WITH pts AS (
+  SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer
+),
+dd AS (
+  SELECT c_custkey, lat, lon,
+         2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+             pow(sin(radians(lat - 12.34) / 2.0), 2.0)
+           + cos(radians(12.34)) * cos(radians(lat))
+             * pow(sin(radians(lon - 56.78) / 2.0), 2.0)))) AS dist_m
+  FROM pts
+)
+SELECT c_custkey, CAST(round(dist_m, 0) AS BIGINT) AS dist_round_m
+FROM dd WHERE dist_m <= 2500000.0
+ORDER BY dist_round_m ASC, c_custkey ASC""",
+)
+def geo_distance_query(spark, sf_dir):
+    """LatLonPoint.newDistanceQuery (LatLonPoint.java:243): bounding-box
+    pre-filter + exact haversine (SloppyMath.haversinMeters semantics,
+    R=6371008.7714), sorted nearest-first (LatLonDocValuesField
+    newDistanceSort). Distances rounded to whole meters for the
+    cross-engine hash (trig libms may differ in the last ulp)."""
+    from pyspark.sql import functions as _F
+
+    from lucene_spark.search import geo
+
+    pts = _geo_points(spark, sf_dir)
+    hits = geo.distance_filter(pts, 12.34, 56.78, 2_500_000.0, dist_col="dist_m")
+    return (
+        hits.select(
+            "c_custkey",
+            _F.round(_F.col("dist_m"), 0).cast("long").alias("dist_round_m"),
+        )
+        .orderBy(_F.asc("dist_round_m"), _F.asc("c_custkey"))
+    )
+
+
+# ---- PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java:47) --------
+
+
+@register(
+    "payload_score_query",
+    f"""WITH {BASE_CTES},
+pp0 AS (SELECT doc_id, pos FROM tok WHERE term = 'table'),
+pp1 AS (SELECT doc_id, pos FROM tok WHERE term = 'part'),
+ppspan AS (
+  SELECT pp0.doc_id, pp0.pos
+  FROM pp0 JOIN pp1 ON pp1.doc_id = pp0.doc_id AND pp1.pos = pp0.pos + 1
+),
+ppv AS (
+  SELECT doc_id, CAST(CAST((p % 7) + 1 AS DOUBLE) AS FLOAT) AS v
+  FROM (SELECT doc_id, unnest([pos, pos + 1]) AS p FROM ppspan)
+),
+ppay AS (SELECT doc_id, max(v) AS payload_score FROM ppv GROUP BY doc_id),
+pph AS (
+  SELECT ppspan.doc_id, count(*)::BIGINT AS freq FROM ppspan GROUP BY doc_id
+),
+pph_w(w) AS (SELECT {_PH_W}),
+ppsc AS (
+  SELECT pph.doc_id, {_score_expr('pph_w.w', 'pph.freq', 'i.inv')} AS span_score
+  FROM pph JOIN invn i USING (doc_id) CROSS JOIN pph_w
+)
+SELECT s.doc_id, CAST(s.span_score * p.payload_score AS FLOAT) AS score,
+       p.payload_score
+FROM ppsc s JOIN ppay p USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def payload_score_query(spark, sf_dir):
+    """PayloadScoreQuery(span='table part', MaxPayloadFunction,
+    includeSpanScore=true): per-position payloads ride a side table
+    (position-derived values stand in for DelimitedPayloadTokenFilter
+    annotations); matched spans collect both slots' payloads, max-folded
+    per doc, multiplied into the phrase BM25 score — all float32."""
+    from pyspark.sql import functions as _F
+
+    from lucene_spark.search import payloads as P
+
+    idx, s = get_searcher(spark, sf_dir)
+    pay = P.token_payload_table(
+        idx.docs, text_col="text",
+        payload=((_F.col("pos") % 7) + 1).cast("double"),
+    )
+    return P.payload_score_topk(
+        s, "text", ("table", "part"), pay, fn="max", include_span_score=True, k=10
+    )
+
+
+# ---- index-backed block join (join/ToParentBlockJoinQuery.java:68) ---------
+
+
+@register(
+    "block_join_child_scored",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('bjs', 'spark')},
+bjg AS (
+  SELECT d.source, max(bjs.score) AS score, count(*)::BIGINT AS n_matched
+  FROM bjs JOIN documents d USING (doc_id) GROUP BY d.source
+)
+SELECT source, score, n_matched FROM bjg ORDER BY score DESC, source ASC""",
+)
+def block_join_child_scored(spark, sf_dir):
+    """ToParentBlockJoinQuery(childQuery=TermQuery('spark'),
+    ScoreMode.Max): the child side is a REAL index query (BM25-scored
+    through the searcher), children roll up to their parent key with the
+    parent's score = max child score (join/ToParentBlockJoinQuery.java:68,
+    scoring per ParentApproximation:338). Parents are the corpus 'source'
+    grouping — the Spark-native stand-in for index-contiguous doc blocks:
+    at 100 TB the rollup is one map-side-combinable groupBy on the parent
+    key instead of doc-id adjacency."""
+    _, s = get_searcher(spark, sf_dir)
+    idx, _ = get_searcher(spark, sf_dir)
+    sc = s.scored(Q.TermQuery("text", "spark"))
+    return (
+        sc.join(idx.docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.max("score").alias("score"), F.count("*").alias("n_matched"))
+        .orderBy(F.desc("score"), F.asc("source"))
+    )
+
+
+@register(
+    "suggest_infix",
+    f"""WITH {BASE_CTES},
+sgi AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
+SELECT term, df,
+       CASE WHEN term LIKE 'art%' THEN 1 ELSE 0 END::INTEGER AS is_prefix
+FROM sgi WHERE term LIKE '%art%'
+ORDER BY is_prefix DESC, df DESC, term ASC LIMIT 10""",
+)
+def suggest_infix(spark, sf_dir):
+    """AnalyzingInfixSuggester.java:82 analog: dictionary terms containing
+    the fragment anywhere, prefix hits first, then popularity (df)."""
+    _, s = get_searcher(spark, sf_dir)
+    return extras.suggest_infix(s, "art", n=10)
+
+
+@register(
+    "geo_distance_topk",
+    f"""WITH gpts AS (
+  SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer
+),
+gdd AS (
+  SELECT c_custkey,
+         2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+             pow(sin(radians(lat - (-25.0)) / 2.0), 2.0)
+           + cos(radians(-25.0)) * cos(radians(lat))
+             * pow(sin(radians(lon - 133.0) / 2.0), 2.0)))) AS dist_m
+  FROM gpts
+)
+SELECT c_custkey, CAST(round(dist_m, 0) AS BIGINT) AS dist_round_m
+FROM gdd ORDER BY dist_round_m ASC, c_custkey ASC LIMIT 10""",
+)
+def geo_distance_topk(spark, sf_dir):
+    """Nearest-k by great-circle distance (LatLonDocValuesField
+    newDistanceSort + top-k): TakeOrderedAndProject keeps it a
+    per-partition heap, no full sort. The cross-engine sort key is the
+    ROUNDED meter value on BOTH sides so the k-boundary cut cannot
+    depend on last-ulp trig differences."""
+    from pyspark.sql import functions as _F
+
+    from lucene_spark.search import geo
+
+    pts = _geo_points(spark, sf_dir)
+    d = geo.haversine_meters(
+        _F.lit(-25.0), _F.lit(133.0), _F.col("lat"), _F.col("lon")
+    )
+    return (
+        pts.select(
+            "c_custkey", _F.round(d, 0).cast("long").alias("dist_round_m")
+        )
+        .orderBy(_F.asc("dist_round_m"), _F.asc("c_custkey"))
+        .limit(10)
+    )

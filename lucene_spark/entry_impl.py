@@ -952,7 +952,6 @@ _PRIORITY = [
     "multi_phrase_query",
     "sloppy_phrase_query",
     "prefix_query",
-    "regexp_query",
     "term_range_query",
     "point_range_query",
     "total_hit_count",
@@ -973,8 +972,9 @@ _PRIORITY = [
     "highlight_postings_offsets",
     "combined_field_query",
     "feature_field_query",
+    "payload_score_query",
+    "geo_distance_query",
     "intervals_ordered_minimal",
-    "intervals_containing",
     "knn_vector_filtered",
     "ann_brute_force_topk",
     "ann_lsh_bucketed_topk",

@@ -47,7 +47,7 @@ from lucene_spark.index.docids import with_doc_ids
 from lucene_spark.search.similarity import FieldStats
 from lucene_spark.util.smallfloat import encode_lengths
 
-__all__ = ["IndexConfig", "InvertedIndex", "build_index", "load_index"]
+__all__ = ["IndexConfig", "InvertedIndex", "build_index", "build_multi_field_index", "load_index"]
 
 
 @dataclass(frozen=True)
@@ -848,6 +848,63 @@ def build_index(
         idx.save(index_dir)
         return load_index(spark, index_dir, cfg)
     return idx
+
+
+def build_multi_field_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    field_cfgs: Sequence[IndexConfig],
+    order_by: tuple[str, ...] | None = ("repo", "path", "commit"),
+    doc_id_col: str | None = None,
+) -> InvertedIndex:
+    """Multi-field index with PER-FIELD postings formats
+    (``codecs/perfield/PerFieldPostingsFormat.java:62`` — the reference's
+    field -> format mapping): every ``IndexConfig`` in ``field_cfgs``
+    indexes its own ``text_col`` under its own ``field_name`` with its own
+    options — positions/offsets level (IndexOptions), stopwords, analysis
+    chain — exactly what a per-field format chooses in the reference.
+
+    Doc ids are assigned ONCE over the corpus (shared across fields, like
+    a single Lucene document with several indexed fields), then each field
+    runs the standard single-field build; postings/doclens/termstats are
+    field-tagged unions, so the searcher's field-filtered block reads and
+    per-field norm caches work unchanged. The searcher is field-aware
+    end-to-end; cross-field queries (Boolean over different fields,
+    CombinedFieldQuery) compose on top.
+    """
+    if len({c.field_name for c in field_cfgs}) != len(field_cfgs):
+        raise ValueError("field_cfgs must have distinct field_name values")
+    if doc_id_col is None:
+        docs = with_doc_ids(corpus, order_by)
+    else:
+        docs = corpus.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    docs = docs.persist()
+
+    parts = [
+        build_index(spark, docs, replace(cfg, doc_id_col="doc_id")) for cfg in field_cfgs
+    ]
+    postings = parts[0].postings
+    doclens = parts[0].doclens
+    termstats = parts[0].termstats
+    for p in parts[1:]:
+        postings = postings.unionByName(p.postings)
+        doclens = doclens.unionByName(p.doclens)
+        termstats = termstats.unionByName(p.termstats)
+    fieldstats = {}
+    for p in parts:
+        fieldstats.update(p.fieldstats)
+    return InvertedIndex(
+        docs=parts[0].docs,
+        postings=postings.persist(),
+        doclens=doclens,
+        termstats=termstats,
+        fieldstats=fieldstats,
+        config=field_cfgs[0],
+        build_metrics={
+            "build_sec": sum(p.build_metrics.get("build_sec", 0.0) for p in parts),
+            "max_doc": parts[0].build_metrics.get("max_doc", 0.0),
+        },
+    )
 
 
 def load_index(

@@ -273,6 +273,21 @@ def taxonomy_counts(
     )
 
 
+def suggest_infix(searcher: IndexSearcher, fragment: str, n: int = 10) -> DataFrame:
+    """Infix completion (``suggest/analyzing/AnalyzingInfixSuggester.java:82``
+    role): dictionary terms CONTAINING the typed fragment anywhere, ranked
+    by popularity (df) with prefix matches ranked first — the reference
+    boosts exact-prefix hits the same way. Pure term-dictionary scan."""
+    starts = F.col("term").startswith(fragment).cast("int")
+    return (
+        searcher.index.termstats.filter(F.col("term").contains(fragment))
+        .select("term", "df", starts.alias("is_prefix"))
+        .orderBy(F.desc("is_prefix"), F.desc("df"), F.asc("term"))
+        .limit(n)
+        .select("term", "df", "is_prefix")
+    )
+
+
 def suggest_fuzzy(
     searcher: IndexSearcher, prefix: str, n: int = 10, max_edits: int = 1
 ) -> DataFrame:

@@ -13,9 +13,11 @@ minimalization, no Python):
   next interval starts after the previous ends (``Intervals.ordered``);
   n-ary = left fold of the binary combinator
 - ``Unordered(a, b)``  minimal windows containing one interval of each,
-  overlap allowed (``Intervals.unordered``); n-ary = left fold (for >2
-  sources the fold is an approximation of the reference's n-ary
-  enumeration — documented, binary is exact)
+  overlap allowed (``Intervals.unordered``); n >= 3 sources take the
+  exact all-combinations plan (``_unordered_nary``) — interval set AND
+  wmatch match the reference's n-ary enumeration (the pairwise fold
+  already gives the exact SET; property-tested, see
+  tests/test_intervals_spans.py)
 - ``MaxGaps(n, src)``  keep intervals with ≤ n internal gaps; gaps =
   width − matched-token count (``Intervals.maxgaps``)
 - ``MaxWidth(n, src)`` keep intervals of width ≤ n (``Intervals.maxwidth``)
@@ -219,6 +221,53 @@ def _unordered2(a: DataFrame, b: DataFrame) -> DataFrame:
     return _minimalize(cand)
 
 
+def _unordered_nary(parts: list[DataFrame]) -> DataFrame:
+    """Exact n-ary unordered (UnorderedIntervalsSource, n >= 3): ALL
+    combinations of one interval per source, covering window per combo,
+    max wmatch per (start, end), then minimalize.
+
+    The pairwise left fold already yields the EXACT minimal interval SET
+    (a dominated pair window covers a superset with any third interval,
+    so its loss is always dominated — property-tested against brute-force
+    n-ary enumeration over 20k random interval algebras in
+    tests/test_intervals_spans.py). What the fold can lose is wmatch: a
+    dropped intermediate tuple may realize the same final window with
+    MORE matched tokens, and wmatch drives MaxGaps. This path keeps every
+    combination alive until the final window, so wmatch is the true max.
+    Cost: candidate rows = prod(per-doc interval counts) per doc — the
+    price of tuple-exactness in one declarative plan (the reference's PQ
+    walk is linear but sequential, MaxGaps over n>=3 unordered sources is
+    a rare query shape)."""
+    j = parts[0].select(
+        "doc_id",
+        F.col("start").alias("s0"),
+        F.col("end").alias("e0"),
+        F.col("wmatch").alias("w0"),
+    )
+    for i, p in enumerate(parts[1:], 1):
+        j = j.join(
+            p.select(
+                "doc_id",
+                F.col("start").alias(f"s{i}"),
+                F.col("end").alias(f"e{i}"),
+                F.col("wmatch").alias(f"w{i}"),
+            ),
+            "doc_id",
+        )
+    n = len(parts)
+    start = F.least(*[F.col(f"s{i}") for i in range(n)])
+    end = F.greatest(*[F.col(f"e{i}") for i in range(n)])
+    wm = F.col("w0")
+    for i in range(1, n):
+        wm = wm + F.col(f"w{i}")
+    cand = (
+        j.select("doc_id", start.alias("start"), end.alias("end"), wm.alias("wmatch"))
+        .groupBy("doc_id", "start", "end")
+        .agg(F.max("wmatch").alias("wmatch"))
+    )
+    return _minimalize(cand)
+
+
 def _build(searcher, src: IntervalsSource) -> DataFrame:
     if isinstance(src, Term):
         return _term_df(searcher, src.term)
@@ -235,10 +284,12 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
         return out
     if isinstance(src, Unordered):
         parts = [_build(searcher, s) for s in src.sources]
-        out = parts[0]
-        for p in parts[1:]:
-            out = _unordered2(out, p)
-        return out
+        if len(parts) <= 2:
+            out = parts[0]
+            for p in parts[1:]:
+                out = _unordered2(out, p)
+            return out
+        return _unordered_nary(parts)
     if isinstance(src, MaxGaps):
         inner = _build(searcher, src.source)
         gaps = (F.col("end") - F.col("start") + 1) - F.col("wmatch")

@@ -253,6 +253,19 @@ class PointRangeQuery(Query):
 
 
 @dataclass(frozen=True)
+class PointInSetQuery(Query):
+    """Numeric set membership on a docs-table column
+    (``search/PointInSetQuery.java:59`` — the query behind
+    IntPoint/LongPoint ``newSetQuery``). The reference merge-intersects
+    the sorted value set with BKD leaves; Catalyst compiles the IN-list
+    predicate to a pushed-down parquet filter. Constant-score."""
+
+    column: str
+    values: tuple
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class FieldExistsQuery(Query):
     """Docs with a non-null value (``search/FieldExistsQuery.java:41``)."""
 

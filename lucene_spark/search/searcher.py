@@ -477,6 +477,7 @@ class IndexSearcher:
                 Q.MatchAllDocsQuery,
                 Q.MatchNoDocsQuery,
                 Q.PointRangeQuery,
+                Q.PointInSetQuery,
                 Q.FieldExistsQuery,
             ),
         ):
@@ -904,6 +905,8 @@ class IndexSearcher:
             if q.upper is not None:
                 pred = pred & (c <= q.upper if q.include_upper else c < q.upper)
             return docs.filter(pred).select("doc_id")
+        if isinstance(q, Q.PointInSetQuery):
+            return docs.filter(F.col(q.column).isin(list(q.values))).select("doc_id")
         if isinstance(q, Q.FieldExistsQuery):
             return docs.filter(F.col(q.column).isNotNull()).select("doc_id")
         if isinstance(q, (Q.ConstantScoreQuery, Q.BoostQuery)):

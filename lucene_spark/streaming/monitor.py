@@ -44,11 +44,12 @@ class Monitor:
     def register(self, query_id: str, query: Q.Query) -> None:
         if not isinstance(
             query,
-            (Q.TermQuery, Q.BooleanQuery, Q.PhraseQuery, Q.PrefixQuery, Q.FuzzyQuery),
+            (Q.TermQuery, Q.BooleanQuery, Q.PhraseQuery, Q.PrefixQuery,
+             Q.FuzzyQuery, Q.WildcardQuery, Q.RegexpQuery),
         ):
             raise NotImplementedError(
-                "Monitor supports Term/Boolean/Phrase/Prefix/Fuzzy queries, "
-                f"got {type(query).__name__}"
+                "Monitor supports Term/Boolean/Phrase/Prefix/Fuzzy/Wildcard/"
+                f"Regexp queries, got {type(query).__name__}"
             )
         self._entries[query_id] = query
 
@@ -74,7 +75,9 @@ class Monitor:
         rows = []
         meta = []
         for qid, q in self._entries.items():
-            if isinstance(q, (Q.PrefixQuery, Q.FuzzyQuery)):
+            if isinstance(
+                q, (Q.PrefixQuery, Q.FuzzyQuery, Q.WildcardQuery, Q.RegexpQuery)
+            ):
                 continue  # expanded per batch in match_batch (presearcher)
             if isinstance(q, Q.TermQuery):
                 rows.append((qid, q.term, "must", 0, 0))
@@ -149,6 +152,18 @@ class Monitor:
                     (qid, q.term, "fuzzy", int(q.max_edits), int(q.prefix_length))
                 )
                 pat_meta.append((qid, 0, 1))
+            elif isinstance(q, (Q.WildcardQuery, Q.RegexpQuery)):
+                # both become anchored regexes evaluated JVM-side against
+                # the batch term dictionary (RLike with a per-row pattern)
+                from lucene_spark.search.searcher import _wildcard_to_regex
+
+                rx = (
+                    _wildcard_to_regex(q.pattern)
+                    if isinstance(q, Q.WildcardQuery)
+                    else q.regex
+                )
+                pat_rows.append((qid, "^" + rx + "$", "regex", 0, 0))
+                pat_meta.append((qid, 0, 1))
         if pat_rows:
             pat_df = spark.createDataFrame(
                 pat_rows,
@@ -168,8 +183,11 @@ class Monitor:
                     )
                 )
             )
+            is_regex = (F.col("pkind") == "regex") & F.expr(
+                "term rlike pattern"
+            )
             expanded = batch_terms.join(
-                F.broadcast(pat_df), is_prefix | is_fuzzy
+                F.broadcast(pat_df), is_prefix | is_fuzzy | is_regex
             ).select(
                 "query_id",
                 "term",

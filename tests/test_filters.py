@@ -112,3 +112,37 @@ def test_stemmed_index_rank_identity(spark):
     want = oracle.top_k(oracle.term_scores(q_term), 5)
     assert got == want
     assert len(got) == 4  # every doc with any 'connect*' form matches
+
+
+def test_multiword_synonym_overlap_emission():
+    """SynonymGraphFilter multi-word subset: 'wide area network' emits the
+    canonical 'wan' as an overlap at the phrase's first position; original
+    tokens stay; field length counts base tokens only."""
+    m = SynonymMap([["wan", "wide area network"], ["db", "database"]])
+    an = FilteredAnalyzer(filters=(m,))
+    terms, pos, n = an.term_position_arrays("the wide area network database")
+    pairs = sorted(zip(terms, (int(p) for p in pos)), key=lambda x: (x[1], x[0]))
+    assert ("wan", 1) in pairs          # overlap at first word's position
+    assert ("wide", 1) in pairs and ("network", 3) in pairs
+    assert ("db", 4) in pairs           # single-token mapping still applies
+    assert n == 5                       # overlaps discounted from length
+
+
+def test_multiword_synonym_longest_match_and_gaps():
+    m = SynonymMap([["nyc", "new york"], ["nys", "new york state"]])
+    an = FilteredAnalyzer(filters=(m,))
+    terms, pos, _ = an.term_position_arrays("new york state")
+    got = set(zip(terms, (int(p) for p in pos)))
+    assert ("nys", 0) in got            # longest match wins
+    assert ("nyc", 0) not in got        # consumed by the longer match
+    # a skipped over-long token breaks contiguity: no match across the gap
+    long_tok = "x" * 300                # > max_token_length, skipped
+    terms2, pos2, _ = an.term_position_arrays(f"new {long_tok} york")
+    assert "nyc" not in terms2
+
+
+def test_multiword_synonym_tokens_raises():
+    m = SynonymMap([["wan", "wide area network"]])
+    an = FilteredAnalyzer(filters=(m,))
+    with pytest.raises(NotImplementedError):
+        an.tokens("wide area network")

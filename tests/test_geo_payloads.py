@@ -1,0 +1,107 @@
+"""Geo (LatLonPoint family) and payload (PayloadScoreQuery) unit tests.
+
+The driver-contract oracle pairs (geo_box_query, geo_distance_query,
+payload_score_query, point_in_set_query) are covered by the registry
+replica in tests/test_entry.py; these tests pin the operator semantics on
+small hand-built frames — dateline boxes, pole-crossing radii, haversine
+vs an independent numpy computation, DelimitedPayloadTokenFilter parsing,
+and each PayloadFunction fold.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from lucene_spark.search import geo, payloads as P
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame([Row(id=i, lat=a, lon=o) for i, (a, o) in enumerate(rows)])
+
+
+def test_box_plain_and_dateline(spark):
+    pts = _pts(spark, [(0.0, 0.0), (10.0, 170.0), (-10.0, -170.0), (50.0, 170.0), (0.0, 100.0)])
+    plain = geo.box_filter(pts, -20.0, 20.0, -30.0, 30.0)
+    assert {r.id for r in plain.collect()} == {0}
+    # crossing box: lon >= 160 OR lon <= -160, lat in [-20, 20]
+    cross = geo.box_filter(pts, -20.0, 20.0, 160.0, -160.0)
+    assert {r.id for r in cross.collect()} == {1, 2}
+
+
+def test_haversine_matches_numpy(spark):
+    rows = [(48.8566, 2.3522), (40.7128, -74.0060), (-33.8688, 151.2093)]
+    pts = _pts(spark, rows)
+    qlat, qlon = 51.5074, -0.1278  # London
+    got = {
+        r.id: r.d
+        for r in pts.select(
+            "id",
+            geo.haversine_meters(
+                F.lit(qlat), F.lit(qlon), F.col("lat"), F.col("lon")
+            ).alias("d"),
+        ).collect()
+    }
+
+    def hav(lat2, lon2):
+        R = geo.EARTH_MEAN_RADIUS_METERS
+        p1, p2 = math.radians(qlat), math.radians(lat2)
+        dphi = math.radians(lat2 - qlat)
+        dl = math.radians(lon2 - qlon)
+        h = math.sin(dphi / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * R * math.asin(min(1.0, math.sqrt(h)))
+
+    for i, (la, lo) in enumerate(rows):
+        assert got[i] == pytest.approx(hav(la, lo), rel=1e-12)
+    # sanity: Paris ~343km from London on the mean sphere
+    assert 330_000 < got[0] < 360_000
+
+
+def test_distance_filter_pole_box(spark):
+    # radius circle containing the north pole must widen to all longitudes
+    pts = _pts(spark, [(89.0, 10.0), (89.0, -170.0), (80.0, 10.0)])
+    hits = geo.distance_filter(pts, 89.5, 0.0, 300_000.0, dist_col=None)
+    assert {r.id for r in hits.collect()} == {0, 1}
+
+
+def test_distance_topk_order(spark):
+    pts = _pts(spark, [(0.0, 1.0), (0.0, 3.0), (0.0, 2.0), (0.0, 0.5)])
+    got = geo.distance_topk(pts, 0.0, 0.0, k=3).select("id").collect()
+    assert [r.id for r in got] == [3, 0, 2]
+
+
+def test_delimited_payload_parsing(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="alpha|1.5 beta gamma|0.25"), Row(doc_id=1, text="x|2")]
+    )
+    rows = {
+        (r.doc_id, r.pos): (r.term, r.payload)
+        for r in P.delimited_payload_table(docs).collect()
+    }
+    assert rows[(0, 0)] == ("alpha", 1.5)
+    assert rows[(0, 1)] == ("beta", None)  # no delimiter -> no payload
+    assert rows[(0, 2)] == ("gamma", 0.25)
+    assert rows[(1, 0)] == ("x", 2.0)
+
+
+def test_payload_functions_fold(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=7, text="a|1.0 b|4.0 a|3.0 b|2.0")]
+    )
+    pay = P.delimited_payload_table(docs)
+    # phrase 'a b' matches spans at (0,1) and (2,3): payloads 1,4,3,2
+    for fn, want in [("max", 4.0), ("min", 1.0), ("sum", 10.0), ("avg", 2.5)]:
+        got = P.payload_score_topk(
+            None, "text", ("a", "b"), pay, fn=fn, include_span_score=False
+        ).collect()
+        assert len(got) == 1 and got[0].doc_id == 7
+        assert got[0].payload_score == pytest.approx(want), fn
+
+
+def test_payload_no_payload_defaults_to_one(spark):
+    docs = spark.createDataFrame([Row(doc_id=3, text="a b")])
+    pay = P.delimited_payload_table(docs)  # both payloads null
+    got = P.payload_score_topk(
+        None, "text", ("a", "b"), pay, fn="max", include_span_score=False
+    ).collect()
+    assert got[0].payload_score == pytest.approx(1.0)

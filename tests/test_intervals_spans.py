@@ -211,3 +211,95 @@ def test_term_automaton_any_initial_is_anchored(s):
     auto3 = TermAutomaton(((0, 1, ANY), (1, 2, ANY)), frozenset({2}))
     with pytest.raises(NotImplementedError):
         automaton_matches(s, auto3)
+
+
+def _py_minimalize(iv):
+    """Pure-python replica of _minimalize (same-start shortest / max
+    wmatch, drop dominated)."""
+    best = {}
+    for st, e, w in iv:
+        cur = best.get(st)
+        if cur is None or (e, -w) < (cur[0], -cur[1]):
+            best[st] = (e, w)
+    items = sorted((st, e, w) for st, (e, w) in best.items())
+    return [
+        (st, e, w)
+        for st, e, w in items
+        if not any(s2 > st and e2 <= e for s2, e2, _ in items)
+    ]
+
+
+def test_unordered_fold_set_exactness_property():
+    """The pairwise unordered fold yields the exact minimal-interval SET
+    of the n-ary enumeration (a dominated pair window covers a superset
+    with any further interval, so dropping it never loses a final
+    minimal window) — the property that justified _unordered_nary only
+    having to fix wmatch, not the set. Brute-force check over random
+    interval algebras."""
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+
+    def fold(parts):
+        out = _py_minimalize(parts[0])
+        for p in parts[1:]:
+            out = _py_minimalize(
+                [
+                    (min(a[0], b[0]), max(a[1], b[1]), a[2] + b[2])
+                    for a in out
+                    for b in p
+                ]
+            )
+        return out
+
+    def nary(parts):
+        return _py_minimalize(
+            [
+                (
+                    min(c[0] for c in combo),
+                    max(c[1] for c in combo),
+                    sum(c[2] for c in combo),
+                )
+                for combo in itertools.product(*parts)
+            ]
+        )
+
+    wmatch_diffs = 0
+    for _ in range(3000):
+        parts = []
+        for _ in range(rnd.choice([3, 3, 4])):
+            iv = []
+            for _ in range(rnd.randint(1, 4)):
+                st = rnd.randint(0, 15)
+                e = st + rnd.randint(0, 3)
+                iv.append((st, e, e - st + 1))
+            parts.append(_py_minimalize(iv))
+        a, b = fold(parts), nary(parts)
+        assert [(x, y) for x, y, _ in a] == [(x, y) for x, y, _ in b]
+        if a != b:
+            wmatch_diffs += 1
+    assert wmatch_diffs > 0  # the fold DOES lose wmatch -> nary path needed
+
+
+def test_unordered_nary_exact_wmatch(s):
+    """n=3 unordered goes through the all-combinations plan: window set
+    and wmatch equal the brute-force n-ary enumeration on the fixture
+    corpus (doc0 'a x b y a b c': minimal {a,b,c} windows with true max
+    wmatch feeding MaxGaps)."""
+    df = IV.matches(s, IV.Unordered(IV.Term("a"), IV.Term("b"), IV.Term("c")))
+    got = sorted(
+        (int(r["doc_id"]), int(r["start"]), int(r["end"]), int(r["wmatch"]))
+        for r in df.collect()
+    )
+    # doc0 positions: a{0,4} b{2,5} c{6}: the combo (a@4, b@5, c@6) gives
+    # [4,6], which dominates every wider combo window ([2,6], [0,6], ...);
+    # no other doc has all three
+    assert got == [(0, 4, 6, 3)]
+    # MaxGaps(2) must accept it: width 3, 3 matched -> 0 gaps
+    got2 = _rows(
+        IV.matches(
+            s, IV.MaxGaps(2, IV.Unordered(IV.Term("a"), IV.Term("b"), IV.Term("c")))
+        )
+    )
+    assert got2 == [(0, 4, 6)]

@@ -160,3 +160,20 @@ def test_prefix_and_fuzzy_standing_queries(spark, docs):
     assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_wildcard_and_regexp_standing_queries(spark, docs):
+    """Wildcard/Regexp standing queries expand through the presearcher as
+    anchored regexes over the batch term dictionary (JVM RLike with a
+    per-row pattern) — same no-per-doc-Python contract as prefix/fuzzy."""
+    m = Monitor()
+    m.register("q_wild", Q.WildcardQuery("text", "sp*k"))
+    m.register("q_rx", Q.RegexpQuery("text", "tab.e?s?"))
+    out = m.match_batch(docs)
+    got = {(r["query_id"], r["doc_id"]) for r in out.collect()}
+    assert got == {
+        ("q_wild", 0), ("q_wild", 2),          # spark
+        ("q_rx", 0), ("q_rx", 1), ("q_rx", 3),  # table / tables
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
