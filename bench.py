@@ -137,7 +137,13 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     q("boolean_or_pruned", lambda: pruned_searcher.search(bool_or, k=10))
     prune_or = dict(pruned_searcher.last_prune_stats or {})
 
-    # training-data pipeline ops over the same corpus
+    # training-data pipeline ops over the same corpus. The index caches are
+    # dead weight from here on: release them so the pipeline section isn't
+    # taxed by full-GC pauses over a heap pinned with postings blocks
+    # (measured: single-task stages degraded 3x late in the session before
+    # this unpersist).
+    idx.postings.unpersist()
+    idx.doclens.unpersist()
     q("exact_dedup", lambda: dedup.exact_duplicate_groups(idx.docs, text_col="text"))
     q(
         "minhash_lsh_dedup",

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from lucene_spark.pipeline.partitioning import spread
+
 __all__ = [
     "exact_duplicate_groups",
     "shingles",
@@ -81,7 +83,11 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+    # ~n_tokens x num_perm rows per doc downstream: spread single-split
+    # inputs across cores before the explosion (no-op on real datasets)
+    return spread(docs).select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle")
+    )
 
 
 def minhash_signatures(
@@ -213,7 +219,7 @@ def simhash(
     bit b is set iff sum over distinct tokens of tf * (+-1 by bit b of the
     token's h60) is >= 0. Linear: 32 rows per (doc, distinct term).
     """
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.expr(f"regexp_extract_all({text_col}, '{TOKEN_RE}', 0)")).alias(
             "tok"
@@ -317,7 +323,7 @@ def embedding_near_dup_pairs(
     O(n^2/2) comparisons — correct baseline and the oracle shape; at scale
     use ``similarity.hyperplane_bucketed_topk``'s bucketing to prefilter.
     """
-    q = emb.select(
+    q = spread(emb).select(
         F.col(id_col).alias("id"),
         quantize(F.col(vec_col)).alias("qv"),
     ).withColumn("nsq", int_dot(F.col("qv"), F.col("qv")))

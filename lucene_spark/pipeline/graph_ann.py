@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from lucene_spark.pipeline.dedup import cosine_from_int, int_dot, quantize
+from lucene_spark.pipeline.partitioning import spread
 from lucene_spark.pipeline.similarity import _plane_weight
 
 __all__ = ["build_knn_graph", "graph_search_topk"]
@@ -127,7 +128,7 @@ def build_knn_graph(
     The result is checkpointed per round (``localCheckpoint``) so the
     iterative lineage never re-executes earlier rounds.
     """
-    vecs = _vectors(corpus, id_col, vec_col, "id_node")
+    vecs = _vectors(spread(corpus), id_col, vec_col, "id_node")
     seeds = []
     for t in range(seed_tables):
         b = vecs.withColumn(
@@ -191,7 +192,7 @@ def graph_search_topk(
 
     Returns (query_id, neighbor_id, cosine, rank) like the other ANN ops.
     """
-    vecs = _vectors(corpus, id_col, vec_col, "id_node").localCheckpoint()
+    vecs = _vectors(spread(corpus), id_col, vec_col, "id_node").localCheckpoint()
     q = _vectors(queries, id_col, vec_col, "query_id")
 
     qb = q.withColumn(

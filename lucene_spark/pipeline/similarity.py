@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from lucene_spark.pipeline.dedup import cosine_from_int, int_dot, quantize
+from lucene_spark.pipeline.partitioning import spread
 
 __all__ = [
     "brute_force_topk",
@@ -57,7 +58,7 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank), self excluded."""
-    c = _prep(corpus, id_col, vec_col, "neighbor_id")
+    c = _prep(spread(corpus), id_col, vec_col, "neighbor_id")
     q = _prep(queries, id_col, vec_col, "query_id")
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -131,7 +132,7 @@ def hyperplane_multiprobe_topk(
     (``codecs/lucene99/Lucene99HnswVectorsFormat.java:82`` — approximate
     search with a tunable recall knob).
     """
-    c = _prep(corpus, id_col, vec_col, "neighbor_id").withColumn(
+    c = _prep(spread(corpus), id_col, vec_col, "neighbor_id").withColumn(
         "bucket", hyperplane_bucket(F.col("_qv_neighbor_id"), dim, n_planes)
     )
     q = _prep(queries, id_col, vec_col, "query_id")
@@ -198,7 +199,7 @@ def hyperplane_bucketed_topk(
     design — the brute-force operator is the oracle for exactness, this one
     for the 100 TB path.
     """
-    c = _prep(corpus, id_col, vec_col, "neighbor_id").withColumn(
+    c = _prep(spread(corpus), id_col, vec_col, "neighbor_id").withColumn(
         "bucket", hyperplane_bucket(F.col("_qv_neighbor_id"), dim, n_planes)
     )
     q = _prep(queries, id_col, vec_col, "query_id").withColumn(
