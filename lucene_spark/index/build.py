@@ -3,9 +3,12 @@
 Spark-native re-expression of the reference indexing chain:
 
 - per-task inversion (tokenize + per-doc term/positions map) mirrors the
-  DWPT invert loop (``index/IndexingChain.java:1888-2040``) as one
-  ``mapInPandas`` pass — each Spark task plays the role of one
-  DocumentsWriterPerThread (``index/DocumentsWriterPerThread.java:52``);
+  DWPT invert loop (``index/IndexingChain.java:1888-2040``); each Spark
+  task plays the role of one DocumentsWriterPerThread
+  (``index/DocumentsWriterPerThread.java:52``). Default front-end: JVM
+  regexp tokenize + Arrow-native grouping (``_make_arrow_grouper``) —
+  no Python strings anywhere; stopwords/offsets/custom analyzers use
+  the shared Python analyzer in one ``mapInPandas`` pass;
 - postings grouped by ``(seg_id, field, term)`` and packed into 256-doc
   blocks with delta+FOR doc gaps, PFor freqs, raw norms, FOR positions and
   per-block competitive impact frontiers (the ``(freq, norm)`` Pareto set)
@@ -76,6 +79,13 @@ class IndexConfig:
     #: shingles, char n-grams). Forces the Python invert pass; the JVM
     #: SQL twin covers only the plain StandardAnalyzer chain.
     analyzer: object | None = None
+    #: invert front-end: "auto" picks "arrow" for the plain
+    #: StandardAnalyzer chain (JVM regex tokenize -> Arrow-native
+    #: grouping, posting-row shuffle) and "python" when stopwords /
+    #: offsets / a custom analyzer require the shared Python analyzer.
+    #: "jvm" keeps tokenize AND grouping out of Python entirely (token
+    #: rows through the shuffle — more rows, kept for A/B measurement).
+    invert_mode: str = "auto"
 
 
 # positions travel as raw little-endian uint32 buffers (BinaryType), NOT
@@ -370,6 +380,125 @@ def _jvm_token_stream(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
             F.col("norm").cast("int").alias("norm"),
         )
     )
+
+
+def _jvm_tokenized(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """JVM-side tokenize only: (doc_id, toks array<string>) — the raw
+    token stream per doc, positions implicit in array order."""
+    from lucene_spark.analysis.sql import TOKEN_PATTERN_JAVA
+
+    text = F.coalesce(F.col(cfg.text_col), F.lit(""))
+    lowered = F.lower(F.translate(text, "İ", "i"))
+    raw = F.regexp_extract_all(lowered, F.lit(TOKEN_PATTERN_JAVA), F.lit(0))
+    return docs.select("doc_id", raw.alias("toks"))
+
+
+def _make_arrow_grouper(cfg: IndexConfig):
+    """Arrow-native (doc, term) grouping over JVM-tokenized docs.
+
+    The hybrid invert front-end: the JVM does the regex tokenize
+    (``_jvm_tokenized``), and this ``mapInArrow`` stage turns each Arrow
+    batch of (doc_id, toks) into posting rows (``_INVERTED_SCHEMA``)
+    without materializing a single Python string:
+
+    - length filter + term factorization run in Arrow C++
+      (``utf8_length`` / ``dictionary_encode``),
+    - grouping is one numpy lexsort over int codes (same algorithm as
+      ``_make_inverter``'s tail),
+    - the positions column is built zero-copy as ONE BinaryArray over the
+      sorted flat uint32 buffer (group g's cell = buffer[4*starts[g] :
+      4*ends[g]]; groups are adjacent so the offsets vector IS
+      ``starts * 4``).
+
+    vs the pure-JVM path (``_jvm_token_stream``): the shuffle carries
+    posting rows (~df) instead of token rows (~ttf) and the sort key
+    drops ``pos``; vs the Python inverter: no per-doc ``re.findall`` and
+    no per-token PyObject churn. Positions count over the RAW stream
+    (over-long tokens hold a slot, ``StandardTokenizer.java:163-173``);
+    norms fold the KEPT count.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    dps = cfg.docs_per_segment
+    max_len = cfg.max_token_length
+    out_schema = pa.schema(
+        [
+            ("seg_id", pa.int64()),
+            ("term", pa.string()),
+            ("doc_id", pa.int64()),
+            ("freq", pa.int32()),
+            ("norm", pa.int32()),
+            ("positions", pa.binary()),
+            ("offsets", pa.binary()),
+        ]
+    )
+
+    def _binary_from_flat(n: int, offsets: np.ndarray, data: bytes):
+        return pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(data)],
+        )
+
+    def group(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            n_docs = batch.num_rows
+            if n_docs == 0:
+                continue
+            doc_ids = batch.column(0).to_numpy()
+            lst = batch.column(1)
+            counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+            counts = np.nan_to_num(counts).astype(np.int64)
+            flat = pc.list_flatten(lst)
+            n_tok = len(flat)
+            if n_tok == 0:
+                continue
+            doc_ord = np.repeat(np.arange(n_docs), counts)
+            cum = np.cumsum(counts) - counts
+            pos_flat = (np.arange(n_tok) - np.repeat(cum, counts)).astype(np.uint32)
+            keep = pc.less_equal(pc.utf8_length(flat), max_len)
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            kept_counts = np.bincount(
+                doc_ord[keep_np], minlength=n_docs
+            ).astype(np.int64)
+            d = doc_ord[keep_np]
+            if len(d) == 0:  # every token over max_token_length
+                continue
+            p = pos_flat[keep_np]
+            dict_arr = pc.dictionary_encode(flat.filter(keep))
+            codes = dict_arr.indices.to_numpy().astype(np.int64)
+            uniq = dict_arr.dictionary
+            order = np.lexsort((codes, d))  # stable: pos stays ascending
+            d_s, c_s, p_s = d[order], codes[order], p[order]
+            change = np.flatnonzero((d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))
+            starts = np.concatenate(([0], change + 1))
+            ends = np.concatenate((change + 1, [len(d_s)]))
+            n_grp = len(starts)
+            g_ord = d_s[starts]
+            g_docs = doc_ids[g_ord]
+            norms = encode_lengths(kept_counts).astype(np.int32)
+            pos_off = np.concatenate((starts, [len(d_s)])) * 4
+            pos_arr = _binary_from_flat(
+                n_grp, pos_off, p_s.astype("<u4").tobytes()
+            )
+            off_arr = _binary_from_flat(
+                n_grp, np.zeros(n_grp + 1, dtype=np.int64), b""
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(g_docs // dps, type=pa.int64()),
+                    uniq.take(pa.array(c_s[starts])),
+                    pa.array(g_docs, type=pa.int64()),
+                    pa.array((ends - starts).astype(np.int32), type=pa.int32()),
+                    pa.array(norms[g_ord], type=pa.int32()),
+                    pos_arr,
+                    off_arr,
+                ],
+                schema=out_schema,
+            )
+
+    return group
 
 
 def _make_block_packer_tokens(cfg: IndexConfig):
@@ -741,21 +870,39 @@ def build_index(
     # doclens comes from a cheap native-SQL counting pass, and termstats
     # is an aggregate over the PACKED block table (tiny).
     #
-    # Empty-stopword default: the whole tokenize+invert front-end runs
-    # JVM-side (_jvm_token_stream) and the packer aggregates token rows —
-    # the build's only Python stage is block packing. Stopwords or stored
-    # offsets force the Python inverter (shared analyzer implementation;
-    # offsets come from regex match spans).
-    if not cfg.stopwords and not cfg.with_offsets and cfg.analyzer is None:
+    # Empty-stopword default ("auto" -> "arrow"): JVM regex tokenize +
+    # Arrow-native grouping (_make_arrow_grouper) — posting rows through
+    # the one shuffle, zero Python-string churn, the regex out of Python.
+    # Stopwords, stored offsets or a custom analyzer force the Python
+    # inverter (shared analyzer implementation; offsets come from regex
+    # match spans). "jvm" keeps the all-SQL token-row path for A/B runs.
+    plain_chain = not cfg.stopwords and not cfg.with_offsets and cfg.analyzer is None
+    mode = cfg.invert_mode
+    if mode == "auto":
+        mode = "arrow" if plain_chain else "python"
+    elif mode in ("arrow", "jvm") and not plain_chain:
+        raise ValueError(
+            f"invert_mode={mode!r} supports only the plain StandardAnalyzer "
+            "chain (no stopwords/offsets/custom analyzer)"
+        )
+    if mode == "arrow":
+        inverted = _jvm_tokenized(docs, cfg).mapInArrow(
+            _make_arrow_grouper(cfg), schema=_INVERTED_SCHEMA
+        )
+        packer = _make_block_packer(cfg)
+        sort_cols = ["seg_id", "term", "doc_id"]
+    elif mode == "jvm":
         inverted = _jvm_token_stream(docs, cfg)
         packer = _make_block_packer_tokens(cfg)
         sort_cols = ["seg_id", "term", "doc_id", "pos"]
-    else:
+    elif mode == "python":
         inverted = docs.select("doc_id", cfg.text_col).mapInPandas(
             _make_inverter(cfg), schema=_INVERTED_SCHEMA
         )
         packer = _make_block_packer(cfg)
         sort_cols = ["seg_id", "term", "doc_id"]
+    else:
+        raise ValueError(f"unknown invert_mode {cfg.invert_mode!r}")
 
     repart_cols = [F.col("seg_id"), F.col("term")]
     if cfg.num_partitions:

@@ -49,3 +49,54 @@ def test_deterministic_rebuild(spark):
         for r in b.postings.collect()
     )
     assert pa == pb
+
+
+def test_invert_modes_bit_identical(spark):
+    """The three invert front-ends (Python analyzer / pure-JVM token rows /
+    JVM tokenize + Arrow grouping) must produce bit-identical postings,
+    doclens and stats — the arrow default is only an execution strategy."""
+    corpus = spark.createDataFrame(generate_corpus(300, seed=19)).cache()
+    corpus.count()
+
+    def fingerprint(mode):
+        cfg = IndexConfig(docs_per_segment=64, invert_mode=mode)
+        ix = build_index(spark, corpus, cfg)
+        rows = sorted(
+            (
+                r["seg_id"],
+                r["term"],
+                r["block_ord"],
+                r["num_docs"],
+                r["first_doc"],
+                r["last_doc"],
+                r["max_freq"],
+                r["min_norm"],
+                r["ttf_block"],
+                bytes(r["doc_gaps"]),
+                bytes(r["freqs"]),
+                bytes(r["norms"]),
+                bytes(r["positions"]),
+            )
+            for r in ix.postings.collect()
+        )
+        dl = sorted(
+            (r["doc_id"], r["length"], r["norm"]) for r in ix.doclens.collect()
+        )
+        ix.postings.unpersist()
+        return rows, dl, ix.fieldstats
+
+    py = fingerprint("python")
+    jvm = fingerprint("jvm")
+    arrow = fingerprint("arrow")
+    assert py == arrow
+    assert py == jvm
+
+
+def test_invert_mode_guard(spark):
+    corpus = spark.createDataFrame(generate_corpus(10, seed=2))
+    with pytest.raises(ValueError, match="invert_mode"):
+        build_index(
+            spark,
+            corpus,
+            IndexConfig(invert_mode="arrow", stopwords=frozenset({"the"})),
+        )
