@@ -578,7 +578,11 @@ class IndexSearcher:
         all_terms = [t for s in slots for t in s]
         idf_sum = 0.0  # double accumulation of float32 idfs (Lucene op order)
         for t in all_terms:
-            idf_sum += float(self._idf(q.field, t, ctx))
+            # df=0 alternatives contribute no stats — the reference only
+            # collects stats for found terms (MultiPhraseQuery.java:227
+            # ``ts.docFreq() > 0``)
+            if ctx.term_stats.get((q.field, t), (0, 0))[0] > 0:
+                idf_sum += float(self._idf(q.field, t, ctx))
         w = self.sim.weight(boost * F32(q.boost), F32(idf_sum))
         k = len(slots)
 
@@ -655,18 +659,9 @@ class IndexSearcher:
                 ),
             )
 
-        # general path: faithful per-doc matcher (3+ slots, repeated terms)
-        if isinstance(q, Q.MultiPhraseQuery):
-            seen: set[str] = set()
-            for s in slots:
-                if any(t in seen for t in s):
-                    raise NotImplementedError(
-                        "sloppy MultiPhraseQuery with a term shared across "
-                        "slots (multi-term repeat groups, "
-                        "SloppyPhraseMatcher hasMultiTermRpts) is unsupported"
-                    )
-                seen.update(s)
-        slot_terms = [slots[i][0] if len(slots[i]) == 1 else f"__slot{i}" for i in range(k)]
+        # general path: faithful per-doc matcher (3+ slots, repeated
+        # terms — including multi-term repeat groups, hasMultiTermRpts)
+        slot_terms = [tuple(s) for s in slots]
         uniq = list(dict.fromkeys(all_terms))
         d = self._decoded(q.field, F.col("term").isin(uniq), with_positions=True)
 

@@ -36,11 +36,13 @@ Two engine paths:
 
 2. **General case (3+ slots, repeated terms): a faithful per-doc matcher**
    in Python (Arrow-batched ``applyInPandas``), porting the PQ loop
-   including single-term repeat groups (``advanceRpts`` collision rule:
-   always advance the lesser of the two colliding positions;
-   initialization advances the j-th repeat j times). Multi-term repeat
-   groups (the same term shared by different multi-term slots,
-   ``hasMultiTermRpts``) are not supported and raise.
+   including repeat groups (``advanceRpts`` collision rule: always
+   advance the lesser of the two colliding positions). Single-term
+   repeats initialize by advancing the j-th repeat j times; multi-term
+   repeat groups (a term shared by different multi-term slots,
+   ``hasMultiTermRpts``) form connected components over shared repeating
+   terms and initialize by doc-dependent collision resolution
+   (``SloppyPhraseMatcher.java:467-484``).
 """
 
 from __future__ import annotations
@@ -89,33 +91,73 @@ class _PP:
 def sloppy_matches(
     slot_positions: list[list[int]],
     slop: int,
-    terms: list[str] | None = None,
+    terms: list | None = None,
     offsets: list[int] | None = None,
 ) -> list[int]:
     """matchLengths emitted by the reference traversal, in emission order.
 
-    slot_positions[i]: sorted raw positions where slot i's term occurs.
-    terms[i]: slot term identity (repeat groups form on equal terms).
+    slot_positions[i]: sorted raw positions where slot i's term(s) occur
+    (for a multi-term slot: the merged union — UnionPostingsEnum).
+    terms[i]: slot term identity — a single string, or a tuple/list of
+    alternative terms for a multi-term slot. Repeat groups form on shared
+    terms: single-term repeats group by equality; multi-term repeats form
+    connected components over shared repeating terms
+    (``SloppyPhraseMatcher.java:556`` gatherRptGroups /
+    ``:672`` unionTermGroups).
     offsets[i]: query position of slot i (default i — consecutive phrase).
     """
     k = len(slot_positions)
-    terms = terms if terms is not None else [str(i) for i in range(k)]
+    if terms is None:
+        term_sets = [(str(i),) for i in range(k)]
+    else:
+        term_sets = [(t,) if isinstance(t, str) else tuple(t) for t in terms]
     offsets = offsets if offsets is not None else list(range(k))
     pps = [_PP(i, offsets[i], slot_positions[i]) for i in range(k)]
     if any(not p.positions for p in pps):
         return []
-    # repeat groups: same term in several slots, sorted by query offset
-    groups: dict[str, list[_PP]] = {}
-    for p in pps:
-        groups.setdefault(terms[p.ord], []).append(p)
+    # repeating terms: terms held by more than one slot
+    # (SloppyPhraseMatcher.java:620 repeatingTerms)
+    t_count: dict[str, int] = {}
+    for ts in term_sets:
+        for t in set(ts):
+            t_count[t] = t_count.get(t, 0) + 1
+    rpt_terms = {t for t, c in t_count.items() if c > 1}
+    rpt_pps = [p for p in pps if rpt_terms & set(term_sets[p.ord])]
+    has_multi = any(len(set(term_sets[p.ord])) > 1 for p in rpt_pps)
     rpt_groups: list[list[_PP]] = []
-    for g in groups.values():
-        if len(g) > 1:
-            g.sort(key=lambda p: p.offset)
-            for j, p in enumerate(g):
-                p.rpt_group = len(rpt_groups)
-                p.rpt_ind = j
-            rpt_groups.append(g)
+    if not has_multi:
+        # simple case: groups are slots holding the same (single) term
+        groups: dict[str, list[_PP]] = {}
+        for p in rpt_pps:
+            groups.setdefault(term_sets[p.ord][0], []).append(p)
+        rpt_groups = [g for g in groups.values() if len(g) > 1]
+    elif rpt_pps:
+        # multi-term repeats: union intersecting repeating-term sets until
+        # disjoint (connected components on the slot/term bipartite graph,
+        # unionTermGroups), then bucket each repeating pp by its component
+        comps: list[set[str]] = []
+        for p in rpt_pps:
+            merged = set(term_sets[p.ord]) & rpt_terms
+            rest = []
+            for c in comps:
+                if c & merged:
+                    merged |= c
+                else:
+                    rest.append(c)
+            rest.append(merged)
+            comps = rest
+        buckets: list[list[_PP]] = [[] for _ in comps]
+        for p in rpt_pps:
+            for gi, c in enumerate(comps):
+                if c & set(term_sets[p.ord]):
+                    buckets[gi].append(p)
+                    break
+        rpt_groups = [b for b in buckets if len(b) > 1]
+    for gi, g in enumerate(rpt_groups):
+        g.sort(key=lambda p: p.offset)
+        for j, p in enumerate(g):
+            p.rpt_group = gi
+            p.rpt_ind = j
     end = [float("-inf")]
 
     def advance_pp(pp: _PP) -> bool:
@@ -124,27 +166,6 @@ def sloppy_matches(
         if pp.position > end[0]:
             end[0] = pp.position
         return True
-
-    for p in pps:
-        p.first_position()
-    # advanceRepeatGroups: j-th repeating pp starts advanced j times
-    for rg in rpt_groups:
-        for j in range(1, len(rg)):
-            for _ in range(j):
-                if not rg[j].next_position():
-                    return []
-    heap = list(pps)
-    for p in pps:
-        if p.position > end[0]:
-            end[0] = p.position
-
-    def heap_pop() -> _PP:
-        heap.sort(key=_PP.key)
-        return heap.pop(0)
-
-    def heap_top() -> _PP:
-        heap.sort(key=_PP.key)
-        return heap[0]
 
     def lesser(p1: _PP, p2: _PP) -> _PP:
         if p1.position < p2.position or (
@@ -159,6 +180,50 @@ def sloppy_matches(
             if p2 is not pp and p2.tp_pos() == tp:
                 return p2
         return None
+
+    for p in pps:
+        p.first_position()
+    # advanceRepeatGroups (SloppyPhraseMatcher.java:467): start condition
+    # is "no collisions inside any group"
+    if has_multi:
+        # multi-term: collisions depend on the doc, resolve by repeatedly
+        # advancing the lesser of each colliding pair; restart the scan
+        # when a lower-index pp moved
+        for rg in rpt_groups:
+            i = 0
+            while i < len(rg):
+                incr = 1
+                pp = rg[i]
+                while True:
+                    c = collide(pp)
+                    if c is None:
+                        break
+                    pp2 = lesser(pp, c)
+                    if not pp2.next_position():
+                        return []
+                    if pp2.rpt_ind < i:
+                        incr = 0
+                        break
+                i += incr
+    else:
+        # single-term: the j-th repeating pp starts advanced j times
+        for rg in rpt_groups:
+            for j in range(1, len(rg)):
+                for _ in range(j):
+                    if not rg[j].next_position():
+                        return []
+    heap = list(pps)
+    for p in pps:
+        if p.position > end[0]:
+            end[0] = p.position
+
+    def heap_pop() -> _PP:
+        heap.sort(key=_PP.key)
+        return heap.pop(0)
+
+    def heap_top() -> _PP:
+        heap.sort(key=_PP.key)
+        return heap[0]
 
     def advance_rpts(pp: _PP) -> bool:
         if pp.rpt_group < 0:

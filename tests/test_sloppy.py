@@ -152,3 +152,105 @@ def test_prunable_disjunction_shape_guard():
         )
         is None
     )
+
+
+def test_multi_term_repeat_groups_hand_traced():
+    """hasMultiTermRpts fixture, hand-traced through the reference
+    traversal (SloppyPhraseMatcher.java:505 'hidden collision' example):
+    P1={a,b}, P2={b,c}, doc 'a c b' (a:0, c:1, b:2) -> union positions
+    P1=[0,2], P2=[1,2]. Slop 0 emits one distance-0 match (a@0, c@1);
+    slop>=2 additionally emits the distance-2 tail match."""
+    p1, p2 = [0, 2], [1, 2]
+    ts = [("a", "b"), ("b", "c")]
+    assert sloppy_matches([p1, p2], 0, terms=ts) == [0]
+    assert sloppy_matches([p1, p2], 1, terms=ts) == [0]
+    assert sloppy_matches([p1, p2], 2, terms=ts) == [0, 2]
+
+
+def test_multi_term_repeat_degenerate_equals_single_term():
+    """A multi-term slot whose extra terms are absent from the doc must
+    behave exactly like the (trusted) single-term repeat path, and match
+    counts must be monotone in slop."""
+    import random
+
+    rnd = random.Random(5)
+    for _ in range(500):
+        pa = sorted(rnd.sample(range(12), rnd.randint(1, 10)))
+        pb = sorted(rnd.sample(range(12), rnd.randint(1, 10)))
+        slop = rnd.randint(0, 5)
+        assert sloppy_matches([pa, pa], slop, terms=["a", "a"]) == sloppy_matches(
+            [pa, pa], slop, terms=[("a",), ("a", "zzz")]
+        )
+        assert sloppy_matches(
+            [pa, pb, pa], slop, terms=["a", "b", "a"]
+        ) == sloppy_matches(
+            [pa, pb, pa], slop, terms=[("a",), ("b", "zzz"), ("a", "yyy")]
+        )
+        u = sorted(set(pa) | set(pb))
+        ts = [("x", "y"), ("y", "x")]
+        counts = [len(sloppy_matches([u, u], s, terms=ts)) for s in range(5)]
+        assert counts == sorted(counts)
+
+
+def test_multi_term_repeat_engine_path(spark):
+    """Sloppy MultiPhraseQuery with a term shared across slots (the case
+    that used to raise) runs through the engine; a degenerate shared-term
+    query (extra terms absent from the corpus) scores identically to the
+    single-term-repeat query it reduces to."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+
+    texts = [
+        "alpha gamma beta",
+        "alpha beta alpha",
+        "beta beta alpha gamma",
+        "alpha x y beta gamma beta",
+        "gamma delta",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cfg = IndexConfig(text_col="text", field_name="text", doc_id_col="doc_id")
+    idx = build_index(spark, docs, cfg)
+    s = IndexSearcher(idx)
+    for slop in (1, 2, 4):
+        got = {
+            int(r["doc_id"]): r["score"]
+            for r in s.scored(
+                Q.MultiPhraseQuery(
+                    "text", (("alpha",), ("alpha", "zzz")), slop=slop
+                )
+            ).collect()
+        }
+        want = {
+            int(r["doc_id"]): r["score"]
+            for r in s.scored(
+                Q.MultiPhraseQuery("text", (("alpha",), ("alpha",)), slop=slop)
+            ).collect()
+        }
+        assert got == want, (slop, got, want)
+    # true multi-term repeat: {alpha,beta} then {beta,gamma} — just assert
+    # it executes and matches the faithful local matcher on every doc
+    from lucene_spark.search.sloppy import sloppy_freq
+
+    res = {
+        int(r["doc_id"]): r["score"]
+        for r in s.scored(
+            Q.MultiPhraseQuery(
+                "text", (("alpha", "beta"), ("beta", "gamma")), slop=3
+            )
+        ).collect()
+    }
+    expected_docs = set()
+    for i, t in enumerate(texts):
+        toks = t.split()
+        pos = lambda ws: sorted(
+            p for p, w in enumerate(toks) if w in ws
+        )
+        p1, p2 = pos({"alpha", "beta"}), pos({"beta", "gamma"})
+        if p1 and p2 and sloppy_freq(
+            [p1, p2], 3, terms=[("alpha", "beta"), ("beta", "gamma")]
+        ) > 0:
+            expected_docs.add(i)
+    assert set(res) == expected_docs, (set(res), expected_docs)
