@@ -251,6 +251,16 @@ def main() -> None:
     }
     print(json.dumps(out))
 
+    # Preserve hand-written analysis sections (anything from the first
+    # "## " heading onward) across regenerations.
+    tail = ""
+    try:
+        prev = open("BENCH.md").read()
+        k = prev.find("\n## ")
+        if k >= 0:
+            tail = prev[k:]
+    except FileNotFoundError:
+        pass
     with open("BENCH.md", "w") as f:
         f.write(
             f"""# BENCH — throughput + two-parallelism scaling
@@ -281,10 +291,12 @@ the 4N side brings its own cores, so this is the faithful analogy.
 - Query scaling efficiency: {query_eff:.3f} — each search is a handful of short
   Spark jobs, so fixed per-job driver overhead bounds QPS scaling at this corpus
   size; the throughput-bound phase (index build) is the scaling-relevant measure.
-
-Reproduce: `python scripts/scaling_bench.py` (env `SCALING_N_DOCS`,
-`SCALING_CPUS_LO/HI`).
 """
+            + (
+                tail
+                or "\nReproduce: `python scripts/scaling_bench.py` (env "
+                "`SCALING_N_DOCS`, `SCALING_CPUS_LO/HI`).\n"
+            )
         )
 
 
