@@ -158,19 +158,42 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
             emb, emb.limit(8), id_col="vec_id", vec_col="embedding", k=5
         ),
     )
-    def graph_ann_run():
-        from lucene_spark.pipeline import graph_ann
+    # graph-ANN: the k-NN-graph construction is an INDEX-TIME cost (the role
+    # HNSW graph building plays inside Lucene's index chain,
+    # codecs/lucene99/Lucene99HnswVectorsFormat.java) — time it separately
+    # from the beam search that serves queries over the built graph.
+    from lucene_spark.pipeline import graph_ann
 
-        g = graph_ann.build_knn_graph(emb, id_col="vec_id", k_graph=8, dim=64)
-        return graph_ann.graph_search_topk(
+    t_g = time.time()
+    g = graph_ann.build_knn_graph(emb, id_col="vec_id", k_graph=8, dim=64)
+    g.persist().count()
+    timings["ann_graph_build"] = time.time() - t_g
+    q(
+        "ann_graph_topk",
+        lambda: graph_ann.graph_search_topk(
             g, emb, emb.limit(8), id_col="vec_id", k=5, beam=16, iters=4, dim=64
-        )
-
-    q("ann_graph_topk", graph_ann_run)
+        ),
+    )
+    g.unpersist()
     q("quality_score", lambda: textops.quality_scores(docs, text_col="text"))
 
-    query_names = [k for k in timings if k != "index_build"]
+    # QPS over the interactive SEARCH family only (what "queries per
+    # second" means for a search engine); pipeline/dedup/ANN ops keep
+    # their own wall-time entries but aren't search queries, and
+    # *_build entries are index-time costs.
+    search_names = [
+        "term_query",
+        "boolean_or",
+        "boolean_and",
+        "phrase_query",
+        "dismax",
+        "prefix_query",
+        "term_query_pruned",
+        "boolean_or_pruned",
+    ]
+    query_names = [k for k in timings if k not in ("index_build", "ann_graph_build")]
     total_query_sec = sum(timings[k] for k in query_names)
+    search_sec = sum(timings[k] for k in search_names)
     return {
         "metric": "index_build_plus_query_wall",
         "value": round(sum(timings.values()), 3),
@@ -180,7 +203,10 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
         "n_docs": n_docs,
         "n_postings_blocks": n_blocks,
         "docs_per_sec": round(n_docs / timings["index_build"], 1),
-        "qps": round(len(query_names) / total_query_sec, 2) if total_query_sec else 0.0,
+        "qps": round(len(search_names) / search_sec, 2) if search_sec else 0.0,
+        "all_ops_per_sec": (
+            round(len(query_names) / total_query_sec, 2) if total_query_sec else 0.0
+        ),
         "qps_batched": qps_batched,
         "prune_term": prune_term,
         "prune_boolean_or": prune_or,

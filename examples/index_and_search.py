@@ -4,8 +4,12 @@ The IndexFiles + SearchFiles pair from the reference demo
 (``lucene/demo/src/java/org/apache/lucene/demo/``) re-expressed as one
 spark-submit-able script:
 
-    spark-submit --py-files lucene_spark examples/index_and_search.py \
+    zip -qr lucene_spark.zip lucene_spark
+    spark-submit --py-files lucene_spark.zip examples/index_and_search.py \
         [corpus_parquet_dir] [index_out_dir]
+
+(``--py-files`` ships a .zip/.egg to every executor's PYTHONPATH — a bare
+package directory is not accepted by spark-submit.)
 
 With no args it generates a small deterministic synthetic corpus.
 """

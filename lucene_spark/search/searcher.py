@@ -1582,12 +1582,14 @@ class IndexSearcher:
                     .alias("score"),
                 )
             )
-            neg = (
-                j.filter(F.col("occur") == "not")
-                .select("query_id", "doc_id")
-                .distinct()
-            )
-            parts.append(scored.join(neg, ["query_id", "doc_id"], "left_anti"))
+            if any(r[3] == "not" for r in clause_rows):
+                neg = (
+                    j.filter(F.col("occur") == "not")
+                    .select("query_id", "doc_id")
+                    .distinct()
+                )
+                scored = scored.join(neg, ["query_id", "doc_id"], "left_anti")
+            parts.append(scored)
         if phrases:
             parts.append(self._phrase_batch_scored(phrases, ctx))
         scored = parts[0]
