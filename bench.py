@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
 
 from pyspark.sql import SparkSession
@@ -38,9 +37,8 @@ def make_spark(cpus: int) -> SparkSession:
     )
 
 
-def run_bench(spark: SparkSession, sf_dir: str) -> dict:
+def run_bench(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     from lucene_spark.index.build import IndexConfig, build_index
-    from lucene_spark.pipeline import dedup, similarity as ann, text as textops
     from lucene_spark.search import query as Q
     from lucene_spark.search.searcher import IndexSearcher
 
@@ -137,14 +135,36 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     q("boolean_or_pruned", lambda: pruned_searcher.search(bool_or, k=10))
     prune_or = dict(pruned_searcher.last_prune_stats or {})
 
-    # training-data pipeline ops over the same corpus. The index caches are
-    # dead weight from here on: release them so the pipeline section isn't
-    # taxed by full-GC pauses over a heap pinned with postings blocks
-    # (measured: single-task stages degraded 3x late in the session before
-    # this unpersist).
-    idx.postings.unpersist()
-    idx.doclens.unpersist()
-    q("exact_dedup", lambda: dedup.exact_duplicate_groups(idx.docs, text_col="text"))
+    return timings, {
+        "n_docs": n_docs,
+        "n_blocks": n_blocks,
+        "qps_batched": qps_batched,
+        "prune_term": prune_term,
+        "prune_boolean_or": prune_or,
+    }
+
+
+def run_pipeline_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Training-data pipeline ops over the same corpus. Runs in its OWN
+    SparkSession (a separate application, exactly how a production
+    deployment separates the search service from batch pipeline jobs):
+    the serving layout pins postings blocks via eager localCheckpoint,
+    whose storage outlives DataFrame.unpersist, and timing pipeline ops
+    against that polluted heap measured 2-8x degradation (20.4s vs 2.5s
+    for minhash on the same box)."""
+    from lucene_spark.pipeline import dedup, graph_ann, similarity as ann
+    from lucene_spark.pipeline import text as textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timings: dict[str, float] = {}
+
+    def q(name, fn):
+        t = time.time()
+        rows = fn().collect()
+        timings[name] = time.time() - t
+        return rows
+
+    q("exact_dedup", lambda: dedup.exact_duplicate_groups(docs, text_col="text"))
     q(
         "minhash_lsh_dedup",
         lambda: dedup.minhash_lsh_pairs(
@@ -162,8 +182,6 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     # HNSW graph building plays inside Lucene's index chain,
     # codecs/lucene99/Lucene99HnswVectorsFormat.java) — time it separately
     # from the beam search that serves queries over the built graph.
-    from lucene_spark.pipeline import graph_ann
-
     t_g = time.time()
     g = graph_ann.build_knn_graph(emb, id_col="vec_id", k_graph=8, dim=64)
     g.persist().count()
@@ -176,6 +194,22 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     )
     g.unpersist()
     q("quality_score", lambda: textops.quality_scores(docs, text_col="text"))
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = make_spark(cpus)
+    try:
+        timings, extra = run_bench(spark, sf_dir)
+    finally:
+        spark.stop()
+    spark = make_spark(cpus)
+    try:
+        timings.update(run_pipeline_bench(spark, sf_dir))
+    finally:
+        spark.stop()
 
     # QPS over the interactive SEARCH family only (what "queries per
     # second" means for a search engine); pipeline/dedup/ANN ops keep
@@ -194,34 +228,24 @@ def run_bench(spark: SparkSession, sf_dir: str) -> dict:
     query_names = [k for k in timings if k not in ("index_build", "ann_graph_build")]
     total_query_sec = sum(timings[k] for k in query_names)
     search_sec = sum(timings[k] for k in search_names)
-    return {
+    result = {
         "metric": "index_build_plus_query_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-        "n_docs": n_docs,
-        "n_postings_blocks": n_blocks,
-        "docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "n_docs": extra["n_docs"],
+        "n_postings_blocks": extra["n_blocks"],
+        "docs_per_sec": round(extra["n_docs"] / timings["index_build"], 1),
         "qps": round(len(search_names) / search_sec, 2) if search_sec else 0.0,
         "all_ops_per_sec": (
             round(len(query_names) / total_query_sec, 2) if total_query_sec else 0.0
         ),
-        "qps_batched": qps_batched,
-        "prune_term": prune_term,
-        "prune_boolean_or": prune_or,
+        "qps_batched": extra["qps_batched"],
+        "prune_term": extra["prune_term"],
+        "prune_boolean_or": extra["prune_boolean_or"],
+        "cpus": cpus,
     }
-
-
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = make_spark(cpus)
-    try:
-        result = run_bench(spark, sf_dir)
-        result["cpus"] = cpus
-    finally:
-        spark.stop()
     print(json.dumps(result))
 
 
