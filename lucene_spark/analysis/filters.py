@@ -358,6 +358,29 @@ class FilteredAnalyzer:
             n,  # emitted length counts base tokens only (overlaps discounted)
         )
 
+    def term_position_offset_arrays(self, text: str):
+        """Offsets variant for ``IndexConfig(with_offsets=True)``.
+
+        1:1 term filters rewrite the term text but keep each token's
+        character span in the ORIGINAL text (OffsetAttribute is untouched
+        by TokenFilters like LowerCaseFilter/PorterStemFilter in the
+        reference), so the base offsets pass through. Expanding filters
+        (shingles, char n-grams, phrase synonyms) emit tokens with no
+        single source span and raise.
+        """
+        if (
+            self.shingle_size
+            or self.char_ngram
+            or any(isinstance(f, SynonymMap) and f.phrases for f in self.filters)
+        ):
+            raise NotImplementedError(
+                "offsets with expanding filters (shingle/char_ngram/phrase "
+                "synonyms) are not supported — expanded tokens have no "
+                "single character span"
+            )
+        terms, pos, offs, n = self.base.term_position_offset_arrays(text)
+        return [self._apply(t) for t in terms], pos, offs, n
+
     def tokens(self, text: str):
         """Token objects (1:1 filters only — expanders raise)."""
         if (

@@ -841,6 +841,18 @@ def build_index(
     index_dir: str | None = None,
 ) -> InvertedIndex:
     cfg = cfg or IndexConfig()
+    if cfg.with_offsets and cfg.analyzer is not None:
+        # fail at config time with a clear message, not mid-job with a raw
+        # AttributeError from an executor task
+        try:
+            cfg.analyzer.term_position_offset_arrays("")
+        except Exception as e:
+            raise ValueError(
+                "with_offsets=True requires the analyzer to implement "
+                "term_position_offset_arrays(text) (expanding filters — "
+                "shingles/char-ngrams/phrase synonyms — have no single "
+                "character span per emitted token): {e}".format(e=e)
+            ) from e
     t0 = time.time()
     if cfg.doc_id_col is None:
         docs = with_doc_ids(corpus, cfg.order_by, num_partitions=cfg.num_partitions)

@@ -28,12 +28,20 @@ __all__ = [
 F32 = np.float32
 
 
-def suggest(searcher: IndexSearcher, prefix: str, n: int = 10) -> DataFrame:
+def suggest(
+    searcher: IndexSearcher, prefix: str, n: int = 10, field: str | None = None
+) -> DataFrame:
     """Prefix autocomplete: dictionary terms ranked by popularity (df), the
     role of suggest/FSTCompletion.java:48 — here a pure term-dictionary scan
-    that parquet min/max stats prune to the prefix range."""
+    that parquet min/max stats prune to the prefix range. ``field`` defaults
+    to the index's configured field (termstats is field-tagged on
+    multi-field indexes; an unfiltered scan would return per-field
+    duplicates)."""
+    fld = field or searcher.index.config.field_name
     return (
-        searcher.index.termstats.filter(F.col("term").startswith(prefix))
+        searcher.index.termstats.filter(
+            (F.col("field") == fld) & F.col("term").startswith(prefix)
+        )
         .select("term", "df")
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(n)
@@ -273,14 +281,20 @@ def taxonomy_counts(
     )
 
 
-def suggest_infix(searcher: IndexSearcher, fragment: str, n: int = 10) -> DataFrame:
+def suggest_infix(
+    searcher: IndexSearcher, fragment: str, n: int = 10, field: str | None = None
+) -> DataFrame:
     """Infix completion (``suggest/analyzing/AnalyzingInfixSuggester.java:82``
     role): dictionary terms CONTAINING the typed fragment anywhere, ranked
     by popularity (df) with prefix matches ranked first — the reference
-    boosts exact-prefix hits the same way. Pure term-dictionary scan."""
+    boosts exact-prefix hits the same way. Pure term-dictionary scan,
+    filtered to one field (multi-field termstats carry per-field rows)."""
+    fld = field or searcher.index.config.field_name
     starts = F.col("term").startswith(fragment).cast("int")
     return (
-        searcher.index.termstats.filter(F.col("term").contains(fragment))
+        searcher.index.termstats.filter(
+            (F.col("field") == fld) & F.col("term").contains(fragment)
+        )
         .select("term", "df", starts.alias("is_prefix"))
         .orderBy(F.desc("is_prefix"), F.desc("df"), F.asc("term"))
         .limit(n)
@@ -300,8 +314,9 @@ def suggest_fuzzy(
     pred = F.col("term").startswith(p) | (
         F.levenshtein(head, F.lit(p)) <= max_edits
     )
+    fld = searcher.index.config.field_name
     return (
-        searcher.index.termstats.filter(pred)
+        searcher.index.termstats.filter((F.col("field") == fld) & pred)
         .select("term", "df")
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(n)

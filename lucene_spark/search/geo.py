@@ -92,6 +92,8 @@ def _bounding_box(lat: float, lon: float, radius_m: float):
         math.cos(math.radians(min_lat)), math.cos(math.radians(max_lat))
     )
     dlon = math.degrees(radius_m / (EARTH_MEAN_RADIUS_METERS * cos_min))
+    if dlon >= 180.0:  # circle spans every longitude at some latitude
+        return min_lat, max_lat, -180.0, 180.0
     return min_lat, max_lat, lon - dlon, lon + dlon
 
 
@@ -110,9 +112,17 @@ def distance_filter(
     Appends the exact distance as ``dist_col`` unless None."""
     min_lat, max_lat, min_lon, max_lon = _bounding_box(lat, lon, radius_m)
     la, lo = F.col(lat_col), F.col(lon_col)
-    boxed = points.filter(
-        (la >= min_lat) & (la <= max_lat) & (lo >= min_lon) & (lo <= max_lon)
-    )
+    lat_pred = (la >= min_lat) & (la <= max_lat)
+    if min_lon >= -180.0 and max_lon <= 180.0:
+        lon_pred = (lo >= min_lon) & (lo <= max_lon)
+    else:
+        # circle crosses the antimeridian: wrap the overflowing bound and
+        # match the union of the two ranges (GeoUtils Rectangle crossing
+        # case — same shape as box_filter's min_lon > max_lon branch)
+        wrapped_min = min_lon + 360.0 if min_lon < -180.0 else min_lon
+        wrapped_max = max_lon - 360.0 if max_lon > 180.0 else max_lon
+        lon_pred = (lo >= wrapped_min) | (lo <= wrapped_max)
+    boxed = points.filter(lat_pred & lon_pred)
     d = haversine_meters(F.lit(float(lat)), F.lit(float(lon)), la, lo)
     out = boxed.filter(d <= float(radius_m))
     if dist_col is not None:

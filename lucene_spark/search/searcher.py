@@ -1147,6 +1147,12 @@ class IndexSearcher:
             & (F.col("doc_id") <= F.col("last_doc")),
             "left_semi",
         )
+        # phase-1 decode cost actually paid: the strongest clause's anchor
+        # blocks plus every clause's probe blocks (count job only when
+        # stats collection is on)
+        p1_blocks = len(a_keys) + (
+            probe.count() if self.collect_prune_stats else 0
+        )
         exact0 = combine(
             probe.select(decode_cols)
             .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
@@ -1170,7 +1176,11 @@ class IndexSearcher:
         ob_col = F.lit(0.0)
         for t, ov in other_bound.items():
             ob_col = F.when(F.col("term") == t, F.lit(ov)).otherwise(ob_col)
-        kept_pred = (F.col("_ub").cast("double") + ob_col) >= F.lit(theta)
+        # float32 compare: the final combined score is fl32-rounded, and a
+        # double bound half an ulp under theta can round up to tie it
+        kept_pred = (F.col("_ub").cast("double") + ob_col).cast("float") >= F.lit(
+            theta
+        )
 
         def guard_counts() -> tuple[int, int]:
             row = blocks.agg(
@@ -1199,7 +1209,7 @@ class IndexSearcher:
             decode_cols,
             stats_base={
                 "total_blocks": stats_counts[0] if stats_counts else -1,
-                "phase1_blocks": n_phase1 * len(terms),
+                "phase1_blocks": p1_blocks,
                 "kept_blocks": stats_counts[1] if stats_counts else -1,
             },
         )
@@ -1211,7 +1221,7 @@ class IndexSearcher:
             if self.collect_prune_stats:
                 self.last_prune_stats = {
                     "total_blocks": total_blocks,
-                    "phase1_blocks": n_phase1 * len(terms),
+                    "phase1_blocks": p1_blocks,
                     "kept_blocks": kept_cnt,
                     "rescore_blocks": 0,
                     "fell_back": True,
@@ -1237,7 +1247,7 @@ class IndexSearcher:
             if self.collect_prune_stats:
                 self.last_prune_stats = {
                     "total_blocks": total_blocks,
-                    "phase1_blocks": n_phase1 * len(terms),
+                    "phase1_blocks": p1_blocks,
                     "kept_blocks": kept_cnt,
                     "rescore_blocks": 0,
                     "fell_back": True,
@@ -1257,7 +1267,7 @@ class IndexSearcher:
         if self.collect_prune_stats:
             self.last_prune_stats = {
                 "total_blocks": total_blocks,
-                "phase1_blocks": len(a_keys),
+                "phase1_blocks": p1_blocks,
                 "kept_blocks": kept_cnt,
                 "rescore_blocks": needed.count(),
                 "fell_back": False,
@@ -1360,8 +1370,12 @@ class IndexSearcher:
             smc = F.col("e_sum") + F.lit(ne_sum)
             ub = mxc + F.lit(tie) * (smc - mxc)
         cap = min(self.prune_max_candidates, max(self.essential_max_candidates, 64 * k))
+        # compare in float32: the final score is fl32(e_sum + n_sum), and a
+        # double ub within half a float32-ulp below theta can round UP to
+        # exactly theta — fl32 is monotonic, so fl32(ub) >= fl32(true sum)
+        # keeps every doc whose rounded score ties theta
         cand_rows = (
-            e_agg.filter(ub >= F.lit(theta))
+            e_agg.filter(ub.cast("float") >= F.lit(theta))
             .select("doc_id", "e_sum", "e_max")
             .limit(cap + 1)
             .collect()
@@ -1592,6 +1606,11 @@ class IndexSearcher:
             parts.append(scored)
         if phrases:
             parts.append(self._phrase_batch_scored(phrases, ctx))
+        if not parts:  # empty batch: zero rows, stable ranked schema
+            spark = self.index.docs.sparkSession
+            return spark.createDataFrame(
+                [], schema="query_id string, doc_id long, score float, rank int"
+            )
         scored = parts[0]
         for p in parts[1:]:
             scored = scored.unionByName(p)

@@ -95,7 +95,9 @@ class MemoryIndex:
                 return Z
             mx = max(hit)
             tie = F32(q.tie_breaker)
-            return F32(mx + tie * F32(sum(s for s in hit if s != mx)))
+            # subtract ONE max occurrence, not every clause tying it —
+            # DisjunctionMaxScorer keeps tied clauses in the tie-break sum
+            return F32(mx + tie * F32(sum(hit) - mx))
         if isinstance(q, Q.BoostQuery):
             return self._score(q.query, F32(boost * F32(q.boost)))
         if isinstance(q, Q.ConstantScoreQuery):
@@ -167,7 +169,14 @@ class MemoryIndex:
             for i, alts in enumerate(q.slots):
                 for t in alts:
                     slots[i].update(self._positions(q.field, t))
-            terms_for_idf = [t for alts in q.slots for t in alts]
+            # df=0 alternatives contribute no idf (MultiPhraseQuery.java:227
+            # ts.docFreq() > 0 — mirrored by the engine's phrase weight)
+            terms_for_idf = [
+                t
+                for alts in q.slots
+                for t in alts
+                if self._positions(q.field, t)
+            ]
             slop = q.slop
         else:
             slots = [set(self._positions(q.field, t)) for t in q.terms]

@@ -29,6 +29,30 @@ from lucene_spark.search import query as Q
 __all__ = ["Monitor"]
 
 
+def _check_regexp_portable(rx: str) -> None:
+    """Reject regex syntax outside the reference's RegExp dialect
+    (``util/automaton/RegExp.java`` — literals, ``.``, ``* + ?``, ``|``,
+    groups, char classes, ``{n,m}``). Over that subset Java ``rlike``
+    (the batch-side evaluator here and the index path in
+    ``searcher.py``) and Python ``re`` (MemoryIndex, explain) agree;
+    dialect-specific constructs would match different term sets per
+    evaluator or throw PatternSyntaxException mid-batch."""
+    import re as _re
+
+    try:
+        _re.compile(rx)
+    except _re.error as e:  # Java-only syntax fails here too
+        raise ValueError(f"unsupported regexp syntax {rx!r}: {e}") from e
+    for bad in ("(?P", "(?<", "(?#", r"\p", r"\N", r"\Z", r"\A"):
+        if bad in rx:
+            raise ValueError(
+                f"regexp construct {bad!r} is outside the portable "
+                "RegExp.java subset (literals, '.', '*', '+', '?', '|', "
+                "groups, char classes, '{n,m}') and evaluates "
+                "differently across the JVM/Python matchers"
+            )
+
+
 @dataclass(frozen=True)
 class _Entry:
     query_id: str
@@ -51,6 +75,8 @@ class Monitor:
                 "Monitor supports Term/Boolean/Phrase/Prefix/Fuzzy/Wildcard/"
                 f"Regexp queries, got {type(query).__name__}"
             )
+        if isinstance(query, Q.RegexpQuery):
+            _check_regexp_portable(query.regex)
         self._entries[query_id] = query
 
     def unregister(self, query_id: str) -> None:

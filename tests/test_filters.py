@@ -146,3 +146,45 @@ def test_multiword_synonym_tokens_raises():
     an = FilteredAnalyzer(filters=(m,))
     with pytest.raises(NotImplementedError):
         an.tokens("wide area network")
+
+
+def test_filtered_analyzer_offsets_one_to_one():
+    """1:1 filters keep each token's character span in the ORIGINAL text
+    (OffsetAttribute is untouched by TokenFilters in the reference), so
+    with_offsets indexing works with stemmers/foldings."""
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+    from lucene_spark.analysis.tokenizer import StandardAnalyzer
+
+    text = "Running Quickly"
+    fa = FilteredAnalyzer(filters=("porter",))
+    terms, pos, offs, n = fa.term_position_offset_arrays(text)
+    bt, bp, boffs, bn = StandardAnalyzer().term_position_offset_arrays(text)
+    import numpy as np
+
+    assert terms == [fa._apply(t) for t in bt] and terms != bt  # stemmed
+    assert np.array_equal(pos, bp) and np.array_equal(offs, boffs) and n == bn
+
+
+def test_filtered_analyzer_offsets_expanders_raise():
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+
+    with pytest.raises(NotImplementedError):
+        FilteredAnalyzer(shingle_size=2).term_position_offset_arrays("a b c")
+
+
+def test_build_with_offsets_expander_analyzer_fails_at_config_time(spark):
+    """IndexConfig(analyzer=<expander>, with_offsets=True) must raise a
+    clear ValueError up front, not an AttributeError inside an executor."""
+    from pyspark.sql import Row
+
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+    from lucene_spark.index.build import IndexConfig, build_index
+
+    docs = spark.createDataFrame([Row(doc_id=0, text="a b c")])
+    cfg = IndexConfig(
+        doc_id_col="doc_id",
+        analyzer=FilteredAnalyzer(char_ngram=3),
+        with_offsets=True,
+    )
+    with pytest.raises(ValueError, match="term_position_offset_arrays"):
+        build_index(spark, docs, cfg)

@@ -105,3 +105,38 @@ def test_payload_no_payload_defaults_to_one(spark):
         None, "text", ("a", "b"), pay, fn="max", include_span_score=False
     ).collect()
     assert got[0].payload_score == pytest.approx(1.0)
+
+
+def test_distance_filter_crosses_antimeridian(spark):
+    """A radius circle centered near lon 180 must keep in-radius points on
+    the OTHER side of the dateline (LatLonPoint.newDistanceQuery handles
+    this via a crossing rectangle; the box pre-filter must not drop them)."""
+    pts = _pts(spark, [(0.0, -179.9), (0.0, 179.5), (0.0, 178.0), (5.0, -170.0)])
+    got = {r.id for r in geo.distance_filter(pts, 0.0, 179.9, 50_000).collect()}
+    # id 0 is ~22 km away across the dateline; id 1 is ~44 km on the same
+    # side; id 2 (~211 km) and id 3 are outside
+    assert got == {0, 1}
+
+
+def test_distance_filter_matches_brute_force_near_pole_and_dateline(spark):
+    """The box pre-filter is only an optimization: results must equal a
+    brute-force haversine scan for circles near the pole (lon half-width
+    overflow) and straddling the dateline."""
+
+    def hav(lat1, lon1, lat2, lon2):
+        r = 6371008.7714
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dp, dl = p2 - p1, math.radians(lon2 - lon1)
+        a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        return 2 * r * math.asin(math.sqrt(a))
+
+    rows = [
+        (89.0, 0.0), (89.3, 180.0), (89.9, 180.0), (89.9, -90.0),
+        (0.0, -179.9), (0.0, 179.5), (0.0, 178.0), (45.0, 10.0),
+    ]
+    pts = _pts(spark, rows)
+    for (clat, clon, rad) in [(89.3, 0.0, 70_000), (89.3, 0.0, 200_000),
+                              (0.0, 179.9, 50_000), (0.0, -179.95, 30_000)]:
+        want = {i for i, (a, o) in enumerate(rows) if hav(clat, clon, a, o) <= rad}
+        got = {r.id for r in geo.distance_filter(pts, clat, clon, rad).collect()}
+        assert got == want, (clat, clon, rad, got, want)

@@ -82,3 +82,30 @@ def test_dismax(mi, oracle):
     )
     want = max(a, b) + 0.5 * min(a, b)
     assert mi.search(q) == pytest.approx(want, rel=1e-6)
+
+
+def test_dismax_tied_clauses_keep_one_max_in_tiebreak():
+    """Two clauses scoring EXACTLY equal: the tie-break sum drops ONE max
+    occurrence, not every clause tying it (DisjunctionMaxScorer:
+    score = max + tie * (sum - max))."""
+    mi = MemoryIndex().add_field("text", "fox dog")
+    a = mi.search(Q.TermQuery("text", "fox"))
+    b = mi.search(Q.TermQuery("text", "dog"))
+    assert a == b and a > 0
+    q = Q.DisjunctionMaxQuery(
+        (Q.TermQuery("text", "fox"), Q.TermQuery("text", "dog")), tie_breaker=0.5
+    )
+    want = float(np.float32(a + np.float32(0.5) * np.float32((a + b) - a)))
+    assert mi.search(q) == pytest.approx(want, abs=0.0)
+
+
+def test_multi_phrase_absent_alternative_idf_excluded(mi):
+    """df=0 slot alternatives contribute no idf (MultiPhraseQuery.java:227
+    ts.docFreq() > 0): adding an absent alternative must not change the
+    score."""
+    base = mi.search(Q.MultiPhraseQuery("text", (("quick",), ("brown",))))
+    with_absent = mi.search(
+        Q.MultiPhraseQuery("text", (("quick",), ("brown", "zzzabsent")))
+    )
+    assert base > 0
+    assert with_absent == pytest.approx(base, abs=0.0)

@@ -177,3 +177,20 @@ def test_wildcard_and_regexp_standing_queries(spark, docs):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_register_rejects_dialect_specific_regex():
+    """Standing regex queries are evaluated by BOTH the JVM (rlike over
+    the batch dictionary) and Python (MemoryIndex/explain): constructs
+    outside the portable RegExp.java subset are rejected at register
+    time instead of diverging or throwing mid-batch."""
+    import pytest
+
+    from lucene_spark.streaming.monitor import Monitor
+
+    m = Monitor()
+    m.register("ok", Q.RegexpQuery("text", "ta(b|p).le{1,2}"))
+    with pytest.raises(ValueError, match="portable"):
+        m.register("bad", Q.RegexpQuery("text", "(?P<x>tab).*"))
+    with pytest.raises(ValueError):
+        m.register("bad2", Q.RegexpQuery("text", "ta[b"))

@@ -74,3 +74,19 @@ def test_positions_only_where_indexed(midx):
     # title blocks carry no position payloads (with_positions=False)
     blocks = s.index.postings.filter(F.col("field") == "title").select("positions").collect()
     assert all(len(r.positions or b"") == 0 for r in blocks)
+
+
+def test_suggest_family_filters_to_one_field(midx):
+    """termstats is field-tagged on multi-field indexes: the suggest
+    scans must not return per-field duplicate rows for a term present in
+    several fields ('spark' and 'oracle' appear in both body and title)."""
+    from lucene_spark.search import extras
+
+    idx, searcher = midx
+    rows = extras.suggest_infix(searcher, "park", n=10).collect()
+    assert [r["term"] for r in rows] == ["spark"]
+    assert len(rows) == 1  # body df only, not one row per field
+    by_field = extras.suggest_infix(searcher, "park", n=10, field="title").collect()
+    assert [r["term"] for r in by_field] == ["spark"]
+    assert extras.suggest(searcher, "orac", n=10).count() == 1
+    assert extras.suggest_fuzzy(searcher, "spalk", n=10).count() == 1

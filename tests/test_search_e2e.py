@@ -288,3 +288,12 @@ def test_disjunction_hot_clauses_take_essential_path(built):
     assert [(r["doc_id"], r["score"]) for r in pruned_dm] == [
         (r["doc_id"], r["score"]) for r in full_dm
     ]
+
+
+def test_search_many_empty_batch(built):
+    """A dynamically-assembled empty query set returns zero rows with the
+    stable ranked schema, not an IndexError."""
+    _, searcher, _ = built
+    out = searcher.search_many({}, k=5)
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
+    assert out.count() == 0
