@@ -115,6 +115,31 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, pairs, text_col="text")
 
 
+@register(
+    "dedup_duplicate_clusters",
+    f"""WITH RECURSIVE {_LSH_CTES},
+cc_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM lsh_pairs
+),
+cc_reach(node, lab) AS (
+  SELECT src, src FROM cc_edges
+  UNION
+  SELECT e.dst, r.lab FROM cc_reach r JOIN cc_edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lab)::BIGINT AS cluster_id
+FROM cc_reach GROUP BY node ORDER BY doc_id""",
+)
+def dedup_duplicate_clusters(spark, sf_dir):
+    """Pairs -> connected-component cluster ids (min doc id per component);
+    the oracle is an independent transitive-closure recursive CTE over the
+    same LSH candidate pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, text_col="text", num_perm=16, bands=4)
+    return dedup.duplicate_clusters(pairs)
+
+
 _SIMHASH_CTES = f"""
 sim_tf AS (
   SELECT doc_id, tok, count(*)::BIGINT AS tf

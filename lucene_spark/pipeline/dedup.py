@@ -340,3 +340,76 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve candidate-duplicate PAIRS into duplicate CLUSTERS:
+    (doc_id, cluster_id) where cluster_id = the smallest doc id in the
+    pair-graph's connected component. The step a real dedup pipeline runs
+    after LSH/jaccard verification — "keep one representative per cluster"
+    is then ``filter(doc_id == cluster_id)`` / an anti-join for the rest.
+
+    Algorithm: min-label propagation to a fixpoint. Each round is one
+    shuffle (edge join on the node id) + a min aggregation — the standard
+    Spark connected-components shape. Rounds are bounded by the component
+    DIAMETER, not its size; near-dup components are shallow (LSH buckets
+    emit cliques, chains only appear via borderline bridge docs), so this
+    converges in a handful of rounds at any corpus size. Each round's
+    result is localCheckpoint'ed: the plan stays O(1) deep instead of
+    growing with iterations, and convergence is read off a cheap sum
+    aggregate (labels only ever decrease, so an unchanged label sum is a
+    fixpoint certificate). Docs that appear in no pair are singletons and
+    are not emitted.
+    """
+    src, dst = F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    edges = pairs.select(src, dst).unionByName(
+        pairs.select(
+            F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+        )
+    )
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    if prev_sum is None:  # no pairs at all
+        edges.unpersist()
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"], "inner"
+        ).select(F.col("dst").alias("node"), F.col("label"))
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds the bound; raise max_iter"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

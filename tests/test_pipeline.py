@@ -234,3 +234,36 @@ def test_graph_ann_recall_vs_brute_force(spark):
     )
     r = _recall(exact, got)
     assert r >= 0.9, f"graph ANN recall@10 = {r:.3f}"
+
+
+def test_duplicate_clusters_components(spark):
+    """Connected components over candidate pairs: a 4-node CHAIN (worst
+    case for label propagation — diameter rounds), a separate clique, and
+    an isolated pair each resolve to min-id cluster labels; docs in no
+    pair are not emitted."""
+    from lucene_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 7), (10, 12), (12, 15),      # chain: 7-10-12-15 -> 7
+         (3, 4), (4, 5), (3, 5),           # clique -> 3
+         (100, 101)],                      # pair -> 100
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        (7, 7), (10, 7), (12, 7), (15, 7),
+        (3, 3), (4, 3), (5, 3),
+        (100, 100), (101, 100),
+    }
+
+
+def test_duplicate_clusters_empty(spark):
+    from lucene_spark.pipeline.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = duplicate_clusters(pairs)
+    assert out.columns == ["doc_id", "cluster_id"]
+    assert out.count() == 0
