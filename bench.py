@@ -123,17 +123,25 @@ def run_bench(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     qps_batched = round(len(batch) / timings["batched_search_10q"], 2)
 
     # block-max pruning evidence: hot-term + disjunction through the
-    # two-phase path with a low gate, block counters recorded
+    # two-phase path with a low gate. TIMED with stats collection OFF
+    # (counter harvesting adds count-only Spark jobs that aren't part of
+    # serving); the block counters are harvested by an untimed re-run.
     pruned_searcher = type(searcher)(idx, prune_min_df=256)
     pruned_searcher.preload_stats()
+    # harvest the block counters first (stats-on adds count-only jobs, so
+    # this pass is untimed; it also warms the two-phase path, so the timed
+    # pass below measures steady-state serving like every other query)
     pruned_searcher.collect_prune_stats = True
+    pruned_searcher.search(Q.TermQuery("text", "batch"), k=10).collect()
+    prune_term = dict(pruned_searcher.last_prune_stats or {})
+    pruned_searcher.search(bool_or, k=10).collect()
+    prune_or = dict(pruned_searcher.last_prune_stats or {})
+    pruned_searcher.collect_prune_stats = False
     q(
         "term_query_pruned",
         lambda: pruned_searcher.search(Q.TermQuery("text", "batch"), k=10),
     )
-    prune_term = dict(pruned_searcher.last_prune_stats or {})
     q("boolean_or_pruned", lambda: pruned_searcher.search(bool_or, k=10))
-    prune_or = dict(pruned_searcher.last_prune_stats or {})
 
     return timings, {
         "n_docs": n_docs,
@@ -165,12 +173,13 @@ def run_pipeline_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         return rows
 
     q("exact_dedup", lambda: dedup.exact_duplicate_groups(docs, text_col="text"))
-    q(
-        "minhash_lsh_dedup",
-        lambda: dedup.minhash_lsh_pairs(
-            docs, text_col="text", id_col="doc_id", num_perm=16, bands=4
-        ),
+    pairs = dedup.minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id", num_perm=16, bands=4
     )
+    q("minhash_lsh_dedup", lambda: pairs)
+    pairs = pairs.persist()
+    q("dedup_clusters", lambda: dedup.duplicate_clusters(pairs))
+    pairs.unpersist()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q(
         "ann_topk",

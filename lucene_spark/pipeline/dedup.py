@@ -373,15 +373,22 @@ def duplicate_clusters(
         )
     )
     edges = edges.persist()
+
+    def _sum(df) -> object:
+        # one action per round: the lazy localCheckpoint materializes (and
+        # caches) while this aggregate runs, so convergence costs no
+        # second job
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    prev_sum = _sum(labels)
     if prev_sum is None:  # no pairs at all
         edges.unpersist()
         return labels.select(
@@ -395,11 +402,9 @@ def duplicate_clusters(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        new_sum = _sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
             break
