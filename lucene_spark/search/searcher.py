@@ -167,6 +167,11 @@ class IndexSearcher:
         #: plain one-shuffle disjunction is strictly cheaper
         self.essential_max_candidates = 16384
         self._stats_memo: dict[tuple[str, str], tuple[int, int]] = {}
+        #: per-hot-term block metadata preloaded by preload_block_meta
+        #: (serving layout): anchor block keys, the term's global impact
+        #: frontier, and a block-bound histogram — kills the per-query
+        #: metadata jobs in the pruned paths
+        self._block_meta: dict[tuple[str, str], dict] = {}
         self._avgdl: dict[str, np.float32] = {}
         self._cache: dict[str, np.ndarray] = {}
         self._cache_col: dict[str, Column] = {}
@@ -230,6 +235,7 @@ class IndexSearcher:
         except Exception:
             pass
         self.preload_stats()
+        self.preload_block_meta()
 
     def preload_stats(self, max_terms: int = 1 << 20) -> bool:
         """Pull the whole term dictionary's (df, ttf) into the driver memo
@@ -243,6 +249,169 @@ class IndexSearcher:
             self._stats_memo[(r["field"], r["term"])] = (int(r["df"]), int(r["ttf"]))
         self._stats_all_loaded = True
         return True
+
+    #: anchor blocks kept per hot term by preload_block_meta
+    N_ANCHORS = 16
+    #: histogram resolution for the driver-side keep-fraction estimate
+    N_BINS = 32
+
+    def preload_block_meta(self, max_terms: int = 1 << 14) -> int:
+        """Serving layout, part 2: per-HOT-TERM block metadata into driver
+        memory, so pruned-path queries spend zero Spark jobs on metadata
+        (the position Lucene's in-RAM skip/impact data occupies,
+        ``search/MaxScoreCache.java:59-140``).
+
+        Per term with df > prune_min_df (the only terms the pruned paths
+        ever engage for), three things — all WEIGHT-INDEPENDENT, since
+        score = weight * g(freq, norm) with g monotone, so block impact
+        order at weight=1 is block impact order at any weight:
+
+        - the top-N_ANCHORS block keys by impact bound (phase-1 anchors);
+        - the term's global (freq, norm) impact frontier as max-freq per
+          norm byte (<= 256 pairs) — the term's EXACT max score bound at
+          any weight is the float32 max over these pairs, identical to
+          the JVM's max-over-blocks of ``_block_ub``;
+        - an N_BINS histogram of per-block bounds — the disjunction cost
+          guard's keep-fraction estimate without a count job.
+
+        Memory: O(hot terms) * ~1 KB; hot terms are the df > 2^16 tail of
+        a Zipfian vocabulary, capped at ``max_terms``. Three one-time jobs
+        per field. Returns the number of terms loaded.
+        """
+        gate = self.prune_min_df
+        cand = sorted(
+            (
+                (df, fld, t)
+                for (fld, t), (df, _) in self._stats_memo.items()
+                if df > gate
+            ),
+            reverse=True,
+        )[:max_terms]
+        by_field: dict[str, list[str]] = {}
+        for _, fld, t in cand:
+            by_field.setdefault(fld, []).append(t)
+        n_loaded = 0
+        one = F.lit(1.0).cast("float")
+        for field, terms in by_field.items():
+            blocks = self._blocks(field, F.col("term").isin(terms)).withColumn(
+                "_sat", self._block_ub(field, one)
+            )
+            wnd = Window.partitionBy("term").orderBy(
+                F.col("_sat").desc(), F.col("seg_id").asc(), F.col("block_ord").asc()
+            )
+            a_rows = (
+                blocks.withColumn("_rk", F.row_number().over(wnd))
+                .filter(F.col("_rk") <= self.N_ANCHORS)
+                .select("term", "seg_id", "block_ord", "_rk")
+                .collect()
+            )
+            pair_idx = F.sequence(
+                F.lit(1), (F.size(F.col("impacts")) / F.lit(2)).cast("int")
+            )
+            fr_rows = (
+                blocks.select("term", F.explode(pair_idx).alias("i"), "impacts")
+                .select(
+                    "term",
+                    F.element_at(
+                        F.col("impacts"), (F.col("i") * 2 - 1).cast("int")
+                    ).alias("f"),
+                    F.element_at(
+                        F.col("impacts"), (F.col("i") * 2).cast("int")
+                    ).alias("n"),
+                )
+                .groupBy("term", "n")
+                .agg(F.max("f").alias("f"))
+                .collect()
+            )
+            mx = blocks.groupBy("term").agg(
+                F.max("_sat").alias("mx"), F.count("*").alias("nb")
+            )
+            h_rows = (
+                blocks.join(F.broadcast(mx), "term")
+                .select(
+                    "term",
+                    "mx",
+                    "nb",
+                    F.least(
+                        F.lit(self.N_BINS - 1),
+                        F.floor(
+                            F.col("_sat") / F.col("mx") * self.N_BINS
+                        ).cast("int"),
+                    ).alias("bin"),
+                )
+                .groupBy("term", "bin")
+                .agg(
+                    F.count("*").alias("c"),
+                    F.first("mx").alias("mx"),
+                    F.first("nb").alias("nb"),
+                )
+                .collect()
+            )
+            anchors: dict[str, list] = {}
+            for r in sorted(a_rows, key=lambda r: r["_rk"]):
+                anchors.setdefault(r["term"], []).append(
+                    (int(r["seg_id"]), int(r["block_ord"]))
+                )
+            frontier: dict[str, list] = {}
+            for r in fr_rows:
+                frontier.setdefault(r["term"], []).append((int(r["f"]), int(r["n"])))
+            hist: dict[str, dict] = {}
+            for r in h_rows:
+                h = hist.setdefault(
+                    r["term"],
+                    {
+                        "bins": np.zeros(self.N_BINS, dtype=np.int64),
+                        "max_sat": float(r["mx"]),
+                        "n_blocks": int(r["nb"]),
+                    },
+                )
+                h["bins"][int(r["bin"])] = int(r["c"])
+            for t in terms:
+                if t in anchors and t in frontier and t in hist:
+                    fr = np.asarray(frontier[t], dtype=np.int64)
+                    self._block_meta[(field, t)] = {
+                        "anchors": anchors[t],
+                        "frontier_f": fr[:, 0].astype(np.float32),
+                        "frontier_n": fr[:, 1],
+                        **hist[t],
+                    }
+                    n_loaded += 1
+        return n_loaded
+
+    def _preloaded_maxub(self, field: str, term: str, w: float) -> float | None:
+        """The term's exact global max score bound at weight ``w`` from the
+        preloaded impact frontier — float32 op order identical to the JVM
+        ``_block_ub`` (same BM25Similarity.score kernel), so the value
+        equals the max over all blocks' bounds bit-for-bit."""
+        m = self._block_meta.get((field, term))
+        if m is None:
+            return None
+        inv = self._cache[field][m["frontier_n"]]
+        return float(np.max(self.sim.score(m["frontier_f"], inv, F32(w))))
+
+    def _kept_estimate(
+        self, field: str, thresholds: dict[str, float]
+    ) -> tuple[int, int] | None:
+        """(total_blocks, kept-count upper estimate) for the disjunction
+        cost guard, from the preloaded bound histograms — zero Spark jobs.
+        ``thresholds[t]`` is the keep threshold in weight=1 (sat) units; a
+        block of clause t is kept when its bound clears it. Bin UPPER
+        edges decide, so the estimate only overcounts — the guard can
+        only become more conservative (fall back sooner), never less.
+        Returns None when any clause lacks preloaded metadata."""
+        total = kept = 0
+        for t, thr in thresholds.items():
+            m = self._block_meta.get((field, t))
+            if m is None:
+                return None
+            total += m["n_blocks"]
+            if m["max_sat"] <= 0.0:
+                continue
+            width = m["max_sat"] / self.N_BINS
+            for b in range(self.N_BINS):
+                if (b + 1) * width >= thr:
+                    kept += int(m["bins"][b])
+        return total, kept
 
     def _live(self, df: DataFrame) -> DataFrame:
         """Live-docs filter (Lucene90LiveDocsFormat analog): anti-join the
@@ -939,16 +1108,30 @@ class IndexSearcher:
             min(16, 2 * k),
             math.ceil((4 * k) / forutil.BLOCK_SIZE),
         )
-        # deterministic tie-break: the phase-1 set is evaluated by TWO jobs
-        # (key collect + decode) — equal upper bounds must not let them
-        # pick different blocks, or an excluded-but-undecoded block's docs
-        # would silently vanish from the union below
-        phase1 = blocks.orderBy(
-            F.col("_ub").desc(), F.col("seg_id").asc(), F.col("block_ord").asc()
-        ).limit(n_phase1)
-        p1_keys = [
-            (r["seg_id"], r["block_ord"]) for r in phase1.select("seg_id", "block_ord").collect()
-        ]
+        meta = self._block_meta.get((field, q.term))
+        key = F.concat_ws("#", F.col("seg_id"), F.col("block_ord"))
+        if meta is not None and (
+            len(meta["anchors"]) >= n_phase1
+            or len(meta["anchors"]) >= meta["n_blocks"]
+        ):
+            # serving layout: anchors preloaded (impact order is
+            # weight-independent), the metadata job disappears
+            p1_keys = meta["anchors"][:n_phase1]
+            phase1 = blocks.filter(
+                key.isin([f"{s}#{b}" for s, b in p1_keys])
+            )
+        else:
+            # deterministic tie-break: the phase-1 set is evaluated by TWO
+            # jobs (key collect + decode) — equal upper bounds must not let
+            # them pick different blocks, or an excluded-but-undecoded
+            # block's docs would silently vanish from the union below
+            phase1 = blocks.orderBy(
+                F.col("_ub").desc(), F.col("seg_id").asc(), F.col("block_ord").asc()
+            ).limit(n_phase1)
+            p1_keys = [
+                (r["seg_id"], r["block_ord"])
+                for r in phase1.select("seg_id", "block_ord").collect()
+            ]
         decode_cols = ["term", "first_doc", "doc_gaps", "freqs", "norms"]
         scored1 = (
             phase1.select(decode_cols)
@@ -1060,20 +1243,39 @@ class IndexSearcher:
         # blocks — k impact-ordered blocks (one could hold each top doc)
         # plus slack for ties/truncated frontiers
         n_phase1 = max(2 * k // forutil.BLOCK_SIZE + 1, min(16, 2 * k))
-        # ONE metadata job yields both the per-clause top-block anchors and
-        # every clause's global max bound (the rank-1 row's _ub)
-        wnd = Window.partitionBy("term").orderBy(
-            F.col("_ub").desc(), F.col("seg_id").asc(), F.col("block_ord").asc()
+        pre_ok = n_phase1 <= self.N_ANCHORS and all(
+            (field, t) in self._block_meta for t in terms
         )
-        meta_rows = (
-            blocks.withColumn("_rk", F.row_number().over(wnd))
-            .filter(F.col("_rk") <= n_phase1)
-            .select("term", "seg_id", "block_ord", "_ub", "_rk")
-            .collect()
-        )
-        maxub = {
-            r["term"]: float(r["_ub"]) for r in meta_rows if r["_rk"] == 1
-        }
+        if pre_ok:
+            # serving layout: anchors + exact max bounds from preloaded
+            # metadata — the per-query metadata job disappears
+            maxub = {}
+            anchors_by_term: dict[str, list] = {}
+            for t in terms:
+                ub = self._preloaded_maxub(field, t, weights[t])
+                if ub is not None and ub > 0.0:
+                    maxub[t] = ub
+                anchors_by_term[t] = self._block_meta[(field, t)]["anchors"]
+        else:
+            # ONE metadata job yields both the per-clause top-block anchors
+            # and every clause's global max bound (the rank-1 row's _ub)
+            wnd = Window.partitionBy("term").orderBy(
+                F.col("_ub").desc(), F.col("seg_id").asc(), F.col("block_ord").asc()
+            )
+            meta_rows = (
+                blocks.withColumn("_rk", F.row_number().over(wnd))
+                .filter(F.col("_rk") <= n_phase1)
+                .select("term", "seg_id", "block_ord", "_ub", "_rk")
+                .collect()
+            )
+            maxub = {
+                r["term"]: float(r["_ub"]) for r in meta_rows if r["_rk"] == 1
+            }
+            anchors_by_term = {}
+            for r in sorted(meta_rows, key=lambda r: r["_rk"]):
+                anchors_by_term.setdefault(r["term"], []).append(
+                    (r["seg_id"], r["block_ord"])
+                )
         if len(maxub) < 2:
             return fallback  # degenerate: <=1 clause has postings
         s_all = sum(maxub.values())
@@ -1114,9 +1316,7 @@ class IndexSearcher:
         strongest = max(maxub, key=lambda t: maxub[t])
         key = F.concat_ws("#", F.col("seg_id"), F.col("block_ord"))
         a_keys = [
-            f'{r["seg_id"]}#{r["block_ord"]}'
-            for r in meta_rows
-            if r["term"] == strongest
+            f"{s}#{b}" for s, b in anchors_by_term.get(strongest, [])[:n_phase1]
         ]
         anchor_sc = (
             blocks.filter((F.col("term") == strongest) & key.isin(a_keys))
@@ -1211,11 +1411,25 @@ class IndexSearcher:
                 "total_blocks": stats_counts[0] if stats_counts else -1,
                 "phase1_blocks": p1_blocks,
                 "kept_blocks": stats_counts[1] if stats_counts else -1,
+                "preloaded": pre_ok,
             },
         )
         if out is not None:
             return out
-        total_blocks, kept_cnt = stats_counts or guard_counts()
+        if stats_counts is not None:
+            total_blocks, kept_cnt = stats_counts
+        else:
+            # keep threshold per clause in weight=1 (sat) units for the
+            # histogram estimate: kept iff w*sat + other_bound >= theta
+            est = self._kept_estimate(
+                field,
+                {
+                    t: (theta - other_bound[t]) / weights[t]
+                    for t in terms
+                    if weights[t] > 0.0
+                },
+            )
+            total_blocks, kept_cnt = est if est is not None else guard_counts()
         kept = blocks.filter(kept_pred)
         if kept_cnt > self.prune_keep_frac * total_blocks:
             if self.collect_prune_stats:
@@ -1225,6 +1439,7 @@ class IndexSearcher:
                     "kept_blocks": kept_cnt,
                     "rescore_blocks": 0,
                     "fell_back": True,
+                    "preloaded": pre_ok,
                 }
             return fallback
         # candidate docs: superset of the true top-k (step 2 of docstring).
@@ -1251,6 +1466,7 @@ class IndexSearcher:
                     "kept_blocks": kept_cnt,
                     "rescore_blocks": 0,
                     "fell_back": True,
+                    "preloaded": pre_ok,
                 }
             return fallback
         spark = self.index.docs.sparkSession

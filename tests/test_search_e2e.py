@@ -297,3 +297,62 @@ def test_search_many_empty_batch(built):
     out = searcher.search_many({}, k=5)
     assert out.columns == ["query_id", "doc_id", "score", "rank"]
     assert out.count() == 0
+
+
+def test_preloaded_block_meta_identical_and_used(built):
+    """Serving layout part 2 (preload_block_meta): with per-hot-term block
+    metadata in driver memory, the pruned paths must (a) actually use it
+    (stats record preloaded=True) and (b) stay bit-identical to
+    prune=False across term/OR/dismax shapes — anchors and max bounds are
+    weight-independent, and the driver-side frontier max reproduces the
+    JVM block-bound float32 op order exactly."""
+    idx, searcher, _ = built
+    pre = IndexSearcher(idx, prune_min_df=1)
+    pre.preload_stats()
+    assert pre.preload_block_meta() > 0
+    pre.collect_prune_stats = True
+    shapes = [
+        Q.TermQuery("content", "the"),
+        Q.BooleanQuery.of(
+            should=[Q.TermQuery("content", "the"), Q.TermQuery("content", "index")]
+        ),
+        Q.BooleanQuery.of(
+            should=[Q.TermQuery("content", "the"), Q.TermQuery("content", "if")]
+        ),
+        Q.DisjunctionMaxQuery(
+            (Q.TermQuery("content", "the"), Q.TermQuery("content", "return")),
+            tie_breaker=0.5,
+        ),
+    ]
+    for q in shapes:
+        got = [(int(r["doc_id"]), float(r["score"]))
+               for r in pre.search(q, k=10).collect()]
+        want = [(int(r["doc_id"]), float(r["score"]))
+                for r in searcher.search(q, k=10, prune=False).collect()]
+        assert got == want, type(q).__name__
+        if not isinstance(q, Q.TermQuery):
+            assert pre.last_prune_stats.get("preloaded") is True
+
+
+def test_preloaded_maxub_matches_jvm_block_bound(built):
+    """The preloaded frontier's driver-side max bound must equal the JVM
+    max-over-blocks of _block_ub bit-for-bit (same float32 kernel) — the
+    keep rule's soundness depends on it being an upper bound."""
+    from pyspark.sql import functions as F
+
+    idx, searcher, _ = built
+    pre = IndexSearcher(idx, prune_min_df=1)
+    pre.preload_stats()
+    pre.preload_block_meta()
+    fs = idx.fieldstats["content"]
+    for term in ("the", "if", "return", "index"):
+        df, _ = pre._stats_memo[("content", term)]
+        w = pre.sim.weight(1.0, pre.sim.idf(df, fs.doc_count))
+        got = pre._preloaded_maxub("content", term, float(w))
+        jvm = (
+            pre._blocks("content", F.col("term") == term)
+            .select(pre._block_ub("content", w).alias("ub"))
+            .agg(F.max("ub"))
+            .collect()[0][0]
+        )
+        assert got == float(jvm), (term, got, jvm)
