@@ -277,6 +277,12 @@ class IndexSearcher:
         Memory: O(hot terms) * ~1 KB; hot terms are the df > 2^16 tail of
         a Zipfian vocabulary, capped at ``max_terms``. Three one-time jobs
         per field. Returns the number of terms loaded.
+
+        Snapshot semantics (like a point-in-time IndexReader): the loaded
+        metadata describes THIS index handle's postings. Segment merges /
+        addIndexes return new InvertedIndex handles, and deletes disable
+        the pruned paths entirely, so there is no staleness path short of
+        mutating ``index.postings`` by hand — build a fresh searcher then.
         """
         gate = self.prune_min_df
         cand = sorted(

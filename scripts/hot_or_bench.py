@@ -127,6 +127,10 @@ def main() -> None:
         # enough that the two-phase path engages without test overrides
         pruned = IndexSearcher(idx)
         pruned.preload_stats()
+        # serving layout: hot-term block metadata in driver memory — the
+        # pruned paths then spend zero jobs on metadata/guard counts
+        n_meta = pruned.preload_block_meta()
+        out["preloaded_terms"] = n_meta
         for name, (ta, tb) in shapes.items():
             q_or = Q.BooleanQuery.of(
                 should=[Q.TermQuery("content", ta), Q.TermQuery("content", tb)]
