@@ -870,6 +870,36 @@ def geo_distance_query(spark, sf_dir):
     )
 
 
+#: a simple (convex-ish) pentagon over the Atlantic/Europe quadrant;
+#: (lat, lon) vertices, ring closes itself
+_GEO_POLYGON = [(0.0, 0.0), (30.0, 40.0), (60.0, 10.0), (50.0, -30.0), (10.0, -40.0)]
+
+
+def _register_geo_polygon():
+    from lucene_spark.search import geo
+
+    @register(
+        "geo_polygon_query",
+        f"""WITH pts AS (
+  SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer
+)
+SELECT c_custkey, lat, lon FROM pts
+WHERE {geo.polygon_contains_sql(_GEO_POLYGON)}
+ORDER BY c_custkey""",
+    )
+    def geo_polygon_query(spark, sf_dir):
+        """LatLonPoint.newPolygonQuery (LatLonPoint.java:271): bbox
+        comparisons (pushdown-able, the Component2D bbox short-circuit)
+        plus a crossing-number test unrolled over the polygon's edges as
+        one codegen expression — no UDF, no shuffle. The DuckDB oracle
+        mirrors the identical IEEE operation order."""
+        pts = _geo_points(spark, sf_dir)
+        return pts.filter(geo.polygon_filter(_GEO_POLYGON)).orderBy("c_custkey")
+
+
+_register_geo_polygon()
+
+
 # ---- PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java:47) --------
 
 
@@ -1006,3 +1036,118 @@ def geo_distance_topk(spark, sf_dir):
         .orderBy(_F.asc("dist_round_m"), _F.asc("c_custkey"))
         .limit(10)
     )
+
+
+# ---- Classification (lucene/classification module) --------------------------
+
+_KNN_CLS_TERMS = ["table", "row", "part"]
+_KNN_CLS_K = 20
+
+
+@register(
+    "classify_knn",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('kc1', _KNN_CLS_TERMS[0])},
+{_term_scores_cte('kc2', _KNN_CLS_TERMS[1])},
+{_term_scores_cte('kc3', _KNN_CLS_TERMS[2])},
+kcu AS (SELECT * FROM kc1 UNION ALL SELECT * FROM kc2 UNION ALL SELECT * FROM kc3),
+kcsc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM kcu GROUP BY doc_id
+),
+kctop AS (
+  SELECT doc_id, score FROM kcsc
+  ORDER BY score DESC, doc_id ASC LIMIT {_KNN_CLS_K}
+),
+kclab AS (
+  SELECT t.doc_id, t.score, d.lang AS label
+  FROM kctop t JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL
+),
+kcmx AS (SELECT max(score) AS m FROM kclab),
+kcagg AS (
+  SELECT label, count(*)::BIGINT AS class_count,
+         sum(CAST(score AS DOUBLE) / CAST(m AS DOUBLE)) AS boost
+  FROM kclab CROSS JOIN kcmx GROUP BY label
+),
+kctot AS (SELECT sum(class_count) AS sumdoc FROM kcagg)
+SELECT label, class_count,
+       round(CASE WHEN sumdoc < {_KNN_CLS_K}
+                  THEN (boost / {_KNN_CLS_K}.0) * {_KNN_CLS_K}.0 / CAST(sumdoc AS DOUBLE)
+                  ELSE boost / {_KNN_CLS_K}.0 END, 6) AS score
+FROM kcagg CROSS JOIN kctot
+ORDER BY score DESC, label ASC""",
+)
+def classify_knn(spark, sf_dir):
+    """KNearestNeighborClassifier (classification/
+    KNearestNeighborClassifier.java:121): BM25 top-k neighbours of the
+    input text, classes scored by rank-position boost sum(score/maxScore)
+    normalized by k, with the sumdoc<k correction (:190-232)."""
+    from lucene_spark.search.classification import knn_classify
+
+    idx, s = get_searcher(spark, sf_dir)
+    return knn_classify(
+        s, idx.docs, " ".join(_KNN_CLS_TERMS), class_col="lang", k=_KNN_CLS_K
+    )
+
+
+_NB_CLS_TEXT = ["table", "row", "part", "table"]  # duplicate term on purpose
+
+
+@register(
+    "classify_naive_bayes",
+    f"""WITH {BASE_CTES},
+nbw(term, mult) AS (VALUES ('part', 1), ('row', 1), ('table', 2)),
+nbcls AS (
+  SELECT lang AS label, count(*)::BIGINT AS class_docs FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+nbtot AS (SELECT sum(class_docs)::BIGINT AS docs_with_class FROM nbcls),
+nbavg AS (
+  SELECT sum_df / CAST(doc_count AS DOUBLE) AS avg_unique FROM fstats
+),
+nbhits AS (
+  SELECT tf.term, d.lang AS label, count(*)::BIGINT AS hits
+  FROM tf JOIN documents d USING (doc_id)
+  WHERE tf.term IN ('part', 'row', 'table') AND d.lang IS NOT NULL
+  GROUP BY tf.term, d.lang
+),
+nbgrid AS (
+  SELECT c.label, c.class_docs, w.term, w.mult, coalesce(h.hits, 0) AS hits
+  FROM nbcls c CROSS JOIN nbw w
+  LEFT JOIN nbhits h ON h.label = c.label AND h.term = w.term
+),
+nblike AS (
+  SELECT label, class_docs,
+         sum(CAST(mult AS DOUBLE) * ln(
+             (CAST(hits AS DOUBLE) + 1.0)
+             / (a.avg_unique * CAST(class_docs AS DOUBLE)
+                + CAST(t.docs_with_class AS DOUBLE)))) AS likelihood
+  FROM nbgrid CROSS JOIN nbavg a CROSS JOIN nbtot t
+  GROUP BY label, class_docs
+),
+nbsc AS (
+  SELECT label,
+         ln(CAST(class_docs AS DOUBLE)) - ln(CAST(t.docs_with_class AS DOUBLE))
+           + likelihood AS log_score
+  FROM nblike CROSS JOIN nbtot t
+),
+nbmx AS (SELECT max(log_score) AS smax FROM nbsc),
+nblse AS (
+  SELECT m.smax + ln(sum(exp(s.log_score - m.smax))) AS lse
+  FROM nbsc s CROSS JOIN nbmx m GROUP BY m.smax
+)
+SELECT label, round(log_score, 6) AS log_score,
+       round(exp(log_score - l.lse), 6) AS prob
+FROM nbsc CROSS JOIN nblse l
+ORDER BY log_score DESC, label ASC""",
+)
+def classify_naive_bayes(spark, sf_dir):
+    """SimpleNaiveBayesClassifier (classification/
+    SimpleNaiveBayesClassifier.java:144): add-1-smoothed per-class token
+    likelihoods over the index + log prior, normalized to probabilities
+    via log-sum-exp (:292). One postings decode, JVM joins after."""
+    from lucene_spark.search.classification import naive_bayes_classify
+
+    idx, s = get_searcher(spark, sf_dir)
+    return naive_bayes_classify(s, idx.docs, " ".join(_NB_CLS_TEXT), class_col="lang")

@@ -34,6 +34,8 @@ __all__ = [
     "box_filter",
     "distance_filter",
     "distance_topk",
+    "polygon_filter",
+    "polygon_contains_sql",
 ]
 
 #: util/SloppyMath.java TO_METERS: mean earth radius in meters
@@ -128,6 +130,86 @@ def distance_filter(
     if dist_col is not None:
         out = out.withColumn(dist_col, d)
     return out
+
+
+def _closed_edges(vertices: list[tuple[float, float]]):
+    """Edge list of the closed ring (last vertex joined back to the first);
+    horizontal edges dropped — they can never satisfy the crossing test's
+    straddle condition and would divide by zero."""
+    if len(vertices) < 3:
+        raise ValueError("a polygon needs at least 3 vertices")
+    ring = list(vertices)
+    if ring[0] != ring[-1]:
+        ring.append(ring[0])
+    return [
+        ((y1, x1), (y2, x2))
+        for (y1, x1), (y2, x2) in zip(ring, ring[1:])
+        if y1 != y2
+    ]
+
+
+def polygon_filter(
+    vertices: list[tuple[float, float]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> Column:
+    """LatLonPoint.newPolygonQuery (LatLonPoint.java:271) predicate: point
+    in a simple (non-self-intersecting, non-dateline-crossing) polygon.
+
+    The reference walks BKD cells against a ``geo/Polygon.java`` edge tree
+    (``Component2D.contains``); here the polygon is a query-time literal,
+    so the whole test compiles into ONE codegen expression — a bounding-box
+    comparison (pushdown-able, the Component2D bbox short-circuit) AND an
+    unrolled crossing-number (ray-cast) sum over the polygon's edges. No
+    UDF, no shuffle; every arithmetic op is IEEE double +,-,*,/ so an
+    oracle that mirrors the operation order reproduces it bit-exactly
+    (see ``polygon_contains_sql``).
+
+    Vertices are (lat, lon) pairs; the ring closes itself.
+    """
+    edges = _closed_edges(vertices)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    lats = [v[0] for v in vertices]
+    lons = [v[1] for v in vertices]
+    bbox = (
+        (lat >= min(lats)) & (lat <= max(lats))
+        & (lon >= min(lons)) & (lon <= max(lons))
+    )
+    crossings: Column | None = None
+    for (y1, x1), (y2, x2) in edges:
+        straddle = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        # x of the edge at the point's latitude; operand order mirrored in
+        # polygon_contains_sql so both engines run the identical IEEE ops
+        xint = F.lit(x1) + (F.lit(x2) - F.lit(x1)) * (lat - F.lit(y1)) / (
+            F.lit(y2) - F.lit(y1)
+        )
+        c = F.when(straddle & (lon < xint), F.lit(1)).otherwise(F.lit(0))
+        crossings = c if crossings is None else crossings + c
+    return bbox & (crossings % 2 == 1)
+
+
+def polygon_contains_sql(
+    vertices: list[tuple[float, float]],
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+) -> str:
+    """ANSI-SQL twin of ``polygon_filter`` with the same literals and the
+    same operation order (for DuckDB oracles and plain-SQL callers)."""
+    edges = _closed_edges(vertices)
+    lats = [v[0] for v in vertices]
+    lons = [v[1] for v in vertices]
+    terms = []
+    for (y1, x1), (y2, x2) in edges:
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat_expr}) <> ({y2!r} > {lat_expr})) "
+            f"AND ({lon_expr} < {x1!r} + ({x2!r} - {x1!r}) * "
+            f"({lat_expr} - {y1!r}) / ({y2!r} - {y1!r})) THEN 1 ELSE 0 END)"
+        )
+    bbox = (
+        f"{lat_expr} >= {min(lats)!r} AND {lat_expr} <= {max(lats)!r} "
+        f"AND {lon_expr} >= {min(lons)!r} AND {lon_expr} <= {max(lons)!r}"
+    )
+    return f"({bbox} AND ({' + '.join(terms)}) % 2 = 1)"
 
 
 def distance_topk(

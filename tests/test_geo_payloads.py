@@ -140,3 +140,45 @@ def test_distance_filter_matches_brute_force_near_pole_and_dateline(spark):
         want = {i for i, (a, o) in enumerate(rows) if hav(clat, clon, a, o) <= rad}
         got = {r.id for r in geo.distance_filter(pts, clat, clon, rad).collect()}
         assert got == want, (clat, clon, rad, got, want)
+
+
+def test_polygon_filter_matches_python_raycast(spark):
+    """polygon_filter (LatLonPoint.newPolygonQuery analog) agrees with an
+    independent pure-Python crossing-number implementation on a seeded
+    point cloud, for a convex and a concave polygon; the SQL twin
+    (polygon_contains_sql) agrees with the Column expression too."""
+    import random
+
+    def raycast(poly, py, px):
+        ring = list(poly) + [poly[0]]
+        inside = False
+        for (y1, x1), (y2, x2) in zip(ring, ring[1:]):
+            if (y1 > py) != (y2 > py):
+                xint = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+                if px < xint:
+                    inside = not inside
+        return inside
+
+    rng = random.Random(42)
+    rows = [
+        (round(rng.uniform(-60, 60), 2), round(rng.uniform(-80, 80), 2))
+        for _ in range(400)
+    ]
+    convex = [(0.0, 0.0), (30.0, 40.0), (60.0, 10.0), (50.0, -30.0), (10.0, -40.0)]
+    concave = [(0.0, 0.0), (40.0, 5.0), (10.0, 20.0), (40.0, 45.0), (-10.0, 60.0)]
+    pts = _pts(spark, rows)
+    for poly in (convex, concave):
+        want = {i for i, (a, o) in enumerate(rows) if raycast(poly, a, o)}
+        got = {r.id for r in pts.filter(geo.polygon_filter(poly)).collect()}
+        assert got == want
+        assert len(want) > 5  # non-vacuous
+        got_sql = {
+            r.id
+            for r in pts.filter(F.expr(geo.polygon_contains_sql(poly))).collect()
+        }
+        assert got_sql == want
+
+
+def test_polygon_filter_rejects_degenerate(spark):
+    with pytest.raises(ValueError):
+        geo.polygon_filter([(0.0, 0.0), (1.0, 1.0)])
