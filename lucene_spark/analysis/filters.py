@@ -39,6 +39,7 @@ __all__ = [
     "ascii_fold",
     "porter_stem",
     "SynonymMap",
+    "CJKBigrams",
     "FilteredAnalyzer",
     "make_filter",
 ]
@@ -276,6 +277,94 @@ class SynonymMap:
         return out
 
 
+class CJKBigrams:
+    """CJK bigram combining (``analysis/cjk/CJKBigramFilter.java:120``,
+    default flags HAN | HIRAGANA | KATAKANA | HANGUL, outputUnigrams=false).
+
+    The tokenizer emits ideographs/hiragana one token per character and
+    katakana/hangul as runs (StandardTokenizerImpl.jflex:220-279); this
+    filter flattens each maximal run of position-consecutive CJK tokens
+    into its codepoint sequence and emits overlapping bigrams, one
+    position each (posIncr 1 — the outputUnigrams=false stream shape).
+    A lone single-character run passes through as a unigram, exactly the
+    reference's singleton case. Scripts mix within a run when both are
+    enabled (the reference's buffer only flushes on non-CJK tokens).
+
+    Positions downstream are renumbered by accumulated increments — the
+    TokenStream contract — so a run of n chars consumes n-1 positions and
+    the pre-run gap (e.g. a removed stopword) is preserved.
+    """
+
+    def __init__(
+        self,
+        han: bool = True,
+        hiragana: bool = True,
+        katakana: bool = True,
+        hangul: bool = True,
+    ):
+        import re as _re
+
+        from lucene_spark.analysis.tokenizer import (
+            HAN_RANGES,
+            HANGUL_RANGES,
+            HIRAGANA_RANGES,
+            KATAKANA_RANGES,
+        )
+
+        ranges = ""
+        if han:
+            ranges += HAN_RANGES
+        if hiragana:
+            ranges += HIRAGANA_RANGES
+        if katakana:
+            ranges += KATAKANA_RANGES
+        if hangul:
+            ranges += HANGUL_RANGES
+        if not ranges:
+            raise ValueError("at least one CJK script flag must be enabled")
+        self._cjk_re = _re.compile(rf"^[{ranges}]+$")
+
+    def is_cjk(self, term: str) -> bool:
+        return bool(self._cjk_re.match(term))
+
+    def apply(self, terms: list, pos) -> tuple[list, list]:
+        """(terms, positions) -> bigrammed (terms, positions)."""
+        out_t: list = []
+        out_p: list = []
+        i, n = 0, len(terms)
+        new_pos = -1
+        prev_orig = -1
+        while i < n:
+            if not self.is_cjk(terms[i]):
+                new_pos += int(pos[i]) - prev_orig
+                prev_orig = int(pos[i])
+                out_t.append(terms[i])
+                out_p.append(new_pos)
+                i += 1
+                continue
+            j = i
+            while (
+                j + 1 < n
+                and int(pos[j + 1]) == int(pos[j]) + 1
+                and self.is_cjk(terms[j + 1])
+            ):
+                j += 1
+            chars = "".join(terms[i : j + 1])
+            incr_first = int(pos[i]) - prev_orig
+            if len(chars) == 1:  # singleton: unigram passes through
+                new_pos += incr_first
+                out_t.append(chars)
+                out_p.append(new_pos)
+            else:
+                for t in range(len(chars) - 1):
+                    new_pos += incr_first if t == 0 else 1
+                    out_t.append(chars[t : t + 2])
+                    out_p.append(new_pos)
+            prev_orig = int(pos[j])
+            i = j + 1
+        return out_t, out_p
+
+
 def make_filter(spec):
     """Resolve a filter spec to a per-token callable:
     "ascii_folding" | "porter" | SynonymMap instance | any callable."""
@@ -306,6 +395,7 @@ class FilteredAnalyzer:
         filters: tuple = (),
         shingle_size: int = 0,
         char_ngram: int = 0,
+        cjk_bigrams: CJKBigrams | None = None,
     ):
         from lucene_spark.analysis.tokenizer import StandardAnalyzer
 
@@ -313,6 +403,11 @@ class FilteredAnalyzer:
         self.filters = tuple(make_filter(f) for f in filters)
         self.shingle_size = shingle_size
         self.char_ngram = char_ngram
+        #: applied right after the tokenizer, before 1:1 filters and
+        #: expanders — the reference chain order (CJKAnalyzer:
+        #: StandardTokenizer -> CJKBigramFilter -> LowerCaseFilter ...;
+        #: lowercasing commutes with bigramming on CJK codepoints)
+        self.cjk_bigrams = cjk_bigrams
         self.max_token_length = self.base.max_token_length
         self.stopwords = self.base.stopwords
 
@@ -325,6 +420,10 @@ class FilteredAnalyzer:
         import numpy as np
 
         terms, pos, n = self.base.term_position_arrays(text)
+        if self.cjk_bigrams is not None:
+            terms, pos = self.cjk_bigrams.apply(terms, pos)
+            pos = np.asarray(pos, dtype=np.int32)
+            n = len(terms)  # bigrams consume positions: norm length changes
         terms = [self._apply(t) for t in terms]
         phrase_maps = [
             f for f in self.filters if isinstance(f, SynonymMap) and f.phrases
@@ -371,18 +470,21 @@ class FilteredAnalyzer:
         if (
             self.shingle_size
             or self.char_ngram
+            or self.cjk_bigrams is not None
             or any(isinstance(f, SynonymMap) and f.phrases for f in self.filters)
         ):
             raise NotImplementedError(
-                "offsets with expanding filters (shingle/char_ngram/phrase "
-                "synonyms) are not supported — expanded tokens have no "
-                "single character span"
+                "offsets with expanding filters (shingle/char_ngram/"
+                "cjk_bigrams/phrase synonyms) are not supported — expanded "
+                "tokens have no single character span"
             )
         terms, pos, offs, n = self.base.term_position_offset_arrays(text)
         return [self._apply(t) for t in terms], pos, offs, n
 
     def tokens(self, text: str):
-        """Token objects (1:1 filters only — expanders raise)."""
+        """Token objects (overlap-emitting expanders raise; CJK bigrams
+        are a 1-token-per-position stream, so tokens() stays well-defined —
+        bigram character offsets are not tracked and read -1)."""
         if (
             self.shingle_size
             or self.char_ngram
@@ -391,6 +493,9 @@ class FilteredAnalyzer:
             raise NotImplementedError("tokens() with expanders; use arrays")
         from lucene_spark.analysis.tokenizer import Token
 
+        if self.cjk_bigrams is not None:
+            terms, pos, _ = self.term_position_arrays(text)
+            return [Token(t, int(p), -1, -1) for t, p in zip(terms, pos)]
         return [
             Token(self._apply(t.term), t.position, t.start_offset, t.end_offset)
             for t in self.base.tokens(text)
@@ -401,4 +506,9 @@ class FilteredAnalyzer:
         return t
 
     def emitted_count(self, text: str) -> int:
+        if self.cjk_bigrams is not None:
+            # bigramming changes the emitted-token count (n chars -> n-1
+            # bigrams per run); norms must see the post-filter count
+            _, _, n = self.term_position_arrays(text)
+            return n
         return self.base.emitted_count(text)

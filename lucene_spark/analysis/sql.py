@@ -35,10 +35,27 @@ __all__ = [
     "sql_norm_byte",
 ]
 
-# identical structure to tokenizer._TOKEN_RE, with (?U) for Unicode \w
+# identical structure to tokenizer._TOKEN_RE, with (?U) for Unicode \w;
+# the CJK ranges are shared literals so both engines split CJK scripts
+# the same way (ideograph/hiragana per-char, katakana/hangul runs)
+from lucene_spark.analysis.tokenizer import (  # noqa: E402
+    HAN_RANGES,
+    HANGUL_RANGES,
+    HIRAGANA_RANGES,
+    KATAKANA_RANGES,
+)
+
+_CJK_ALL = HAN_RANGES + HIRAGANA_RANGES + KATAKANA_RANGES + HANGUL_RANGES
 _SEP_LETTER = r"(?<=[^\W\d])[.:'’](?=[^\W\d])"
 _SEP_DIGIT = r"(?<=\d)[.,'’](?=\d)"
-TOKEN_PATTERN_JAVA = rf"(?U)\w+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT})\w+)*"
+_W = rf"[^\W{_CJK_ALL}]"
+TOKEN_PATTERN_JAVA = (
+    rf"(?U)[{KATAKANA_RANGES}]+"
+    rf"|[{HANGUL_RANGES}]+"
+    rf"|[{HAN_RANGES}]"
+    rf"|[{HIRAGANA_RANGES}]"
+    rf"|{_W}+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT}){_W}+)*"
+)
 
 
 def sql_tokens(text: Column | str, max_token_length: int = 255) -> Column:

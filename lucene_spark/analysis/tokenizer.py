@@ -37,13 +37,41 @@ __all__ = ["StandardAnalyzer", "Token", "DEFAULT_MAX_TOKEN_LENGTH"]
 
 DEFAULT_MAX_TOKEN_LENGTH = 255
 
-# Word chars: Unicode letters, digits, underscore (ExtendNumLet glue).
+# CJK script ranges (StandardTokenizer's IDEOGRAPHIC / HIRAGANA / KATAKANA
+# / HANGUL classes, main Unicode blocks; the jflex grammar uses the full
+# script properties — these ranges cover the assigned codepoints that
+# occur in real corpora). Used identically by the SQL twin (analysis/
+# sql.py) so both token streams stay pinned-equivalent.
+HAN_RANGES = (
+    "㐀-䶿一-鿿豈-﫿"
+    "\U00020000-\U0002ebef\U00030000-\U0003134f"
+)
+HIRAGANA_RANGES = "ぁ-ゖゝ-ゟ"
+KATAKANA_RANGES = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾝ"
+HANGUL_RANGES = "ᄀ-ᇿ㄰-㆏가-힣"
+_CJK_ALL = HAN_RANGES + HIRAGANA_RANGES + KATAKANA_RANGES + HANGUL_RANGES
+
+# Word chars: Unicode letters, digits, underscore (ExtendNumLet glue) —
+# minus the CJK scripts, which follow their own UAX#29 rules below.
 # Mid-token separators are context-sensitive:
 #   letters on both sides -> . : '      (MidLetter + MidNumLet)
 #   digits on both sides  -> . , '      (MidNum + MidNumLet)
 _SEP_LETTER = r"(?<=[^\W\d])[.:'’](?=[^\W\d])"
 _SEP_DIGIT = r"(?<=\d)[.,'’](?=\d)"
-_TOKEN_RE = re.compile(rf"\w+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT})\w+)*", re.UNICODE)
+_W = rf"[^\W{_CJK_ALL}]"
+# Alternation order matters: CJK rules fire first at a CJK codepoint;
+# the word-run rule cannot consume CJK chars (excluded from _W).
+# Per the jflex grammar (StandardTokenizerImpl.jflex:220-279): Hangul runs
+# chain ({HangulEx}+ :220), Katakana runs chain ({KatakanaEx}+ :223),
+# ideographs and hiragana emit ONE TOKEN PER CHARACTER (:276-279).
+_TOKEN_RE = re.compile(
+    rf"[{KATAKANA_RANGES}]+"
+    rf"|[{HANGUL_RANGES}]+"
+    rf"|[{HAN_RANGES}]"
+    rf"|[{HIRAGANA_RANGES}]"
+    rf"|{_W}+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT}){_W}+)*",
+    re.UNICODE,
+)
 
 # Java Character.toLowerCase(int) is per-codepoint; Python str.lower() does
 # full (sometimes 1->N) case mapping.  Pin the divergent codepoints we care

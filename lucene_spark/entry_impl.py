@@ -944,12 +944,10 @@ _PRIORITY = [
     "boolean_or_pruned",
     "boolean_and",
     "boolean_mixed",
-    "boolean_filter_context",
     "disjunction_max",
     "synonym_query",
     "blended_term_query",
     "phrase_query",
-    "multi_phrase_query",
     "sloppy_phrase_query",
     "prefix_query",
     "term_range_query",
@@ -968,7 +966,6 @@ _PRIORITY = [
     "more_like_this",
     "function_score_query",
     "drill_sideways_lang",
-    "highlight_passages",
     "highlight_postings_offsets",
     "combined_field_query",
     "feature_field_query",
@@ -978,8 +975,10 @@ _PRIORITY = [
     "knn_vector_filtered",
     "ann_brute_force_topk",
     "ann_lsh_bucketed_topk",
+    "classify_knn",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_duplicate_clusters",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "text_token_stats",
@@ -988,6 +987,7 @@ _PRIORITY = [
     "text_fingerprints",
     "multimodal_image_meta",
     "multimodal_frame_sample",
+    "multimodal_audio_meta",
 ]
 
 

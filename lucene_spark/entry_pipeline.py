@@ -601,6 +601,44 @@ def multimodal_image_meta(spark, sf_dir):
     return multimodal.image_meta(media)
 
 
+# mirrors multimodal._make_audio_payload + the REAL RIFF/WAVE decode:
+# sample rate / block length k / repeats m / amplitudes are md5-derived;
+# samples are m repeats of (k * a1, k * -a2), so n_samples = 2*k*m,
+# peak_abs = greatest(a1, a2), sum_abs = k*m*(a1+a2)
+_AU_CTE = f"""
+au AS (
+  SELECT doc_id, {_H("coalesce(text, '')")} AS h FROM documents
+),
+au_p AS (
+  SELECT doc_id,
+         (CASE h % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 ELSE 44100 END)::INTEGER AS sample_rate,
+         (2 + (h // 4) % 14)::BIGINT AS k,
+         (4 + (h // 64) % 61)::BIGINT AS m,
+         (500 + (h // 4096) % 15000)::BIGINT AS a1,
+         (300 + (h // 67108864) % 15000)::BIGINT AS a2
+  FROM au
+)
+""".strip()
+
+
+@register(
+    "multimodal_audio_meta",
+    f"""WITH {_AU_CTE}
+SELECT doc_id, sample_rate, 1 AS n_channels, (2 * k * m)::BIGINT AS n_samples,
+       greatest(a1, a2)::INTEGER AS peak_abs, (k * m * (a1 + a2))::BIGINT AS sum_abs,
+       CAST(2 * k * m AS DOUBLE) * 1000.0 / CAST(sample_rate AS DOUBLE) AS duration_ms
+FROM au_p ORDER BY doc_id""",
+)
+def multimodal_audio_meta(spark, sf_dir):
+    """Audio modality: REAL RIFF/WAVE PCM decode (chunk walk + int16
+    samples) as an Arrow-batched mapInPandas; the oracle reproduces the
+    decoded metrics in closed form from the deterministic generator."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.attach_audio_payload(docs, text_col="text")
+    return multimodal.audio_meta(media)
+
+
 @register(
     "multimodal_frame_sample",
     f"""WITH {_MM_CTE}

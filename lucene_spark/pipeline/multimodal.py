@@ -46,6 +46,10 @@ __all__ = [
     "decode_container",
     "image_meta",
     "sample_frames",
+    "encode_wav",
+    "decode_audio",
+    "attach_audio_payload",
+    "audio_meta",
 ]
 
 _MAGIC = b"LSMF"  # multi-frame container: magic + u32 frame count + frames
@@ -198,6 +202,152 @@ def image_meta(media: DataFrame) -> DataFrame:
     """payload table -> decoded metadata rows (Arrow-batched, no shuffle)."""
     return media.select("doc_id", "payload").mapInPandas(
         _decode_meta, schema=META_SCHEMA
+    )
+
+
+# ---- audio (RIFF/WAVE PCM) --------------------------------------------------
+
+#: md5-derived sample-rate choices for the synthetic generator
+_AUDIO_RATES = (8000, 16000, 22050, 44100)
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE bytes. A LIST/INFO chunk is written
+    between fmt and data on purpose: decoders must genuinely walk the
+    chunk list, not assume data starts at byte 44."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    info = b"INFOISFT" + struct.pack("<I", 12) + b"lucene_spark"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Parse a real RIFF/WAVE payload by walking its chunk list ->
+    (sample_rate, n_channels, n_samples, peak_abs, sum_abs).
+
+    peak_abs / sum_abs are computed from the decoded PCM samples (int16,
+    absolute values). Compressed / non-PCM formats raise — wire a library
+    decoder here; downstream plumbing is format-agnostic.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only the built-in RIFF/WAVE PCM codec is available in this "
+            "environment; wire soundfile/ffmpeg here for other formats"
+        )
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    fmt = data = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF pads odd chunks to even
+    if fmt is None or data is None:
+        raise ValueError("malformed WAVE: missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError("built-in codec reads 16-bit PCM only")
+    pcm = np.frombuffer(data, dtype="<i2")
+    n_samples = len(pcm) // n_channels
+    absval = np.abs(pcm.astype(np.int64))
+    return (
+        sample_rate,
+        n_channels,
+        n_samples,
+        int(absval.max(initial=0)),
+        int(absval.sum()),
+    )
+
+
+def _make_audio_payload(text: str) -> bytes:
+    """Deterministic mono PCM payload for one doc: sample rate, block
+    length k, repeat count m and the two alternating amplitudes all derive
+    from md5(text); samples are m repeats of (k * a1, k * -a2), so every
+    decoded metric has a closed form for the SQL oracle:
+    n_samples = 2*k*m, peak_abs = max(a1, a2), sum_abs = k*m*(a1+a2)."""
+    h = _h60(text.encode("utf-8"))
+    sample_rate = _AUDIO_RATES[h % 4]
+    k = 2 + (h // 4) % 14
+    m = 4 + (h // 64) % 61
+    a1 = 500 + (h // 4096) % 15000
+    a2 = 300 + (h // 67108864) % 15000
+    block = [a1] * k + [-a2] * k
+    return encode_wav(sample_rate, np.array(block * m, dtype=np.int16))
+
+
+def attach_audio_payload(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, payload:binary, mime, n_bytes) with REAL RIFF/WAVE bytes
+    synthesized per doc — the audio twin of ``attach_payload``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _make_audio_payload(t if isinstance(t, str) else "")
+                for t in pdf[text_col].fillna("")
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": payloads,
+                    "mime": "audio/wav",
+                    "n_bytes": np.array([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema=_PAYLOAD_SCHEMA)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("peak_abs", IntegerType()),
+        StructField("sum_abs", LongType()),
+        StructField("duration_ms", DoubleType()),
+    ]
+)
+
+
+def _decode_audio_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k.name: [] for k in AUDIO_META_SCHEMA.fields}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            sr, nch, n, peak, sabs = decode_audio(bytes(payload))
+            rows["doc_id"].append(int(doc_id))
+            rows["sample_rate"].append(sr)
+            rows["n_channels"].append(nch)
+            rows["n_samples"].append(n)
+            rows["peak_abs"].append(peak)
+            rows["sum_abs"].append(sabs)
+            rows["duration_ms"].append(float(n) * 1000.0 / float(sr))
+        yield pd.DataFrame(
+            {
+                "doc_id": np.array(rows["doc_id"], dtype="int64"),
+                "sample_rate": np.array(rows["sample_rate"], dtype="int32"),
+                "n_channels": np.array(rows["n_channels"], dtype="int32"),
+                "n_samples": np.array(rows["n_samples"], dtype="int64"),
+                "peak_abs": np.array(rows["peak_abs"], dtype="int32"),
+                "sum_abs": np.array(rows["sum_abs"], dtype="int64"),
+                "duration_ms": np.array(rows["duration_ms"], dtype="float64"),
+            }
+        )
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """audio payload table -> decoded metadata (Arrow-batched, no shuffle)."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _decode_audio_meta, schema=AUDIO_META_SCHEMA
     )
 
 

@@ -188,3 +188,96 @@ def test_build_with_offsets_expander_analyzer_fails_at_config_time(spark):
     )
     with pytest.raises(ValueError, match="term_position_offset_arrays"):
         build_index(spark, docs, cfg)
+
+
+# ---- CJK bigrams (analysis/cjk/CJKBigramFilter.java) ------------------------
+
+
+def test_cjk_tokenizer_goldens():
+    """StandardTokenizer CJK classes (StandardTokenizerImpl.jflex:220-279):
+    ideographs and hiragana one token per char, katakana and hangul runs
+    one token per run."""
+    from lucene_spark.analysis.tokenizer import StandardAnalyzer
+
+    a = StandardAnalyzer()
+    assert a.terms("日本語のテスト test 한국어") == [
+        "日", "本", "語", "の", "テスト", "test", "한국어",
+    ]
+    assert a.terms("abc日本def") == ["abc", "日", "本", "def"]
+    assert a.terms("ひらがな") == ["ひ", "ら", "が", "な"]
+    assert [t.position for t in a.tokens("abc日本def")] == [0, 1, 2, 3]
+
+
+def test_cjk_bigrams_goldens():
+    """CJKBigramFilter default flags, outputUnigrams=false: runs become
+    overlapping bigrams one position apart; singletons pass as unigrams;
+    non-CJK tokens keep their relative gaps."""
+    from lucene_spark.analysis.filters import CJKBigrams
+
+    f = CJKBigrams()
+    # plain run of 4 ideographs -> 3 bigrams
+    t, p = f.apply(["多", "くの", "学", "生"][0:1] + ["く"], [0, 1])
+    # mixed text: a 3-char han run between ascii words
+    t, p = f.apply(["see", "日", "本", "語", "now"], [0, 1, 2, 3, 4])
+    assert t == ["see", "日本", "本語", "now"]
+    assert p == [0, 1, 2, 3]
+    # singleton CJK char stays a unigram
+    t, p = f.apply(["a", "中", "b"], [0, 1, 2])
+    assert t == ["a", "中", "b"]
+    assert p == [0, 1, 2]
+    # katakana run token contributes all its chars; scripts join in a run
+    t, p = f.apply(["カタカ", "中"], [0, 1])
+    assert t == ["カタ", "タカ", "カ中"]
+    assert p == [0, 1, 2]
+    # a position gap before the run (removed stopword) is preserved,
+    # and a gap inside breaks the run
+    t, p = f.apply(["中", "国"], [2, 4])
+    assert t == ["中", "国"]
+    assert p == [2, 4]
+    t, p = f.apply(["x", "中", "国"], [0, 3, 4])
+    assert t == ["x", "中国"]
+    assert p == [0, 3]
+
+
+def test_cjk_bigram_index_rank_identity(spark):
+    """End-to-end: an index built with CJK bigrams matches the pure-Python
+    oracle with the same analyzer; a bigram term query finds exactly the
+    docs containing the two-char sequence."""
+    from lucene_spark.analysis.filters import CJKBigrams
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+    from tests.oracle import OracleIndex
+
+    texts = [
+        "日本語の検索エンジン quality",
+        "日本の文化 and 検索 research",
+        "中国語のテキスト処理",
+        "no cjk content at all",
+        "語日 reversed order here",
+    ]
+    an = FilteredAnalyzer(cjk_bigrams=CJKBigrams())
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    cfg = IndexConfig(doc_id_col="doc_id", docs_per_segment=4, analyzer=an)
+    idx = build_index(spark, docs, cfg)
+    s = IndexSearcher(idx)
+    oracle = OracleIndex({i: t for i, t in enumerate(texts)}, analyzer=an)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in s.search(Q.TermQuery("content", "日本"), k=5).collect()
+    ]
+    want = oracle.top_k(oracle.term_scores("日本"), 5)
+    assert got == want
+    assert [d for d, _ in got] == [1, 0]  # docs with the 日本 sequence only
+
+
+def test_cjk_bigrams_emitted_count_feeds_norms():
+    from lucene_spark.analysis.filters import CJKBigrams
+
+    an = FilteredAnalyzer(cjk_bigrams=CJKBigrams())
+    # 3-char run -> 2 bigrams + 1 ascii token = 3 emitted
+    assert an.emitted_count("日本語 ok") == 3
+    # singleton run stays 1
+    assert an.emitted_count("中 ok") == 2

@@ -267,3 +267,37 @@ def test_duplicate_clusters_empty(spark):
     out = duplicate_clusters(pairs)
     assert out.columns == ["doc_id", "cluster_id"]
     assert out.count() == 0
+
+
+def test_wav_round_trip_and_chunk_walk():
+    """encode_wav -> decode_audio round trip; the decoder must walk the
+    chunk list (a LIST/INFO chunk sits between fmt and data) and compute
+    peak/sum from the actual PCM samples."""
+    import numpy as np
+
+    from lucene_spark.pipeline.multimodal import decode_audio, encode_wav
+
+    samples = np.array([100, -300, 250, -50, 0, 32000], dtype=np.int16)
+    payload = encode_wav(22050, samples)
+    sr, nch, n, peak, sabs = decode_audio(payload)
+    assert (sr, nch, n) == (22050, 1, len(samples))
+    assert peak == 32000
+    assert sabs == int(np.abs(samples.astype(np.int64)).sum())
+
+    # stereo path: interleaved L/R, n_samples counts frames
+    import struct
+
+    pcm = np.array([1, -1, 2, -2], dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    stereo = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    sr, nch, n, peak, sabs = decode_audio(stereo)
+    assert (sr, nch, n, peak, sabs) == (8000, 2, 2, 2, 6)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"OggS" + b"\x00" * 40)
