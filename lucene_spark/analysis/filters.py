@@ -39,6 +39,7 @@ __all__ = [
     "ascii_fold",
     "porter_stem",
     "SynonymMap",
+    "cjk_width",
     "CJKBigrams",
     "FilteredAnalyzer",
     "make_filter",
@@ -277,6 +278,34 @@ class SynonymMap:
         return out
 
 
+# CJKWidthFilter (analysis/cjk/CJKWidthFilter.java:36): fold fullwidth
+# ASCII variants to halfwidth and halfwidth katakana variants to fullwidth.
+# Per-codepoint table from NFKC over the Halfwidth/Fullwidth-Forms block,
+# except the halfwidth voiced marks, which map to COMBINING marks and then
+# compose (the reference combines them onto the preceding kana the same way).
+_WIDTH_TABLE = {}
+for _cp in range(0xFF01, 0xFFEF):
+    _ch = chr(_cp)
+    if _cp == 0xFF9E:
+        _WIDTH_TABLE[_ch] = "゙"
+    elif _cp == 0xFF9F:
+        _WIDTH_TABLE[_ch] = "゚"
+    else:
+        _n = unicodedata.normalize("NFKC", _ch)
+        if _n != _ch:
+            _WIDTH_TABLE[_ch] = _n
+del _cp, _ch
+
+
+def cjk_width(term: str) -> str:
+    """CJKWidthFilter: width-normalize one token (fullwidth ASCII ->
+    halfwidth, halfwidth kana -> fullwidth, voiced marks composed)."""
+    if not any(ch in _WIDTH_TABLE for ch in term):
+        return term
+    mapped = "".join(_WIDTH_TABLE.get(ch, ch) for ch in term)
+    return unicodedata.normalize("NFC", mapped)
+
+
 class CJKBigrams:
     """CJK bigram combining (``analysis/cjk/CJKBigramFilter.java:120``,
     default flags HAN | HIRAGANA | KATAKANA | HANGUL, outputUnigrams=false).
@@ -374,6 +403,8 @@ def make_filter(spec):
         return ascii_fold
     if spec == "porter":
         return porter_stem
+    if spec == "cjk_width":
+        return cjk_width
     raise ValueError(f"unknown token filter {spec!r}")
 
 
@@ -420,11 +451,14 @@ class FilteredAnalyzer:
         import numpy as np
 
         terms, pos, n = self.base.term_position_arrays(text)
+        # 1:1 filters run BEFORE bigramming — the reference chain order
+        # (CJKAnalyzer: tokenizer -> CJKWidthFilter -> LowerCase ->
+        # CJKBigramFilter), so width-folded halfwidth kana join bigrams
+        terms = [self._apply(t) for t in terms]
         if self.cjk_bigrams is not None:
             terms, pos = self.cjk_bigrams.apply(terms, pos)
             pos = np.asarray(pos, dtype=np.int32)
             n = len(terms)  # bigrams consume positions: norm length changes
-        terms = [self._apply(t) for t in terms]
         phrase_maps = [
             f for f in self.filters if isinstance(f, SynonymMap) and f.phrases
         ]

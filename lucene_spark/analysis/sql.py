@@ -49,13 +49,38 @@ _CJK_ALL = HAN_RANGES + HIRAGANA_RANGES + KATAKANA_RANGES + HANGUL_RANGES
 _SEP_LETTER = r"(?<=[^\W\d])[.:'’](?=[^\W\d])"
 _SEP_DIGIT = r"(?<=\d)[.,'’](?=\d)"
 _W = rf"[^\W{_CJK_ALL}]"
+# alternatives are mutually exclusive on the first char: word-run first
+# (the overwhelmingly common case), CJK rules after — order is
+# result-invariant, see tokenizer._TOKEN_RE
 TOKEN_PATTERN_JAVA = (
-    rf"(?U)[{KATAKANA_RANGES}]+"
+    rf"(?U){_W}+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT}){_W}+)*"
+    rf"|[{KATAKANA_RANGES}]+"
     rf"|[{HANGUL_RANGES}]+"
     rf"|[{HAN_RANGES}]"
     rf"|[{HIRAGANA_RANGES}]"
-    rf"|{_W}+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT}){_W}+)*"
 )
+
+# fast path for CJK-free rows: on text with no CJK codepoint the classic
+# pattern produces the IDENTICAL token stream (the CJK alternatives can
+# never fire and \w == the CJK-excluding word class), and its plain \w
+# engine is ~40% faster than the range-subtracted class. Rows are
+# dispatched per-row by one cheap probe (matches the Python chain's
+# identical dispatch in tokenizer.py). The probe is a SINGLE range — a
+# multi-range class probe costs more than it saves — covering U+1100 and
+# above: every CJK range sits there, every major cased/European/Middle-
+# Eastern/Indic script sits below, and a false positive (Ethiopic, emoji,
+# astral symbols…) only routes that row to the slower exact pattern.
+TOKEN_PATTERN_JAVA_FAST = rf"(?U)\w+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT})\w+)*"
+CJK_PROBE_JAVA = "[ᄀ-\U0010ffff]"
+
+
+def _extract_tokens(lowered: Column) -> Column:
+    return F.when(
+        lowered.rlike(CJK_PROBE_JAVA),
+        F.regexp_extract_all(lowered, F.lit(TOKEN_PATTERN_JAVA), F.lit(0)),
+    ).otherwise(
+        F.regexp_extract_all(lowered, F.lit(TOKEN_PATTERN_JAVA_FAST), F.lit(0))
+    )
 
 
 def sql_tokens(text: Column | str, max_token_length: int = 255) -> Column:
@@ -69,7 +94,7 @@ def sql_tokens(text: Column | str, max_token_length: int = 255) -> Column:
     # translate İ first: SQL lower() full-maps it to 'i' + combining dot
     # (1->2 codepoints) where Character.toLowerCase keeps it 1:1 -> 'i'
     lowered = F.lower(F.translate(F.coalesce(col, F.lit("")), "İ", "i"))
-    raw = F.regexp_extract_all(lowered, F.lit(TOKEN_PATTERN_JAVA), F.lit(0))
+    raw = _extract_tokens(lowered)
     return F.filter(raw, lambda t: F.length(t) <= F.lit(max_token_length))
 
 
@@ -79,9 +104,7 @@ def sql_emitted_count(text: Column | str, max_token_length: int = 255) -> Column
     Length is codepoint count, invariant under lowercasing, so no
     ``lower()`` is needed at all on this path."""
     col = F.col(text) if isinstance(text, str) else text
-    raw = F.regexp_extract_all(
-        F.coalesce(col, F.lit("")), F.lit(TOKEN_PATTERN_JAVA), F.lit(0)
-    )
+    raw = _extract_tokens(F.coalesce(col, F.lit("")))
     kept = F.filter(raw, lambda t: F.length(t) <= F.lit(max_token_length))
     return F.size(kept)
 

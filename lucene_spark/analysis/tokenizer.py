@@ -47,7 +47,7 @@ HAN_RANGES = (
     "\U00020000-\U0002ebef\U00030000-\U0003134f"
 )
 HIRAGANA_RANGES = "ぁ-ゖゝ-ゟ"
-KATAKANA_RANGES = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾝ"
+KATAKANA_RANGES = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾟ"
 HANGUL_RANGES = "ᄀ-ᇿ㄰-㆏가-힣"
 _CJK_ALL = HAN_RANGES + HIRAGANA_RANGES + KATAKANA_RANGES + HANGUL_RANGES
 
@@ -59,19 +59,49 @@ _CJK_ALL = HAN_RANGES + HIRAGANA_RANGES + KATAKANA_RANGES + HANGUL_RANGES
 _SEP_LETTER = r"(?<=[^\W\d])[.:'’](?=[^\W\d])"
 _SEP_DIGIT = r"(?<=\d)[.,'’](?=\d)"
 _W = rf"[^\W{_CJK_ALL}]"
-# Alternation order matters: CJK rules fire first at a CJK codepoint;
-# the word-run rule cannot consume CJK chars (excluded from _W).
+# The five alternatives are mutually exclusive on their first character
+# (the word-run rule excludes CJK chars via _W), so alternation order
+# cannot change results — the common word-run goes FIRST for speed.
 # Per the jflex grammar (StandardTokenizerImpl.jflex:220-279): Hangul runs
 # chain ({HangulEx}+ :220), Katakana runs chain ({KatakanaEx}+ :223),
 # ideographs and hiragana emit ONE TOKEN PER CHARACTER (:276-279).
-_TOKEN_RE = re.compile(
-    rf"[{KATAKANA_RANGES}]+"
+_TOKEN_RE_CJK = re.compile(
+    rf"{_W}+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT}){_W}+)*"
+    rf"|[{KATAKANA_RANGES}]+"
     rf"|[{HANGUL_RANGES}]+"
     rf"|[{HAN_RANGES}]"
-    rf"|[{HIRAGANA_RANGES}]"
-    rf"|{_W}+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT}){_W}+)*",
+    rf"|[{HIRAGANA_RANGES}]",
     re.UNICODE,
 )
+# fast path for CJK-free text: identical token stream (the CJK
+# alternatives can never fire and \w == the CJK-excluding word class),
+# plain-\w engine is measurably faster; rows dispatch on one class probe
+# (the SQL twin dispatches the same way, analysis/sql.py)
+_TOKEN_RE_FAST = re.compile(
+    rf"\w+(?:(?:{_SEP_LETTER}|{_SEP_DIGIT})\w+)*", re.UNICODE
+)
+# single-range probe (U+1100 and above): covers every CJK range; a false
+# positive only routes that row to the slower exact pattern — see the
+# rationale at analysis/sql.py CJK_PROBE_JAVA
+_CJK_PROBE = re.compile("[ᄀ-\U0010ffff]")
+
+
+class _TokenReDispatch:
+    """Drop-in for the old module-level ``_TOKEN_RE``: picks the fast or
+    CJK-aware compiled pattern per call based on the class probe."""
+
+    @staticmethod
+    def finditer(text: str):
+        re_ = _TOKEN_RE_CJK if _CJK_PROBE.search(text) else _TOKEN_RE_FAST
+        return re_.finditer(text)
+
+    @staticmethod
+    def findall(text: str):
+        re_ = _TOKEN_RE_CJK if _CJK_PROBE.search(text) else _TOKEN_RE_FAST
+        return re_.findall(text)
+
+
+_TOKEN_RE = _TokenReDispatch()
 
 # Java Character.toLowerCase(int) is per-codepoint; Python str.lower() does
 # full (sometimes 1->N) case mapping.  Pin the divergent codepoints we care

@@ -591,6 +591,32 @@ def taxonomy_facet_counts(spark, sf_dir):
 
 
 @register(
+    "taxonomy_facet_associations",
+    f"""WITH {BASE_CTES},
+txa AS (
+  SELECT d.source || '/' || d.lang AS leaf, d.source AS root, d.n_chars
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'group')
+),
+tpa AS (
+  SELECT root AS path, n_chars FROM txa
+  UNION ALL SELECT leaf, n_chars FROM txa
+)
+SELECT path, count(*)::BIGINT AS cnt, sum(n_chars)::BIGINT AS assoc_sum
+FROM tpa GROUP BY path ORDER BY path""",
+)
+def taxonomy_facet_associations(spark, sf_dir):
+    """Association facets (TaxonomyFacetIntAssociations, SUM aggregation):
+    each match adds its n_chars association value to every ancestor of its
+    source/lang path."""
+    _, s = get_searcher(spark, sf_dir)
+    return extras.taxonomy_associations(
+        s, Q.TermQuery("text", "group"), path_cols=["source", "lang"],
+        value_col="n_chars",
+    ).orderBy("path")
+
+
+@register(
     "suggest_fuzzy",
     f"""WITH {BASE_CTES},
 ts AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)

@@ -281,6 +281,37 @@ def taxonomy_counts(
     )
 
 
+def taxonomy_associations(
+    searcher: IndexSearcher,
+    query: Q.Query,
+    path_cols: list[str],
+    value_col: str,
+    sep: str = "/",
+) -> DataFrame:
+    """Association facets (``facet/taxonomy/TaxonomyFacetIntAssociations
+    .java`` / ``TaxonomyFacetFloatAssociations.java``, AssociationAggregation
+    SUM): every match contributes its per-doc association VALUE — not just
+    a count — to every ancestor node of its category path. Same implicit
+    taxonomy as ``taxonomy_counts`` (the path prefix plays the ordinal),
+    one explode + one groupBy, aggregating count and value sum together."""
+    m = searcher.matches(query)
+    docs = searcher.index.docs.join(m, "doc_id", "semi")
+    prefixes = F.array(
+        *[
+            F.concat_ws(sep, *[F.col(c) for c in path_cols[: i + 1]])
+            for i in range(len(path_cols))
+        ]
+    )
+    return (
+        docs.select(F.explode(prefixes).alias("path"), F.col(value_col))
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col(value_col).cast("long")).alias("assoc_sum"),
+        )
+    )
+
+
 def suggest_infix(
     searcher: IndexSearcher, fragment: str, n: int = 10, field: str | None = None
 ) -> DataFrame:

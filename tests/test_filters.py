@@ -281,3 +281,29 @@ def test_cjk_bigrams_emitted_count_feeds_norms():
     assert an.emitted_count("日本語 ok") == 3
     # singleton run stays 1
     assert an.emitted_count("中 ok") == 2
+
+
+def test_cjk_width_folding():
+    """CJKWidthFilter (analysis/cjk/CJKWidthFilter.java:36): fullwidth
+    ASCII -> halfwidth, halfwidth katakana -> fullwidth, halfwidth voiced
+    marks compose onto the preceding kana."""
+    from lucene_spark.analysis.filters import cjk_width
+
+    assert cjk_width("ｶﾞｷ") == "ガキ"
+    assert cjk_width("ﾊﾟﾝ") == "パン"
+    assert cjk_width("ｱｲｳ") == "アイウ"
+    assert cjk_width("ｔｅｓｔ１２３") == "test123"
+    assert cjk_width("plain") == "plain"
+    assert cjk_width("日本") == "日本"
+
+
+def test_cjk_width_before_bigrams_chain():
+    """Width folding runs before bigramming (the CJKAnalyzer chain order),
+    so halfwidth kana text produces fullwidth bigrams."""
+    from lucene_spark.analysis.filters import CJKBigrams
+
+    an = FilteredAnalyzer(filters=("cjk_width",), cjk_bigrams=CJKBigrams())
+    terms, pos, n = an.term_position_arrays("ｶﾞｷｶﾞ ok")
+    assert terms == ["ガキ", "キガ", "ok"]
+    assert list(pos) == [0, 1, 2]
+    assert n == 3

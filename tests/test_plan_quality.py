@@ -119,3 +119,38 @@ def test_sorted_layout_topk_early_terminates(saved):
         .collect()
     ]
     assert got == want
+
+
+def test_polygon_filter_bbox_pushes_to_parquet(spark, tmp_path):
+    """geo.polygon_filter's bounding-box conjuncts are plain comparisons,
+    so Catalyst pushes them to the parquet scan (the BKD/Component2D bbox
+    short-circuit); the crossing-number sum stays a codegen filter with no
+    Python stage anywhere."""
+    from lucene_spark.search import geo
+
+    d = str(tmp_path / "pts")
+    spark.range(0, 1000).selectExpr(
+        "id",
+        "CAST((id * 7919) % 18000 AS DOUBLE)/100.0 - 90.0 AS lat",
+        "CAST((id * 104729) % 36000 AS DOUBLE)/100.0 - 180.0 AS lon",
+    ).write.mode("overwrite").parquet(d)
+    pts = spark.read.parquet(d)
+    poly = [(0.0, 0.0), (30.0, 40.0), (60.0, 10.0), (50.0, -30.0), (10.0, -40.0)]
+    df = pts.filter(geo.polygon_filter(poly))
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(lat" in plan and "LessThanOrEqual(lat" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_classification_plans_are_jvm_side(spark, saved):
+    """Both classifiers stay JVM-side after the one decode/search stage:
+    no row-at-a-time Python, and the tiny class/word frames join without a
+    corpus-wide shuffle of the docs table (broadcast)."""
+    from lucene_spark.search.classification import naive_bayes_classify
+
+    s = IndexSearcher(saved)
+    docs = saved.docs
+    df = naive_bayes_classify(s, docs, "table row part")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
