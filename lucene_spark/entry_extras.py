@@ -1090,7 +1090,7 @@ kclab AS (
   FROM kctop t JOIN documents d USING (doc_id)
   WHERE d.lang IS NOT NULL
 ),
-kcmx AS (SELECT max(score) AS m FROM kclab),
+kcmx AS (SELECT max(score) AS m FROM kctop),
 kcagg AS (
   SELECT label, count(*)::BIGINT AS class_count,
          sum(CAST(score AS DOUBLE) / CAST(m AS DOUBLE)) AS boost

@@ -357,11 +357,14 @@ def _jvm_token_stream(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     positions and norms); ``build_index`` falls back to the Python
     inverter otherwise.
     """
-    from lucene_spark.analysis.sql import TOKEN_PATTERN_JAVA, sql_norm_byte
+    from lucene_spark.analysis.sql import _extract_tokens, sql_norm_byte
 
     text = F.coalesce(F.col(cfg.text_col), F.lit(""))
     lowered = F.lower(F.translate(text, "İ", "i"))
-    raw = F.regexp_extract_all(lowered, F.lit(TOKEN_PATTERN_JAVA), F.lit(0))
+    # dispatched per-row: CJK-free rows (virtually all of a code corpus)
+    # take the classic \w pattern — the CJK-aware class pattern costs +67%
+    # on this kernel and is only needed when a CJK codepoint is present
+    raw = _extract_tokens(lowered)
     max_len = F.lit(cfg.max_token_length)
     with_toks = docs.select("doc_id", raw.alias("_toks"))
     kept_count = F.size(F.filter(F.col("_toks"), lambda t: F.length(t) <= max_len))
@@ -385,11 +388,11 @@ def _jvm_token_stream(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
 def _jvm_tokenized(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
     """JVM-side tokenize only: (doc_id, toks array<string>) — the raw
     token stream per doc, positions implicit in array order."""
-    from lucene_spark.analysis.sql import TOKEN_PATTERN_JAVA
+    from lucene_spark.analysis.sql import _extract_tokens
 
     text = F.coalesce(F.col(cfg.text_col), F.lit(""))
     lowered = F.lower(F.translate(text, "İ", "i"))
-    raw = F.regexp_extract_all(lowered, F.lit(TOKEN_PATTERN_JAVA), F.lit(0))
+    raw = _extract_tokens(lowered)  # dispatched: see _jvm_token_stream
     return docs.select("doc_id", raw.alias("toks"))
 
 

@@ -67,16 +67,18 @@ def knn_classify(
     field = searcher.index.config.field_name
     q = Q.BooleanQuery.of(should=[Q.TermQuery(field, t) for t in terms])
     top = searcher.search(q, k=k).select("doc_id", "score")
+    # k rows max: the windows below are a driver-sized reduce, not a shuffle
+    # of corpus data (the top-k join is the only distributed stage).
+    # maxScore comes from the overall top hit BEFORE the class-null filter
+    # (buildListFromTopDocs reads topDocs.scoreDocs[0] — :196)
+    everything = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    top = top.withColumn("max_score", F.max("score").over(everything))
     labeled = top.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(class_col).alias("label")),
         "doc_id",
     ).where(F.col("label").isNotNull())
-    # k rows max: the windows below are a driver-sized reduce, not a shuffle
-    # of corpus data (the top-k join is the only distributed stage)
-    everything = Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    labeled = labeled.withColumn("max_score", F.max("score").over(everything))
     per_class = labeled.groupBy("label").agg(
         F.count(F.lit(1)).alias("class_count"),
         F.sum(F.col("score").cast("double") / F.col("max_score").cast("double")).alias(
