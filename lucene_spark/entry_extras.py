@@ -159,6 +159,29 @@ def function_score_query(spark, sf_dir):
     return extras.function_score(s, Q.TermQuery("text", "data"), "n_chars * 0.001 + 1.0")
 
 
+@register(
+    "expression_score_query",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('exs', 'data')}
+SELECT d.doc_id,
+       round(CAST(exs.score AS DOUBLE) * 2.0
+             + ln(1.0 + d.n_chars / 100.0), 6) AS score
+FROM exs JOIN documents d USING (doc_id)
+ORDER BY d.doc_id""",
+)
+def expression_score_query(spark, sf_dir):
+    """Compiled-expression scoring (JavascriptCompiler + SimpleBindings +
+    FunctionScoreQuery): `_score` binds to the wrapped TermQuery's BM25
+    score; the JS-grammar string compiles to one codegen Column."""
+    _, s = get_searcher(spark, sf_dir)
+    out = extras.expression_score(
+        s, Q.TermQuery("text", "data"), "_score * 2 + ln(1 + n_chars / 100)"
+    )
+    return out.select(
+        "doc_id", F.round(F.col("score"), 6).alias("score")
+    ).orderBy("doc_id")
+
+
 # ---- QueryRescorer (search/QueryRescorer.java) -----------------------------
 
 

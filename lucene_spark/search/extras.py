@@ -134,6 +134,27 @@ def function_score(
     )
 
 
+def expression_score(
+    searcher: IndexSearcher, query: Q.Query, expr: str
+) -> DataFrame:
+    """FunctionScoreQuery driven by a COMPILED expression with ``_score``
+    bound to the wrapped query's BM25 score — the full
+    JavascriptCompiler + SimpleBindings shape
+    (``expressions/js/JavascriptCompiler.java:105``,
+    ``expressions/SimpleBindings.java``; FunctionScoreQuery.java:44
+    ``boostByValue``/expression rewrites). The expression string uses the
+    JS-like grammar (``search/expressions.py``) and compiles to ONE
+    codegen Column; free names resolve to docs-table columns."""
+    from lucene_spark.search.expressions import compile_expression
+
+    scored = searcher.scored(query)
+    col = compile_expression(expr, {"_score": F.col("score").cast("double")})
+    return (
+        searcher.index.docs.join(scored, "doc_id")
+        .select("doc_id", col.cast("double").alias("score"))
+    )
+
+
 def rescore(
     searcher: IndexSearcher,
     query: Q.Query,
