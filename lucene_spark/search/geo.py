@@ -36,6 +36,8 @@ __all__ = [
     "distance_topk",
     "polygon_filter",
     "polygon_contains_sql",
+    "multi_polygon_filter",
+    "multi_polygon_contains_sql",
 ]
 
 #: util/SloppyMath.java TO_METERS: mean earth radius in meters
@@ -210,6 +212,52 @@ def polygon_contains_sql(
         f"AND {lon_expr} >= {min(lons)!r} AND {lon_expr} <= {max(lons)!r}"
     )
     return f"({bbox} AND ({' + '.join(terms)}) % 2 = 1)"
+
+
+def multi_polygon_filter(
+    polygons: list[tuple[list[tuple[float, float]], list[list[tuple[float, float]]]]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> Column:
+    """LatLonPoint.newPolygonQuery(field, Polygon...) with holes
+    (``geo/Polygon.java:63`` — the ``Polygon(lats, lons, Polygon... holes)``
+    constructor; ``Component2D.contains`` treats hole interiors as outside).
+
+    ``polygons`` is a list of components, each ``(shell, holes)`` where
+    ``shell`` is a (lat, lon) vertex ring and ``holes`` a list of rings.
+    A point matches when it lies inside ANY component's shell and inside
+    NONE of that component's holes. Still one codegen expression — the
+    union / exclusion composes the per-ring crossing-number tests with
+    boolean algebra, no UDF, no shuffle.
+    """
+    if not polygons:
+        raise ValueError("need at least one polygon component")
+    pred: Column | None = None
+    for shell, holes in polygons:
+        comp = polygon_filter(shell, lat_col, lon_col)
+        for hole in holes:
+            comp = comp & ~polygon_filter(hole, lat_col, lon_col)
+        pred = comp if pred is None else pred | comp
+    return pred
+
+
+def multi_polygon_contains_sql(
+    polygons: list[tuple[list[tuple[float, float]], list[list[tuple[float, float]]]]],
+    lat_expr: str = "lat",
+    lon_expr: str = "lon",
+) -> str:
+    """ANSI-SQL twin of ``multi_polygon_filter`` — same literals, same
+    operation order per ring (for DuckDB oracles and plain-SQL callers)."""
+    if not polygons:
+        raise ValueError("need at least one polygon component")
+    comps = []
+    for shell, holes in polygons:
+        parts = [polygon_contains_sql(shell, lat_expr, lon_expr)]
+        parts.extend(
+            f"NOT {polygon_contains_sql(h, lat_expr, lon_expr)}" for h in holes
+        )
+        comps.append("(" + " AND ".join(parts) + ")")
+    return "(" + " OR ".join(comps) + ")"
 
 
 def distance_topk(

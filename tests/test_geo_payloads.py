@@ -182,3 +182,65 @@ def test_polygon_filter_matches_python_raycast(spark):
 def test_polygon_filter_rejects_degenerate(spark):
     with pytest.raises(ValueError):
         geo.polygon_filter([(0.0, 0.0), (1.0, 1.0)])
+
+
+def test_multi_polygon_filter_union_and_holes(spark):
+    """multi_polygon_filter (LatLonPoint.newPolygonQuery(field, Polygon...)
+    with geo/Polygon.java holes) agrees with an independent pure-Python
+    raycast union/exclusion on a seeded cloud; the SQL twin agrees too."""
+    import random
+
+    def raycast(poly, py, px):
+        ring = list(poly) + [poly[0]]
+        inside = False
+        for (y1, x1), (y2, x2) in zip(ring, ring[1:]):
+            if (y1 > py) != (y2 > py):
+                xint = x1 + (x2 - x1) * (py - y1) / (y2 - y1)
+                if px < xint:
+                    inside = not inside
+        return inside
+
+    def contains(components, py, px):
+        return any(
+            raycast(shell, py, px) and not any(raycast(h, py, px) for h in holes)
+            for shell, holes in components
+        )
+
+    rng = random.Random(7)
+    rows = [
+        (round(rng.uniform(-70, 70), 2), round(rng.uniform(-90, 90), 2))
+        for _ in range(500)
+    ]
+    components = [
+        (
+            [(0.0, 0.0), (30.0, 40.0), (60.0, 10.0), (50.0, -30.0), (10.0, -40.0)],
+            [[(20.0, -10.0), (35.0, -10.0), (35.0, 10.0), (20.0, 10.0)]],
+        ),
+        ([(-60.0, 20.0), (-20.0, 50.0), (-60.0, 80.0)], []),
+    ]
+    want = {i for i, (a, o) in enumerate(rows) if contains(components, a, o)}
+    shell_only = {
+        i for i, (a, o) in enumerate(rows) if raycast(components[0][0], a, o)
+    }
+    hole_hits = {
+        i for i, (a, o) in enumerate(rows) if raycast(components[0][1][0], a, o)
+    }
+    assert hole_hits & shell_only  # non-vacuous: the hole excludes someone
+    assert len(want) > 10 and not (want & hole_hits)
+    pts = _pts(spark, rows)
+    got = {r.id for r in pts.filter(geo.multi_polygon_filter(components)).collect()}
+    assert got == want
+    got_sql = {
+        r.id
+        for r in pts.filter(
+            F.expr(geo.multi_polygon_contains_sql(components))
+        ).collect()
+    }
+    assert got_sql == want
+
+
+def test_multi_polygon_rejects_empty(spark):
+    with pytest.raises(ValueError):
+        geo.multi_polygon_filter([])
+    with pytest.raises(ValueError):
+        geo.multi_polygon_contains_sql([])
