@@ -949,6 +949,128 @@ ORDER BY c_custkey""",
 _register_geo_polygon()
 
 
+#: two components: the Atlantic/Europe pentagon carrying a rectangular
+#: hole, plus a southern-hemisphere triangle — (shell, holes) pairs
+_GEO_MULTI_POLYGON = [
+    (
+        _GEO_POLYGON,
+        [[(20.0, -10.0), (35.0, -10.0), (35.0, 10.0), (20.0, 10.0)]],
+    ),
+    ([(-60.0, 60.0), (-20.0, 100.0), (-60.0, 140.0)], []),
+]
+
+
+def _register_geo_multi_polygon():
+    from lucene_spark.search import geo
+
+    @register(
+        "geo_multi_polygon_query",
+        f"""WITH pts AS (
+  SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer
+)
+SELECT c_custkey, lat, lon FROM pts
+WHERE {geo.multi_polygon_contains_sql(_GEO_MULTI_POLYGON)}
+ORDER BY c_custkey""",
+    )
+    def geo_multi_polygon_query(spark, sf_dir):
+        """LatLonPoint.newPolygonQuery(field, Polygon...) with holes
+        (geo/Polygon.java:63; Component2D treats hole interiors as
+        outside): union of two components, one carrying a rectangular
+        hole — the whole test is still ONE codegen expression (per-ring
+        crossing-number sums composed with boolean algebra), no UDF, no
+        shuffle; the DuckDB oracle mirrors the identical IEEE ops."""
+        pts = _geo_points(spark, sf_dir)
+        return pts.filter(geo.multi_polygon_filter(_GEO_MULTI_POLYGON)).orderBy(
+            "c_custkey"
+        )
+
+
+_register_geo_multi_polygon()
+
+
+# ---- Pluggable similarities (search/similarities/) -------------------------
+# ClassicSimilarity (TF-IDF, ClassicSimilarity.java:27 over
+# TFIDFSimilarity.java:451) and BooleanSimilarity (BooleanSimilarity.java:24)
+# through the same searcher plans — only the score kernel changes.
+
+#: TFIDFSimilarity normTable[0] = 1f/normTable[255] (TFIDFSimilarity.java:446)
+def _classic_t0() -> float:
+    import numpy as _np
+
+    from lucene_spark.search.similarity import ClassicSimilarity
+
+    return float(ClassicSimilarity().norm_inv_cache(_np.float32(1.0))[0])
+
+
+def _register_similarities():
+    from lucene_spark.entry_impl import _flit
+
+    classic_idf = _fc(
+        "(ln(((SELECT doc_count FROM fstats) + 1) / "
+        "CAST((SELECT count(*) FROM tf WHERE term = 'table') + 1 AS DOUBLE)) + 1.0)"
+    )
+    # float(float(sqrt(freq)) * w) * normTable[norm], each step rounded to
+    # float32 like TFIDFScorer.score (TFIDFSimilarity.java:468-471)
+    classic_tf = _fc("sqrt(CAST(tf.freq AS DOUBLE))")
+    classic_score = _fc(f"({_fc(f'({classic_tf} * cw.w)')} * c.inv)")
+
+    @register(
+        "classic_similarity_query",
+        f"""WITH {BASE_CTES},
+cnorm AS (
+  SELECT n.doc_id,
+         CASE WHEN n.nb = 0 THEN {_flit(_classic_t0())}
+              ELSE CAST(1.0 / sqrt(CAST(t.floor_len AS DOUBLE)) AS FLOAT) END AS inv
+  FROM norms n JOIN b4 t ON t.nb = n.nb
+),
+cw(w) AS (SELECT {classic_idf}),
+sc AS (
+  SELECT tf.doc_id, {classic_score} AS score
+  FROM tf JOIN cnorm c USING (doc_id) CROSS JOIN cw
+  WHERE tf.term = 'table'
+)
+{_topk_sql('sc')}""",
+    )
+    def classic_similarity_query(spark, sf_dir):
+        """TermQuery top-10 under ClassicSimilarity: idf =
+        float(ln((docCount+1)/(df+1)) + 1), norm = float(1/sqrt(len)),
+        score = float(float(sqrt(freq))*w)*norm — the searcher's plans are
+        unchanged, only sim.score_col's arithmetic differs."""
+        from lucene_spark.search.searcher import IndexSearcher
+        from lucene_spark.search.similarity import ClassicSimilarity
+
+        idx, _ = get_searcher(spark, sf_dir)
+        s = IndexSearcher(idx, similarity=ClassicSimilarity())
+        return s.search(Q.TermQuery("text", "table"), k=10).select("doc_id", "score")
+
+    @register(
+        "boolean_similarity_query",
+        f"""WITH {BASE_CTES},
+m AS (
+  SELECT doc_id, CAST(count(DISTINCT term) AS FLOAT) AS score
+  FROM tf WHERE term IN ('table', 'part') GROUP BY doc_id
+)
+{_topk_sql('m')}""",
+    )
+    def boolean_similarity_query(spark, sf_dir):
+        """SHOULD disjunction under BooleanSimilarity: every clause match
+        scores its boost (1.0), so a doc's score is its matched-clause
+        count — BooleanSimilarity.java:49 composed through the standard
+        boolean plan."""
+        from lucene_spark.search.searcher import IndexSearcher
+        from lucene_spark.search.similarity import BooleanSimilarity
+
+        idx, _ = get_searcher(spark, sf_dir)
+        s = IndexSearcher(idx, similarity=BooleanSimilarity())
+        q = Q.BooleanQuery.of(
+            should=[Q.TermQuery("text", "table"), Q.TermQuery("text", "part")]
+        )
+        return s.search(q, k=10).select("doc_id", "score")
+
+
+_register_similarities()
+
+
 # ---- PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java:47) --------
 
 

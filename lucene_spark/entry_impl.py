@@ -960,8 +960,8 @@ _PRIORITY = [
     "covering_query",
     "top_terms_by_df",
     "block_join_parent",
-    "query_time_join",
     "query_time_join_scored",
+    "classic_similarity_query",
     "suggest_prefix",
     "more_like_this",
     "function_score_query",

@@ -84,13 +84,16 @@ def _explain_term(searcher: IndexSearcher, q: Q.TermQuery, doc_id: int) -> dict:
         }
     freq, norm = int(row[0]["freq"]), int(row[0]["norm"])
     inv = searcher._cache[q.field][norm]
-    score = F32(weight - weight / (F32(1.0) + F32(freq) * inv))
+    # the searcher's similarity supplies the kernel (BM25 / Classic / Boolean)
+    score = searcher.sim.score(
+        np.array([freq], dtype=np.float32), np.array([inv]), weight
+    )[0]
     return {
         "matched": True,
         "score": score,
         "description": (
             f"weight({q.field}:{q.term} in {doc_id}) "
-            "[score = boost*idf * (1 - 1/(1 + freq*invNorm))]"
+            f"[{type(searcher.sim).__name__} kernel over (freq, norm)]"
         ),
         "term": q.term,
         "df": df,

@@ -138,9 +138,14 @@ class IndexSearcher:
     def __init__(
         self,
         index: InvertedIndex,
-        similarity: BM25Similarity | None = None,
+        similarity: object | None = None,
         prune_min_df: int | None = None,
     ):
+        """``similarity`` is any object with the Similarity surface
+        (idf/avgdl/norm_inv_cache/weight/score/score_max/score_col):
+        :class:`BM25Similarity` (default), :class:`ClassicSimilarity`
+        (TF-IDF), :class:`BooleanSimilarity` — the reference's pluggable
+        ``IndexSearcher.setSimilarity`` extension point."""
         self.index = index
         self.sim = similarity or BM25Similarity()
         self.prune_min_df = (
@@ -515,21 +520,19 @@ class IndexSearcher:
     # -------------------------------------------------------------- scoring
 
     def _score_col(self, field: str, freq_col: Column, norm_col: Column, weight) -> Column:
-        """weight - weight/(1 + freq*invNorm), all FloatType (codegen-side).
-        `weight` is a float32 scalar, or a FloatType Column (per-term weight
-        lookup in the multi-clause pruned paths)."""
+        """Similarity score kernel, all FloatType (codegen-side): the norm
+        byte indexes the similarity's 256-entry table, then
+        ``sim.score_col`` supplies the arithmetic (BM25's
+        ``w - w/(1 + freq*inv)``, ClassicSimilarity's TF-IDF,
+        BooleanSimilarity's constant). `weight` is a float32 scalar, or a
+        FloatType Column (per-term weight lookup in the multi-clause
+        pruned paths)."""
         inv = F.element_at(self._cache_col[field], norm_col.cast("int") + F.lit(1))
         if isinstance(weight, Column):
             w = weight.cast("float")
         else:
             w = F.lit(float(F32(weight))).cast("float")
-        one = F.lit(1.0).cast("float")
-        denom = one + freq_col.cast("float") * inv  # float +,* stay FloatType
-        # Spark's Divide promotes float->double; rounding the single quotient
-        # back to float equals native float32 division (double has >2x the
-        # precision), so the op-order contract of BM25Similarity holds.
-        quotient = (w / denom).cast("float")
-        return (w - quotient).cast("float")
+        return self.sim.score_col(freq_col, inv, w)
 
     def _block_ub(self, field: str, weight) -> Column:
         """Tight per-block score upper bound: max BM25 over the block's

@@ -25,7 +25,13 @@ import numpy as np
 
 from lucene_spark.util.smallfloat import LENGTH_TABLE
 
-__all__ = ["BM25Similarity", "FieldStats", "TermStats"]
+__all__ = [
+    "BM25Similarity",
+    "ClassicSimilarity",
+    "BooleanSimilarity",
+    "FieldStats",
+    "TermStats",
+]
 
 F32 = np.float32
 
@@ -101,3 +107,115 @@ class BM25Similarity:
             cache[np.array([min_len_norm_byte])],
             weight,
         )[0]
+
+    def score_col(self, freq_col, inv_col, w_col):
+        """Spark Column twin of :meth:`score` — ``w - w/(1 + freq*inv)``,
+        all FloatType so the plan stays whole-stage codegen. Spark's Divide
+        promotes float->double; rounding the single quotient back to float
+        equals native float32 division (double carries >2x float32's
+        precision), so the BM25Similarity op-order contract holds."""
+        from pyspark.sql import functions as F
+
+        one = F.lit(1.0).cast("float")
+        denom = one + freq_col.cast("float") * inv_col  # float +,* stay FloatType
+        quotient = (w_col / denom).cast("float")
+        return (w_col - quotient).cast("float")
+
+
+@dataclass(frozen=True)
+class ClassicSimilarity:
+    """The reference's historical TF-IDF scoring
+    (``search/similarities/ClassicSimilarity.java:27`` over the
+    ``TFIDFSimilarity.java:451`` TFIDFScorer), drop-in for
+    ``IndexSearcher(similarity=...)``:
+
+    - ``idf = float(ln((docCount+1)/(docFreq+1)) + 1)``   (ClassicSimilarity.java:69)
+    - ``normTable[b] = float(1/sqrt(LENGTH_TABLE[b]))`` for b>=1,
+      ``normTable[0] = 1f/normTable[255]``               (TFIDFSimilarity.java:434-446)
+    - ``score = float(float(sqrt(freq)) * weight) * normTable[norm]``
+                                                          (TFIDFSimilarity.java:468-471)
+
+    Same byte4 norm encoding as BM25, so the one stored norm serves both
+    models; the 256-entry table just decodes differently. Monotone
+    increasing in freq and decreasing in length, so the block-max impact
+    machinery's (freq up, norm down) dominance order still holds.
+    """
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return F32(np.log((doc_count + 1) / float(doc_freq + 1)) + 1.0)
+
+    def avgdl(self, sum_total_term_freq: int, doc_count: int) -> np.float32:
+        # TF-IDF ignores average length; kept for the searcher's init shape
+        return F32(sum_total_term_freq / float(doc_count))
+
+    def norm_inv_cache(self, avgdl: np.float32) -> np.ndarray:
+        t = np.zeros(256, dtype=np.float32)
+        with np.errstate(divide="ignore"):
+            t[1:] = (
+                1.0 / np.sqrt(LENGTH_TABLE[1:].astype(np.float64))
+            ).astype(np.float32)
+        t[0] = F32(1.0) / t[255]  # single-precision divide, like `1f / normTable[255]`
+        return t
+
+    def weight(self, boost: float, idf: np.float32) -> np.float32:
+        return F32(F32(boost) * idf)  # TFIDFScorer queryWeight = boost * idf
+
+    def score(
+        self, freq: np.ndarray, norm_inv: np.ndarray, weight: np.float32
+    ) -> np.ndarray:
+        freq = np.asarray(freq, dtype=np.float32)
+        tf = np.sqrt(freq.astype(np.float64)).astype(np.float32)
+        raw = (tf * weight).astype(np.float32)
+        return (raw * np.asarray(norm_inv, dtype=np.float32)).astype(np.float32)
+
+    def score_max(
+        self, max_freq: int, min_len_norm_byte: int, avgdl: np.float32, weight: np.float32
+    ) -> np.float32:
+        cache = self.norm_inv_cache(avgdl)
+        return self.score(
+            np.array([max_freq], dtype=np.float32),
+            cache[np.array([min_len_norm_byte])],
+            weight,
+        )[0]
+
+    def score_col(self, freq_col, inv_col, w_col):
+        """``float(float(sqrt(freq)) * w) * normTable[norm]`` — sqrt runs in
+        double and rounds to float, exactly ``(float) Math.sqrt(freq)``."""
+        from pyspark.sql import functions as F
+
+        tf = F.sqrt(freq_col.cast("float")).cast("float")
+        raw = tf * w_col  # float * float stays FloatType
+        return (raw * inv_col).cast("float")
+
+
+@dataclass(frozen=True)
+class BooleanSimilarity:
+    """``search/similarities/BooleanSimilarity.java:24``: every match
+    scores exactly the query boost — ``score(freq, norm) = boost``
+    (BooleanWeight.score ``:49``). Composite queries still combine scores
+    structurally (a SHOULD disjunction sums to the matched-clause count)."""
+
+    def idf(self, doc_freq: int, doc_count: int) -> np.float32:
+        return F32(1.0)
+
+    def avgdl(self, sum_total_term_freq: int, doc_count: int) -> np.float32:
+        return F32(sum_total_term_freq / float(doc_count))
+
+    def norm_inv_cache(self, avgdl: np.float32) -> np.ndarray:
+        return np.ones(256, dtype=np.float32)  # norms are ignored
+
+    def weight(self, boost: float, idf: np.float32) -> np.float32:
+        return F32(F32(boost) * idf)  # idf() is 1, so weight == boost
+
+    def score(
+        self, freq: np.ndarray, norm_inv: np.ndarray, weight: np.float32
+    ) -> np.ndarray:
+        return np.full(np.asarray(freq).shape, weight, dtype=np.float32)
+
+    def score_max(
+        self, max_freq: int, min_len_norm_byte: int, avgdl: np.float32, weight: np.float32
+    ) -> np.float32:
+        return F32(weight)
+
+    def score_col(self, freq_col, inv_col, w_col):
+        return w_col

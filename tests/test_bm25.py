@@ -74,3 +74,74 @@ def test_block_upper_bound_dominates():
                 w,
             )[0]
             assert s <= ub
+
+
+# ---- pluggable similarities (ClassicSimilarity / BooleanSimilarity) --------
+
+
+def test_classic_similarity_kernel_hand_computed():
+    """ClassicSimilarity.java:27 / TFIDFSimilarity.java:451 semantics:
+    idf = float(ln((docCount+1)/(df+1)) + 1); normTable[b] =
+    float(1/sqrt(LENGTH_TABLE[b])); score = float(float(sqrt(f))*w)*norm."""
+    import math
+
+    from lucene_spark.search.similarity import ClassicSimilarity
+    from lucene_spark.util.smallfloat import LENGTH_TABLE
+
+    sim = ClassicSimilarity()
+    idf = sim.idf(9, 999)
+    assert idf == np.float32(math.log(1000 / 10.0) + 1.0)
+    w = sim.weight(2.0, idf)
+    assert w == np.float32(np.float32(2.0) * idf)
+    cache = sim.norm_inv_cache(np.float32(1.0))
+    b = int_to_byte4(16)
+    assert cache[b] == np.float32(1.0 / math.sqrt(float(LENGTH_TABLE[b])))
+    # normTable[0] = 1f/normTable[255] (TFIDFSimilarity.java:446)
+    assert cache[0] == np.float32(1.0) / cache[255]
+    got = sim.score(np.array([4], np.float32), cache[np.array([b])], w)[0]
+    tf = np.float32(math.sqrt(4.0))
+    assert got == np.float32(np.float32(tf * w) * cache[b])
+    # monotone: up in freq, down in length (impact-order contract)
+    s_more = sim.score(np.array([9], np.float32), cache[np.array([b])], w)[0]
+    s_longer = sim.score(
+        np.array([4], np.float32), cache[np.array([int_to_byte4(400)])], w
+    )[0]
+    assert s_more > got > s_longer
+
+
+def test_boolean_similarity_kernel():
+    from lucene_spark.search.similarity import BooleanSimilarity
+
+    sim = BooleanSimilarity()
+    w = sim.weight(3.5, sim.idf(123, 456))
+    assert w == np.float32(3.5)
+    got = sim.score(np.array([1, 50, 900], np.float32), np.ones(3, np.float32), w)
+    assert (got == np.float32(3.5)).all()
+    assert sim.score_max(7, 0, np.float32(1.0), w) == np.float32(3.5)
+
+
+@given(
+    doc_count=st.integers(1, 10**7),
+    df_frac=st.floats(0.0001, 1.0),
+    field_len=st.integers(1, 10**6),
+    freq=st.integers(1, 10**4),
+)
+def test_classic_score_properties(doc_count, df_frac, field_len, freq):
+    """BaseSimilarityTestCase invariants for ClassicSimilarity: finite,
+    non-negative, monotone up in freq and down in field length."""
+    from lucene_spark.search.similarity import ClassicSimilarity
+
+    sim = ClassicSimilarity()
+    df = max(1, int(doc_count * df_frac))
+    w = sim.weight(1.0, sim.idf(df, doc_count))
+    cache = sim.norm_inv_cache(np.float32(1.0))
+
+    def score(f, ln):
+        return sim.score(
+            np.array([f], np.float32), cache[np.array([int_to_byte4(ln)])], w
+        )[0]
+
+    s = score(freq, field_len)
+    assert np.isfinite(s) and s >= 0
+    assert score(freq + 1, field_len) >= s
+    assert score(freq, field_len + 1000) <= s
