@@ -18,6 +18,12 @@ def _H(s: str) -> str:
     return f"('0x' || substring(md5({s}), 1, 15))::BIGINT"
 
 
+#: per-permutation universal-hash constants, identical to dedup._perm_consts
+_PERM_AB_ROWS = ",".join(
+    "({}, {}, {})".format(i, *dedup._perm_consts(i)) for i in range(16)
+)
+
+
 # shared shingle/minhash CTE chain (num_perm=16, bands=4, shingle=3)
 _MINHASH_CTES = f"""
 mh_toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9_]+') AS tk FROM documents),
@@ -30,9 +36,20 @@ mh_sh AS (
   FROM mh_toks
 ),
 mh_ex AS (SELECT doc_id, unnest(shs) AS shingle FROM mh_sh),
-mh_pr AS (SELECT doc_id, shingle, unnest(generate_series(0, 15)) AS perm FROM mh_ex),
-mh_h AS (SELECT doc_id, perm, {_H("shingle || '#' || perm")} AS hv FROM mh_pr),
-mh_sig AS (SELECT doc_id, perm, min(hv) AS minhash FROM mh_h GROUP BY doc_id, perm)
+mh_h AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT >> 30 AS hi,
+         ('0x' || substring(md5(shingle), 1, 15))::BIGINT & 1073741823 AS lo
+  FROM mh_ex
+),
+mh_ab(perm, a, b) AS (VALUES {_PERM_AB_ROWS}),
+mh_pr AS (SELECT doc_id, hi, lo, perm, a, b FROM mh_h CROSS JOIN mh_ab),
+mh_sig AS (
+  SELECT doc_id, perm,
+         min(((((a * hi) & 2147483647) << 30) + ((a * hi) >> 31) + a * lo + b)
+             % 2305843009213693951) AS minhash
+  FROM mh_pr GROUP BY doc_id, perm
+)
 """.strip()
 
 _LSH_CTES = f"""

@@ -43,6 +43,22 @@ def h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+#: Mersenne prime 2^61-1 — the universal-hash modulus for MinHash perms
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _perm_consts(i: int) -> tuple[int, int]:
+    """Deterministic per-permutation universal-hash constants
+    (a odd < 2^30, b < 2^30), derived from md5 so the DuckDB oracle can
+    inline the identical values."""
+    import hashlib
+
+    d = hashlib.md5(f"minhash-perm-{i}".encode()).hexdigest()
+    a = (int(d[:8], 16) % (1 << 30)) | 1
+    b = int(d[8:16], 16) % (1 << 30)
+    return a, b
+
+
 def exact_duplicate_groups(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -99,21 +115,49 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, perm, minhash): MinHash signature rows.
 
-    perm-i hash of a shingle = h60(shingle || '#' || i); duplicates in the
-    shingle multiset don't affect the min, so no distinct is needed.
+    Universal-hashing family over ONE base hash: h = 60-bit md5 prefix of
+    the shingle, and perm-i's value is ``(a_i*h + b_i) mod M`` with
+    M = 2^61-1 (Mersenne prime) and per-perm constants a_i (odd, <2^30),
+    b_i (<2^30) derived from md5("minhash-perm-i"). Multiplication by a
+    nonzero a_i mod a prime is a bijection, so the 16 orderings are
+    decorrelated (a naive ``h1 + i*h2`` double-hash shares minimizers
+    across perms and measured 6x the false-positive band collisions).
+    The multiply stays in int64 via the Mersenne identity
+    ``x*2^30 ≡ (x & (2^31-1))*2^30 + (x >> 31) (mod M)`` applied to
+    ``x = a_i * (h >> 30)``; every intermediate < 2^62.
+
+    vs hashing ``shingle || '#' || i`` per perm this cuts the md5 work 16x
+    AND the shuffle volume 16x: the groupBy aggregates ``num_perm``
+    independent ``min`` columns map-side (one row per doc per partition
+    reaches the exchange), then posexplode restores the
+    (doc_id, perm, minhash) row shape. Duplicates in the shingle multiset
+    don't affect the min, so no distinct is needed.
     """
     sh = shingles(docs, text_col, id_col, shingle_size)
-    perms = sh.select(
+    h = h60(F.col("shingle"))
+    base = sh.select(
         "doc_id",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
+        F.shiftright(h, 30).alias("hi"),
+        h.bitwiseAND(F.lit((1 << 30) - 1)).alias("lo"),
     )
-    hashed = perms.select(
+
+    def g(i: int):
+        a, b = _perm_consts(i)
+        x = F.lit(a) * F.col("hi")
+        folded = F.shiftleft(x.bitwiseAND(F.lit((1 << 31) - 1)), 30) + F.shiftright(
+            x, 31
+        )
+        return (folded + F.lit(a) * F.col("lo") + F.lit(b)) % F.lit(_MERSENNE61)
+
+    mins = base.groupBy("doc_id").agg(
+        *[F.min(g(i)).alias(f"m{i}") for i in range(num_perm)]
+    )
+    return mins.select(
         "doc_id",
-        "perm",
-        h60(F.concat_ws("#", F.col("shingle"), F.col("perm"))).alias("h"),
+        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(num_perm)])).alias(
+            "perm", "minhash"
+        ),
     )
-    return hashed.groupBy("doc_id", "perm").agg(F.min("h").alias("minhash"))
 
 
 def _band_sketches(
@@ -217,7 +261,13 @@ def simhash(
     """(doc_id, simhash): 32-bit SimHash over term-frequency-weighted tokens.
 
     bit b is set iff sum over distinct tokens of tf * (+-1 by bit b of the
-    token's h60) is >= 0. Linear: 32 rows per (doc, distinct term).
+    token's h60) is >= 0.
+
+    One shuffle computes tf per (doc, distinct token); the 32 per-bit sums
+    then aggregate as 32 independent columns with map-side combine — no
+    32x bit explode, no second wide shuffle (integer sums are
+    order-independent, so results are bit-identical to the exploded
+    formulation and the DuckDB oracle needs no change).
     """
     toks = spread(docs).select(
         F.col(id_col).alias("doc_id"),
@@ -226,23 +276,24 @@ def simhash(
         ),
     )
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    bits = tf.select(
-        "doc_id",
-        "tf",
-        h60(F.col("tok")).alias("th"),
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    base = tf.select("doc_id", "tf", h60(F.col("tok")).alias("th"))
+    one = F.lit(1).cast("long")
+    sums = base.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(F.col("th"), b).bitwiseAND(one) * F.lit(2) - F.lit(1))
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    contrib = bits.select(
-        "doc_id",
-        "b",
-        F.expr("tf * ((shiftright(th, b) & 1) * 2 - 1)").alias("c"),
-    )
-    bitsum = contrib.groupBy("doc_id", "b").agg(F.sum("c").alias("s"))
-    return bitsum.groupBy("doc_id").agg(
-        F.expr(
-            "sum(CASE WHEN s >= 0 THEN shiftleft(cast(1 AS BIGINT), b) ELSE cast(0 AS BIGINT) END)"
-        ).alias("simhash")
-    )
+    fingerprint = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = bit if fingerprint is None else fingerprint + bit
+    return sums.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_pairs(

@@ -154,3 +154,53 @@ def test_classification_plans_are_jvm_side(spark, saved):
     df = naive_bayes_classify(s, docs, "table row part")
     plan = _plan(df)
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_minhash_signature_plan_aggregates_before_explode(spark):
+    """The MinHash signature plan must (a) hash each shingle ONCE and fan
+    out permutations as int64 arithmetic, and (b) reach its single
+    exchange through a partial (map-side) aggregate of the 16 min columns
+    — the perm explode happens AFTER the aggregate, so shuffle volume is
+    one row per doc, not n_shingles x 16."""
+    from lucene_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs, text_col="text", num_perm=16)
+    plan = _plan(sigs)
+    # md5 appears in exactly one operator (the hi/lo Project over the
+    # shingle — printed once per output column, evaluated once by codegen
+    # subexpression elimination); in particular no per-perm md5 operator
+    md5_lines = [l for l in plan.splitlines() if "md5" in l.lower()]
+    assert len(md5_lines) == 1, plan
+    assert "perm" not in md5_lines[0], md5_lines[0]
+    # one hash exchange, keyed by doc_id (spread() may add a round-robin
+    # exchange on tiny single-split inputs — that one carries raw rows)
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    assert n_hash_ex == 1, f"expected 1 hash exchange, got {n_hash_ex}:\n{plan}"
+    # map-side combine: a partial_min aggregate runs below the exchange
+    assert "partial_min" in plan, plan
+    # the Generate (posexplode) sits above the exchange (plan strings
+    # print top-down), i.e. the perm fan-out happens post-aggregate
+    gen_pos = plan.find("Generate")
+    ex_pos = plan.find("Exchange hashpartitioning")
+    assert 0 <= gen_pos < ex_pos, plan
+
+
+def test_simhash_plan_has_no_bit_explode(spark):
+    """SimHash must reach its fingerprint through tf + 32 map-side
+    aggregated bit-sum columns: one md5 per distinct token, exactly two
+    hash exchanges ((doc_id, tok) then doc_id), and no per-bit explode
+    between them."""
+    from lucene_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.simhash(docs, text_col="text"))
+    # the token md5 collapses into the tf-aggregate's result projection
+    # (one evaluation per (doc, distinct token) group), so no standalone
+    # md5 Project exists — and no per-perm md5 either
+    n_hash_ex = plan.count("Exchange hashpartitioning")
+    assert n_hash_ex == 2, f"expected 2 hash exchanges, got {n_hash_ex}:\n{plan}"
+    # the only Generate is the token explode below BOTH exchanges
+    last_ex = plan.rfind("Exchange hashpartitioning")
+    gen = plan.find("Generate")
+    assert gen > last_ex, plan
