@@ -1003,7 +1003,7 @@ def _classic_t0() -> float:
 
 
 def _register_similarities():
-    from lucene_spark.entry_impl import _flit
+    from lucene_spark.entry_impl import _fadd, _flit, _fmul
 
     classic_idf = _fc(
         "(ln(((SELECT doc_count FROM fstats) + 1) / "
@@ -1066,6 +1066,51 @@ m AS (
             should=[Q.TermQuery("text", "table"), Q.TermQuery("text", "part")]
         )
         return s.search(q, k=10).select("doc_id", "score")
+
+    # SweetSpotSimilarity (misc/SweetSpotSimilarity.java:34): plateau
+    # length norm over [ln_min, ln_max] at steepness 0.5, baseline tf at
+    # the defaults (== sqrt(freq))
+    import numpy as _np
+
+    from lucene_spark.search.similarity import SweetSpotSimilarity
+
+    _SS = SweetSpotSimilarity(ln_min=4, ln_max=64, ln_steep=0.5)
+    _ss_t0 = float(_SS.norm_inv_cache(_np.float32(1.0))[0])
+    ss_inner = _fadd(
+        _fmul(
+            _flit(0.5),
+            _fc("(abs(t.floor_len - 4) + abs(t.floor_len - 64) - 60)"),
+        ),
+        _flit(1.0),
+    )
+
+    @register(
+        "sweet_spot_similarity_query",
+        f"""WITH {BASE_CTES},
+ssnorm AS (
+  SELECT n.doc_id,
+         CASE WHEN n.nb = 0 THEN {_flit(_ss_t0)}
+              ELSE CAST(1.0 / sqrt(CAST({ss_inner} AS DOUBLE)) AS FLOAT) END AS inv
+  FROM norms n JOIN b4 t ON t.nb = n.nb
+),
+ssw(w) AS (SELECT {classic_idf}),
+sc AS (
+  SELECT tf.doc_id, {classic_score.replace('cw.w', 'ssw.w').replace('c.inv', 's.inv')} AS score
+  FROM tf JOIN ssnorm s USING (doc_id) CROSS JOIN ssw
+  WHERE tf.term = 'table'
+)
+{_topk_sql('sc')}""",
+    )
+    def sweet_spot_similarity_query(spark, sf_dir):
+        """TermQuery top-10 under SweetSpotSimilarity(4, 64, 0.5): docs
+        whose quantized length sits inside the sweet spot get lengthNorm
+        1.0 (no penalty); outside, the norm slopes off at steepness 0.5 —
+        the misc module's plateau model through the unchanged plans."""
+        from lucene_spark.search.searcher import IndexSearcher
+
+        idx, _ = get_searcher(spark, sf_dir)
+        s = IndexSearcher(idx, similarity=_SS)
+        return s.search(Q.TermQuery("text", "table"), k=10).select("doc_id", "score")
 
 
 _register_similarities()

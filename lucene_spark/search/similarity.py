@@ -28,6 +28,7 @@ from lucene_spark.util.smallfloat import LENGTH_TABLE
 __all__ = [
     "BM25Similarity",
     "ClassicSimilarity",
+    "SweetSpotSimilarity",
     "BooleanSimilarity",
     "FieldStats",
     "TermStats",
@@ -185,6 +186,68 @@ class ClassicSimilarity:
 
         tf = F.sqrt(freq_col.cast("float")).cast("float")
         raw = tf * w_col  # float * float stays FloatType
+        return (raw * inv_col).cast("float")
+
+
+@dataclass(frozen=True)
+class SweetSpotSimilarity(ClassicSimilarity):
+    """``misc/SweetSpotSimilarity.java:34`` (extends ClassicSimilarity):
+    a plateau length norm and a baseline tf —
+
+    - ``lengthNorm = float(1f/sqrt(s*(|len-min| + |len-max| - (max-min)) + 1f))``
+      (``:lengthNorm`` — flat 1.0 inside [ln_min, ln_max], sloping off at
+      steepness s outside), so documents in the "sweet spot" length range
+      are not penalized relative to each other;
+    - ``baselineTf(freq) = tf_base if freq <= tf_min else
+      float(sqrt(freq + tf_base^2 - tf_min))`` (``baselineTf``), which
+      with the defaults (0, 0) reduces to ClassicSimilarity's sqrt tf.
+    """
+
+    ln_min: int = 1
+    ln_max: int = 1
+    ln_steep: float = 0.5
+    tf_base: float = 0.0
+    tf_min: float = 0.0
+
+    def norm_inv_cache(self, avgdl: np.float32) -> np.ndarray:
+        lens = LENGTH_TABLE.astype(np.int64)
+        iexpr = (
+            np.abs(lens - self.ln_min)
+            + np.abs(lens - self.ln_max)
+            - (self.ln_max - self.ln_min)
+        ).astype(np.float32)
+        inner = F32(self.ln_steep) * iexpr + F32(1.0)  # float32 op order
+        t = np.zeros(256, dtype=np.float32)
+        t[1:] = (1.0 / np.sqrt(inner[1:].astype(np.float64))).astype(np.float32)
+        t[0] = F32(1.0) / t[255]  # TFIDFSimilarity.java:446
+        return t
+
+    def _tf(self, freq: np.ndarray) -> np.ndarray:
+        # java op order: (freq + tf_base*tf_base) - tf_min, float32 steps
+        freq = np.asarray(freq, dtype=np.float32)
+        t2 = F32(F32(self.tf_base) * F32(self.tf_base))
+        grown = np.sqrt(
+            ((freq + t2) - F32(self.tf_min)).astype(np.float64)
+        ).astype(np.float32)
+        return np.where(freq <= F32(self.tf_min), F32(self.tf_base), grown)
+
+    def score(
+        self, freq: np.ndarray, norm_inv: np.ndarray, weight: np.float32
+    ) -> np.ndarray:
+        raw = (self._tf(freq) * weight).astype(np.float32)
+        return (raw * np.asarray(norm_inv, dtype=np.float32)).astype(np.float32)
+
+    def score_col(self, freq_col, inv_col, w_col):
+        from pyspark.sql import functions as F
+
+        fr = freq_col.cast("float")
+        t2 = F.lit(float(F32(F32(self.tf_base) * F32(self.tf_base)))).cast("float")
+        tmin = F.lit(float(F32(self.tf_min))).cast("float")
+        grown = F.sqrt((fr + t2) - tmin).cast("float")
+        tf = F.when(fr <= tmin, F.lit(float(F32(self.tf_base))).cast("float")).otherwise(
+            grown
+        )
+        raw = tf * w_col
         return (raw * inv_col).cast("float")
 
 

@@ -145,3 +145,34 @@ def test_classic_score_properties(doc_count, df_frac, field_len, freq):
     assert np.isfinite(s) and s >= 0
     assert score(freq + 1, field_len) >= s
     assert score(freq, field_len + 1000) <= s
+
+
+def test_sweet_spot_similarity_kernel():
+    """misc/SweetSpotSimilarity.java: plateau lengthNorm (1.0 inside
+    [ln_min, ln_max], sloping at steepness outside) and baselineTf."""
+    import math
+
+    from lucene_spark.search.similarity import SweetSpotSimilarity
+    from lucene_spark.util.smallfloat import LENGTH_TABLE
+
+    sim = SweetSpotSimilarity(ln_min=4, ln_max=64, ln_steep=0.5)
+    cache = sim.norm_inv_cache(np.float32(1.0))
+    # inside the sweet spot: |l-4| + |l-64| - 60 == 0 -> norm == 1.0
+    for ln in (4, 16, 64):
+        b = int_to_byte4(ln)
+        if 4 <= int(LENGTH_TABLE[b]) <= 64:
+            assert cache[b] == np.float32(1.0)
+    # outside: matches the hand formula
+    b = int_to_byte4(400)
+    l = float(LENGTH_TABLE[b])
+    inner = np.float32(0.5) * np.float32(abs(l - 4) + abs(l - 64) - 60) + np.float32(1.0)
+    assert cache[b] == np.float32(1.0 / math.sqrt(float(inner)))
+    # default tf == sqrt(freq) (tf_base=0, tf_min=0 reduce baselineTf)
+    w = sim.weight(1.0, sim.idf(10, 1000))
+    got = sim.score(np.array([9], np.float32), cache[np.array([b])], w)[0]
+    assert got == np.float32(np.float32(np.float32(3.0) * w) * cache[b])
+    # baselineTf plateau: freq <= tf_min scores tf_base
+    sim2 = SweetSpotSimilarity(tf_base=1.5, tf_min=3.0)
+    c2 = sim2.norm_inv_cache(np.float32(1.0))
+    lo = sim2.score(np.array([2], np.float32), c2[np.array([b])], w)[0]
+    assert lo == np.float32(np.float32(np.float32(1.5) * w) * c2[b])
