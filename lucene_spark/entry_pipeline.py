@@ -453,6 +453,116 @@ def ann_lsh_multiprobe_topk(spark, sf_dir):
     )
 
 
+# ---- IVF-flat ANN (pipeline/ivf.py; FAISS IndexIVFFlat role) ---------------
+# Deterministic 2-iteration Lloyd over int64 fixed-point vectors: seeds by
+# md5 order, integer squared-L2 assignment (ties to lower centroid id),
+# truncated-mean updates (exact double quotients) — unrolled below so the
+# DuckDB oracle replays the identical k-means.
+
+_IVF_SEEDS = """
+ivf_seed AS (
+  SELECT vec_id, row_number() OVER (
+           ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                    vec_id) AS r
+  FROM eq QUALIFY r <= 16
+),
+ivf_c0 AS (
+  SELECT s.r - 1 AS cid, ee.i, ee.v
+  FROM ivf_seed s JOIN ee ON ee.vec_id = s.vec_id
+)
+""".strip()
+
+
+def _ivf_iter(n: int, cents_in: str) -> str:
+    """One Lloyd iteration: assign to nearest (sq-L2, cid tie-break), then
+    truncated-mean centroids — CTEs ivf_a{n} / ivf_c{n}."""
+    return f"""
+ivf_d{n} AS (
+  SELECT ee.vec_id, c.cid, sum((ee.v - c.v) * (ee.v - c.v)) AS dist
+  FROM ee JOIN {cents_in} c USING (i) GROUP BY ee.vec_id, c.cid
+),
+ivf_a{n} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+    FROM ivf_d{n}
+  ) WHERE rk = 1
+),
+ivf_c{n} AS (
+  SELECT a.cid, ee.i,
+         CAST(trunc(CAST(sum(ee.v) AS DOUBLE) / count(*)) AS BIGINT) AS v
+  FROM ivf_a{n} a JOIN ee USING (vec_id) GROUP BY a.cid, ee.i
+)
+""".strip()
+
+
+@register(
+    "ann_ivf_topk",
+    f"""WITH {_EMB_CTES},
+{_IVF_SEEDS},
+{_ivf_iter(1, "ivf_c0")},
+{_ivf_iter(2, "ivf_c1")},
+ivf_cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT ee.vec_id, c.cid,
+           row_number() OVER (PARTITION BY ee.vec_id
+                              ORDER BY sum((ee.v - c.v) * (ee.v - c.v)), c.cid) AS rk
+    FROM ee JOIN ivf_c2 c USING (i) GROUP BY ee.vec_id, c.cid
+  ) WHERE rk = 1
+),
+ivf_probes AS (
+  SELECT vec_id, cid FROM (
+    SELECT ee.vec_id, c.cid,
+           row_number() OVER (PARTITION BY ee.vec_id
+                              ORDER BY sum((ee.v - c.v) * (ee.v - c.v)), c.cid) AS rk
+    FROM ee JOIN ivf_c2 c USING (i)
+    WHERE ee.vec_id < 8
+    GROUP BY ee.vec_id, c.cid
+  ) WHERE rk <= 4
+),
+ivf_cand AS (
+  SELECT p.vec_id AS query_id, m.vec_id AS neighbor_id
+  FROM ivf_probes p JOIN ivf_cells m ON m.cid = p.cid AND m.vec_id != p.vec_id
+),
+ivf_dot AS (
+  SELECT c.query_id, c.neighbor_id, sum(a.v * b.v)::BIGINT AS dot
+  FROM ivf_cand c JOIN ee a ON a.vec_id = c.query_id
+                  JOIN ee b ON b.vec_id = c.neighbor_id AND b.i = a.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+ivf_cos AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+  FROM ivf_dot JOIN en na ON na.vec_id = query_id JOIN en nb ON nb.vec_id = neighbor_id
+),
+ivf_rank AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC)::INTEGER AS rank
+  FROM ivf_cos
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ivf_rank WHERE rank <= 5
+ORDER BY query_id, rank""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat: deterministic coarse k-means (2 Lloyd iterations over
+    int64 fixed-point vectors) -> probe the 4 nearest cells per query ->
+    exact cosine top-5 inside the probed inverted lists (pipeline/ivf.py;
+    the FAISS IndexIVFFlat layout complementing LSH and the k-NN graph)."""
+    from lucene_spark.pipeline import ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        id_col="vec_id",
+        k=5,
+        k_centroids=16,
+        n_probes=4,
+        n_iters=2,
+    )
+
+
 @register("ann_graph_topk", None)
 def ann_graph_topk(spark, sf_dir):
     """Graph ANN (the HNSW role, Lucene99HnswVectorsFormat.java:82):

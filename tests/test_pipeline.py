@@ -301,3 +301,31 @@ def test_wav_round_trip_and_chunk_walk():
 
     with _pytest.raises(NotImplementedError):
         decode_audio(b"OggS" + b"\x00" * 40)
+
+
+def test_ivf_recall_grows_with_probes(spark):
+    """IVF-flat (pipeline/ivf.py): recall@10 vs the exact brute-force
+    baseline must grow monotonically with n_probes and reach 1.0 when
+    every cell is probed (the probed union then IS the corpus); the
+    4-of-16-cells operating point must beat a single probe."""
+    from lucene_spark.pipeline import ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 32)
+    exact = _topk_sets(
+        similarity.brute_force_topk(emb, queries, id_col="vec_id", k=10)
+    )
+
+    def recall(n_probes):
+        got = _topk_sets(
+            ivf.ivf_topk(
+                emb, queries, id_col="vec_id", k=10,
+                k_centroids=16, n_probes=n_probes, n_iters=2,
+            )
+        )
+        return _recall(exact, got)
+
+    r1, r4, r16 = recall(1), recall(4), recall(16)
+    assert r1 <= r4 <= r16, (r1, r4, r16)
+    assert r16 == 1.0, r16
+    assert r4 > r1, (r1, r4)
