@@ -170,6 +170,22 @@ def run_once(cpus: int, input_dir: str) -> dict:
                 searcher.search(q, k=10).collect()
                 n_runs += 1
         query_sec = time.time() - t1
+        # batched serving: the same workload as ONE job per round via
+        # search_many (PrefixQuery is outside its single-shuffle families,
+        # so the batch carries the other five) — per-query driver
+        # scheduling, the thing that caps sequential QPS scaling, is
+        # amortized across the batch
+        batch = {
+            f"q{i}": q
+            for i, q in enumerate(queries)
+            if not isinstance(q, Q.PrefixQuery)
+        }
+        t2 = time.time()
+        n_batched = 0
+        for _ in range(2):
+            searcher.search_many(batch, k=10).collect()
+            n_batched += len(batch)
+        batched_sec = time.time() - t2
         return {
             "cpus": cpus,
             "n_docs": n_docs,
@@ -178,6 +194,9 @@ def run_once(cpus: int, input_dir: str) -> dict:
             "n_queries": n_runs,
             "query_sec": round(query_sec, 2),
             "qps": round(n_runs / query_sec, 2),
+            "n_batched": n_batched,
+            "batched_sec": round(batched_sec, 2),
+            "qps_batched": round(n_batched / batched_sec, 2),
         }
     finally:
         spark.stop()
@@ -237,6 +256,11 @@ def main() -> None:
     ratio = hi // lo
     build_eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / ratio
     query_eff = (r_hi["qps"] / r_lo["qps"]) / ratio
+    batched_eff = (
+        (r_hi["qps_batched"] / r_lo["qps_batched"]) / ratio
+        if r_lo.get("qps_batched")
+        else None
+    )
     # the same box's pure-CPU parallel ceiling for the same proc counts
     hw_lo, hw_hi = cpu_baseline(lo), cpu_baseline(hi)
     hw_eff = (hw_hi / hw_lo) / ratio
@@ -246,6 +270,9 @@ def main() -> None:
         "parallelism_ratio": ratio,
         "build_scaling_efficiency": round(build_eff, 3),
         "query_scaling_efficiency": round(query_eff, 3),
+        "batched_query_scaling_efficiency": (
+            round(batched_eff, 3) if batched_eff is not None else None
+        ),
         "hardware_ceiling_efficiency": round(hw_eff, 3),
         "normalized_build_efficiency": round(build_eff / hw_eff, 3),
     }
@@ -273,10 +300,10 @@ thread with a pipelined Python worker (~2P hot threads at local[P]), so the pair
 {lo}/{hi} keeps BOTH levels un-oversubscribed on this 32-vCPU box; on a real cluster
 the 4N side brings its own cores, so this is the faithful analogy.
 
-| parallelism | build sec | docs/sec | query sec ({r_lo['n_queries']} queries) | QPS |
-|---|---|---|---|---|
-| local[{lo}] | {r_lo['build_sec']} | {r_lo['docs_per_sec']} | {r_lo['query_sec']} | {r_lo['qps']} |
-| local[{hi}] | {r_hi['build_sec']} | {r_hi['docs_per_sec']} | {r_hi['query_sec']} | {r_hi['qps']} |
+| parallelism | build sec | docs/sec | query sec ({r_lo['n_queries']} queries) | QPS | batched QPS ({r_lo.get('n_batched', 0)} q) |
+|---|---|---|---|---|---|
+| local[{lo}] | {r_lo['build_sec']} | {r_lo['docs_per_sec']} | {r_lo['query_sec']} | {r_lo['qps']} | {r_lo.get('qps_batched', '-')} |
+| local[{hi}] | {r_hi['build_sec']} | {r_hi['docs_per_sec']} | {r_hi['query_sec']} | {r_hi['qps']} | {r_hi.get('qps_batched', '-')} |
 
 - **Index-build scaling efficiency ({lo}→{hi} threads): {build_eff:.3f}**
   (target >= 0.8; efficiency = (docs_per_sec_{hi} / docs_per_sec_{lo}) / {ratio})
@@ -288,9 +315,13 @@ the 4N side brings its own cores, so this is the faithful analogy.
   On a real N→4N cluster each executor adds its own cores, memory
   bandwidth and GC heap, so the platform ceiling is ~1.0 there and the
   normalized figure is the decision-relevant one.
-- Query scaling efficiency: {query_eff:.3f} — each search is a handful of short
-  Spark jobs, so fixed per-job driver overhead bounds QPS scaling at this corpus
-  size; the throughput-bound phase (index build) is the scaling-relevant measure.
+- Query scaling efficiency: {query_eff:.3f} sequential — each search is a
+  handful of short Spark jobs, so fixed per-job driver overhead bounds
+  sequential QPS scaling at this corpus size.
+  **Batched-serving scaling efficiency ({r_lo.get('n_batched', 0)}-query
+  `search_many` batches): {batched_eff if batched_eff is None else round(batched_eff, 3)}** —
+  batching amortizes the driver overhead, so the serving path's scaling
+  follows the data-parallel work, not the scheduler.
 """
             + (
                 tail
