@@ -354,6 +354,47 @@ def boolean_mixed(spark, sf_dir):
 
 
 @register(
+    "simple_parser_query",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('m1', 'key')},
+{_term_scores_cte('s1', 'spark')},
+{_term_scores_cte('s2', 'fast')},
+subq AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) GROUP BY doc_id
+),
+b1 AS (
+  SELECT m1.doc_id,
+         CAST(CAST(m1.score AS DOUBLE) + CAST(subq.score AS DOUBLE) AS FLOAT) AS score
+  FROM m1 JOIN subq ON m1.doc_id = subq.doc_id
+),
+w AS (
+  SELECT doc_id, CAST(1.0 AS FLOAT) AS score FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'slow')
+),
+u AS (SELECT * FROM b1 UNION ALL SELECT * FROM w),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM u GROUP BY doc_id
+)
+{_topk_sql('sc')}""",
+)
+def simple_parser_query(spark, sf_dir):
+    """SimpleQueryParser human syntax, end-to-end
+    (queryparser/simple/SimpleQueryParser.java): ``key + (spark | fast)
+    -slow`` parses to nested booleans — the AND-change nesting
+    (buildQueryTree :471-480) and the MatchAll negation wrapper
+    (:453-459) — and executes through the standard boolean plans. The
+    oracle replays the nested float32 combine: inner disjunction sum,
+    MUST join, wrapper docs at constant 1.0, outer SHOULD sum."""
+    from lucene_spark.search.simple_queryparser import SimpleQueryParser
+
+    _, s = get_searcher(spark, sf_dir)
+    q = SimpleQueryParser(field="text").parse("key + (spark | fast) -slow")
+    return _topk_df(s.search(q, k=10))
+
+
+@register(
     "boolean_min_should_match",
     f"""WITH {BASE_CTES},
 {_term_scores_cte('o1', 'sort')},
@@ -943,7 +984,7 @@ _PRIORITY = [
     "boolean_or",
     "boolean_or_pruned",
     "boolean_and",
-    "boolean_mixed",
+    "simple_parser_query",
     "disjunction_max",
     "synonym_query",
     "blended_term_query",
