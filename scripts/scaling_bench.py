@@ -30,7 +30,11 @@ import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# executor-side Python workers import lucene_spark through PYTHONPATH, not
+# the driver's sys.path — required when launched from outside the repo
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 GEN_PARTITIONS = 64  # fixed — input identical for every measured parallelism
 
