@@ -210,3 +210,27 @@ def test_weights_multi_field():
     assert q == Q.BooleanQuery.of(
         should=(Q.BoostQuery(Q.PrefixQuery("title", "sta"), 2.0), Q.PrefixQuery("body", "sta"))
     )
+
+
+def test_simple_parser_percolates_through_memory_index():
+    """Parsed human queries score a real document via the driver-local
+    one-doc index (memory/MemoryIndex.java role) — end-to-end without
+    Spark: negation wrapper, prefix, fuzzy, sloppy-near all execute."""
+    from lucene_spark.streaming.memory_index import MemoryIndex
+
+    mi = MemoryIndex().add_field(
+        "text", "spark merges segments while the writer flushes postings"
+    )
+    p = SimpleQueryParser(field="text")
+    assert mi.search(p.parse("spark + post*")) > 0
+    assert mi.search(p.parse("-spark")) == 0.0
+    # negation of an absent term matches through the MatchAll wrapper
+    assert mi.search(p.parse("-absent")) > 0
+    assert mi.search(p.parse('"writer flushes"')) > 0
+    assert mi.search(p.parse('"writer flushes"~0')) > 0
+    # transposed phrase needs slop 2 (SloppyPhraseMatcher edit distance)
+    assert mi.search(p.parse('"flushes writer"~2')) > 0
+    assert mi.search(p.parse('"flushes writer"~1')) == 0.0
+    assert mi.search(p.parse("mergis~1")) > 0
+    assert mi.search(p.parse("absent | spark")) > 0
+    assert mi.search(p.parse("absent + spark")) == 0.0
