@@ -60,6 +60,16 @@ def main() -> None:
         print(f"\n=== {qs!r} -> {q}")
         searcher.search(q, k=5).show(5, truncate=False)
 
+    # the "never throws" human syntax (SimpleQueryParser): same engine,
+    # error-tolerant input
+    from lucene_spark.search.simple_queryparser import SimpleQueryParser
+
+    sp = SimpleQueryParser(field="content")
+    for qs in ['merge + (flush | commit) -deprecated', '"if return"~2 get*']:
+        q = sp.parse(qs)
+        print(f"\n=== simple {qs!r} -> {q}")
+        searcher.search(q, k=5).show(5, truncate=False)
+
     hit = searcher.search(Q.TermQuery("content", "return"), k=1).collect()
     if hit:
         e = explain(searcher, Q.TermQuery("content", "return"), int(hit[0]["doc_id"]))

@@ -90,22 +90,39 @@ def _decode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def _decode_blocks_with_positions(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    """Like ``_decode_blocks`` plus per-doc position arrays. Stays
+    numpy-native end to end — scalar columns are concatenated arrays and
+    each positions cell is an int32 VIEW into the block's decoded buffer
+    (pyarrow converts ndarray cells directly). The previous
+    Python-list materialization (`.tolist()` per cell) cost ~10x the
+    memory per 20k-block Arrow batch; on a hot term at millions of docs
+    that pushed the worker's peak past what a 2-task local[2] run
+    tolerates."""
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        out_rows = {k: [] for k in ("term", "doc_id", "freq", "norm", "positions")}
+        terms, docs, freqs, norms = [], [], [], []
+        pos: list[np.ndarray] = []
         for row in pdf.itertuples(index=False):
             d = forutil.delta_decode(row.first_doc, forutil.for_decode(row.doc_gaps))
             f = forutil.pfor_decode(row.freqs)
             n = np.frombuffer(row.norms, dtype=np.uint8)
             flat = forutil.for_decode(row.positions).astype(np.int32)
-            splits = np.split(flat, np.cumsum(f)[:-1])
-            out_rows["term"].extend([row.term] * len(d))
-            out_rows["doc_id"].extend(d.tolist())
-            out_rows["freq"].extend(f.astype(int).tolist())
-            out_rows["norm"].extend(n.astype(int).tolist())
-            out_rows["positions"].extend([s.tolist() for s in splits])
-        yield pd.DataFrame(out_rows)
+            pos.extend(np.split(flat, np.cumsum(f)[:-1]))
+            terms.append(np.full(len(d), row.term, dtype=object))
+            docs.append(d)
+            freqs.append(f.astype(np.int32))
+            norms.append(n.astype(np.int32))
+        out = pd.DataFrame(
+            {
+                "term": np.concatenate(terms),
+                "doc_id": np.concatenate(docs),
+                "freq": np.concatenate(freqs),
+                "norm": np.concatenate(norms),
+            }
+        )
+        out["positions"] = pd.Series(pos, dtype=object, index=out.index)
+        yield out
 
 
 def _wildcard_to_regex(pattern: str) -> str:

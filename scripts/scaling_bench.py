@@ -97,6 +97,10 @@ def make_spark(cpus: int):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # a crashed Python worker otherwise reports nothing — keep the
+        # faulthandler on so worker deaths carry a traceback
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
