@@ -194,3 +194,99 @@ def test_register_rejects_dialect_specific_regex():
         m.register("bad", Q.RegexpQuery("text", "(?P<x>tab).*"))
     with pytest.raises(ValueError):
         m.register("bad2", Q.RegexpQuery("text", "ta[b"))
+
+
+def test_nested_boolean_standing_query(spark, docs):
+    """Complex tier (monitor/QueryAnalyzer.java + CandidateMatcher.java):
+    nested booleans presearch through their covering term set and verify
+    through MemoryIndex — round 2's NotImplementedError fence lifted."""
+    m = Monitor()
+    m.register(
+        "q_nested",
+        Q.BooleanQuery.of(
+            must=[
+                Q.TermQuery("text", "spark"),
+                Q.BooleanQuery.of(
+                    should=[
+                        Q.TermQuery("text", "tables"),
+                        Q.TermQuery("text", "window"),
+                    ]
+                ),
+            ],
+            must_not=[Q.TermQuery("text", "slow")],
+        ),
+    )
+    assert "q_nested" in m._complex
+    got = {(r["query_id"], r["doc_id"]) for r in m.match_batch(docs).collect()}
+    assert got == {("q_nested", 0), ("q_nested", 2)}
+
+
+def test_sloppy_phrase_standing_query(spark, docs):
+    """PhraseQuery with slop > 0 routes to the complex tier (the flat
+    tier's consecutive-position join is exact-only)."""
+    m = Monitor()
+    m.register("q_sloppy", Q.PhraseQuery("text", ("spark", "tables"), slop=1))
+    m.register("q_exact", Q.PhraseQuery("text", ("spark", "tables")))
+    assert "q_sloppy" in m._complex and "q_exact" not in m._complex
+    got = {(r["query_id"], r["doc_id"]) for r in m.match_batch(docs).collect()}
+    # doc0 'spark joins tables fast': one gap -> sloppy yes, exact no
+    assert got == {("q_sloppy", 0)}
+
+
+def test_complex_with_multiterm_child_and_dismax(spark, docs):
+    m = Monitor()
+    m.register(
+        "q_mixed",
+        Q.BooleanQuery.of(
+            must=[Q.PrefixQuery("text", "tab"), Q.TermQuery("text", "order")]
+        ),
+    )
+    m.register(
+        "q_dismax",
+        Q.DisjunctionMaxQuery(
+            queries=(
+                Q.TermQuery("text", "streaming"),
+                Q.PhraseQuery("text", ("big", "tables")),
+            ),
+            tie_breaker=0.3,
+        ),
+    )
+    got = {(r["query_id"], r["doc_id"]) for r in m.match_batch(docs).collect()}
+    assert got == {
+        ("q_mixed", 3),    # 'table part order line'
+        ("q_dismax", 2),   # streaming
+        ("q_dismax", 1),   # 'big tables'
+    }
+
+
+def test_covering_set_extraction():
+    """QueryAnalyzer propagation: conjunction picks ONE child's covering
+    set (cheapest), disjunction unions, pure MUST_NOT is ANYTOKEN."""
+    from lucene_spark.streaming.monitor import _covering
+
+    conj = Q.BooleanQuery.of(
+        must=[
+            Q.TermQuery("text", "rare"),
+            Q.BooleanQuery.of(
+                should=[Q.TermQuery("text", "a"), Q.TermQuery("text", "b")]
+            ),
+        ]
+    )
+    terms, pats, anytok = _covering(conj)
+    assert terms == frozenset(["rare"]) and not pats and not anytok
+
+    disj = Q.BooleanQuery.of(
+        should=[Q.TermQuery("text", "x"), Q.PhraseQuery("text", ("pp", "longest"))]
+    )
+    terms, pats, anytok = _covering(disj)
+    assert terms == frozenset(["x", "longest"]) and not anytok
+
+    pure_not = Q.BooleanQuery.of(must_not=[Q.TermQuery("text", "bad")])
+    assert _covering(pure_not)[2] is True
+
+    # a conjunction with an uncoverable child still anchors on the other
+    mixed = Q.BooleanQuery.of(
+        must=[Q.MatchAllDocsQuery(), Q.TermQuery("text", "anchor")]
+    )
+    terms, pats, anytok = _covering(mixed)
+    assert terms == frozenset(["anchor"]) and not anytok
