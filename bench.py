@@ -161,17 +161,26 @@ def run_bench(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     # harvest the block counters first (stats-on adds count-only jobs, so
     # this pass is untimed; it also warms the two-phase path, so the timed
     # pass below measures steady-state serving like every other query)
+    # the hot-OR fixture: two uniformly-hot co-occurring clauses whose
+    # combined theta exceeds the weaker clause's max bound — the shape
+    # where MaxScoreBulkScorer's essential/non-essential split engages
+    # (near-equal-bound pairs like table|vector stay unprunable and fall
+    # back; see BENCH.md). Timed plain AND pruned on the same query.
+    hot_or = Q.BooleanQuery.of(
+        should=[Q.TermQuery("text", "stream"), Q.TermQuery("text", "line")]
+    )
     pruned_searcher.collect_prune_stats = True
     pruned_searcher.search(Q.TermQuery("text", "batch"), k=10).collect()
     prune_term = dict(pruned_searcher.last_prune_stats or {})
-    pruned_searcher.search(bool_or, k=10).collect()
+    pruned_searcher.search(hot_or, k=10).collect()
     prune_or = dict(pruned_searcher.last_prune_stats or {})
     pruned_searcher.collect_prune_stats = False
     q(
         "term_query_pruned",
         lambda: pruned_searcher.search(Q.TermQuery("text", "batch"), k=10),
     )
-    q("boolean_or_pruned", lambda: pruned_searcher.search(bool_or, k=10))
+    q("boolean_or_hot", lambda: searcher.search(hot_or, k=10))
+    q("boolean_or_pruned", lambda: pruned_searcher.search(hot_or, k=10))
 
     return timings, {
         "n_docs": n_docs,
@@ -279,6 +288,7 @@ def main() -> None:
         "dismax",
         "prefix_query",
         "term_query_pruned",
+        "boolean_or_hot",
         "boolean_or_pruned",
     ]
     query_names = [k for k in timings if k not in ("index_build", "ann_graph_build")]

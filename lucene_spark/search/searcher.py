@@ -188,6 +188,8 @@ class IndexSearcher:
         #: distributions — near-duplicate corpora — land here) and the
         #: plain one-shuffle disjunction is strictly cheaper
         self.essential_max_candidates = 16384
+        #: why the last global essential split declined ("nosplit" | "cap")
+        self._essential_fail_reason: str | None = None
         self._stats_memo: dict[tuple[str, str], tuple[int, int]] = {}
         #: per-hot-term block metadata preloaded by preload_block_meta
         #: (serving layout): anchor block keys, the term's global impact
@@ -1424,6 +1426,12 @@ class IndexSearcher:
         # clauses probed, not iterated). The block-level candidate-superset
         # rescore below covers what's left, guarded by the keep-rule
         # fraction.
+        stats_base = {
+            "total_blocks": stats_counts[0] if stats_counts else -1,
+            "phase1_blocks": p1_blocks,
+            "kept_blocks": stats_counts[1] if stats_counts else -1,
+            "preloaded": pre_ok,
+        }
         out = self._disjunction_topk_essential(
             field,
             weights,
@@ -1433,13 +1441,28 @@ class IndexSearcher:
             k,
             blocks,
             decode_cols,
-            stats_base={
-                "total_blocks": stats_counts[0] if stats_counts else -1,
-                "phase1_blocks": p1_blocks,
-                "kept_blocks": stats_counts[1] if stats_counts else -1,
-                "preloaded": pre_ok,
-            },
+            stats_base=stats_base,
         )
+        if out is None and self._essential_fail_reason != "cap":
+            # global bounds defeated by norm/tf variance (one short
+            # stopword-heavy doc anywhere lifts a clause's global bound
+            # above any theta) — re-partition essential sets per doc-id
+            # WINDOW, the reference's actual loop structure
+            # (MaxScoreBulkScorer.java:26-70). Skipped when the global
+            # split failed on the CANDIDATE budget: theta and the near-
+            # identical per-window bounds produce the same flat candidate
+            # set, so the retry would pay its planning jobs and fail the
+            # same way.
+            out = self._disjunction_topk_windowed(
+                field,
+                weights,
+                theta,
+                mode_tie,
+                k,
+                blocks,
+                decode_cols,
+                stats_base=stats_base,
+            )
         if out is not None:
             return out
         if stats_counts is not None:
@@ -1561,7 +1584,10 @@ class IndexSearcher:
         Returns None when no essential split exists (theta below every
         clause bound) or the candidate set exceeds the broadcast budget —
         the caller then takes the plain one-shuffle disjunction.
+        ``self._essential_fail_reason`` records which ("nosplit" | "cap")
+        so the caller knows whether the windowed retry can still help.
         """
+        self._essential_fail_reason = None
         tie = float(F32(mode_tie)) if mode_tie is not None else None
 
         def comb(ms: list[float]) -> float:
@@ -1580,6 +1606,7 @@ class IndexSearcher:
             else:
                 break
         if not ne:
+            self._essential_fail_reason = "nosplit"
             return None
         ess = [t for t in order if t not in ne]
         ne_sum = sum(maxub[t] for t in ne)
@@ -1623,6 +1650,7 @@ class IndexSearcher:
             .collect()
         )
         if len(cand_rows) > cap:
+            self._essential_fail_reason = "cap"
             return None
         spark = self.index.docs.sparkSession
         cand = spark.createDataFrame(
@@ -1669,6 +1697,202 @@ class IndexSearcher:
             score = sm.cast("float")
         else:
             # BM25 scores are > 0, so 0 is neutral for the max
+            mx = F.greatest(
+                F.col("e_max").cast("double"),
+                F.coalesce(F.col("n_max").cast("double"), F.lit(0.0)),
+            )
+            score = (mx + F.lit(tie) * (sm - mx)).cast("float")
+        return joined.select("doc_id", score.alias("score"))
+
+    def _disjunction_topk_windowed(
+        self,
+        field: str,
+        weights: dict[str, float],
+        theta: float,
+        mode_tie: float | None,
+        k: int,
+        blocks: DataFrame,
+        decode_cols: list[str],
+        stats_base: dict[str, int],
+    ) -> DataFrame | None:
+        """Per-WINDOW MAXSCORE essential sets — the reference's actual loop
+        (``search/MaxScoreBulkScorer.java:26-70``, ``INNER_WINDOW_SIZE``
+        at ``:28``): global clause bounds are defeated by norm/tf variance
+        (one short stopword-heavy doc anywhere lifts a clause's global max
+        above any reachable theta), but within a 4096-doc window the local
+        block maxima are modest and the weak clause demotes almost
+        everywhere.
+
+        All planning is DataFrame algebra over BLOCK METADATA (term,
+        block span, block-max upper bound) — no postings decode and no
+        driver materialization, so it scales to hot terms whose metadata
+        alone is millions of rows:
+
+        1. ``wub(w, t)`` = max block bound of clause t over window w
+           (blocks explode to the 1-2 windows their span overlaps);
+        2. within each window, clauses sort by wub ascending and the
+           longest prefix whose running combined bound stays under theta
+           is NON-essential there (the predicate is monotone along the
+           sort, so the prefix property is free);
+        3. a block decodes iff its clause is essential in >= 1 window it
+           overlaps; decoded rows count toward a doc's exact partial only
+           when the clause is essential in the DOC'S OWN window;
+        4. candidates = docs whose partial + the window's non-essential
+           bound clears theta (docs with no essential postings in their
+           window are ruled out by construction: the full non-essential
+           combined bound is < theta there);
+        5. exact rescore decodes only candidate-holding blocks, adding
+           the contributions step 3 excluded (clause non-essential in the
+           doc's window) — disjoint and exhaustive vs the partial, and
+           float32 addends accumulate exactly in doubles, so the result
+           is bit-identical to the one-shot disjunction.
+
+        Returns None when the split drops too few blocks to pay for the
+        extra phases, or the candidate set exceeds the broadcast budget.
+        """
+        wsz = 4096  # INNER_WINDOW_SIZE
+        tie = float(F32(mode_tie)) if mode_tie is not None else None
+        w_first = F.floor(F.col("first_doc") / F.lit(wsz)).cast("long")
+        w_last = F.floor(F.col("last_doc") / F.lit(wsz)).cast("long")
+        wmeta = blocks.select(
+            "term",
+            "seg_id",
+            "block_ord",
+            "_ub",
+            F.explode(F.sequence(w_first, w_last)).alias("w"),
+        )
+        wub = wmeta.groupBy("w", "term").agg(F.max("_ub").alias("wub"))
+        owin = Window.partitionBy("w").orderBy(
+            F.col("wub").asc(), F.col("term").asc()
+        )
+        ps = F.sum(F.col("wub").cast("double")).over(owin)
+        if tie is None:
+            comb = ps
+        else:
+            comb = F.col("wub").cast("double") + F.lit(tie) * (
+                ps - F.col("wub").cast("double")
+            )
+        # demote only when the bound stays under theta even after float32
+        # rounding (a double a hair under theta can round UP to tie it)
+        flags = wub.withColumn("is_ne", comb.cast("float") < F.lit(theta))
+        ess_wt = flags.filter(~F.col("is_ne")).select("w", "term")
+        ne_wt = flags.filter(F.col("is_ne")).select("w", "term", "wub")
+
+        e_sel = (
+            wmeta.join(ess_wt, ["w", "term"], "left_semi")
+            .select("term", "seg_id", "block_ord")
+            .distinct()
+        )
+        # worth it? one metadata-only job: total vs essential block counts
+        cnt = (
+            blocks.select("term", "seg_id", "block_ord")
+            .join(e_sel.withColumn("_e", F.lit(1)), ["term", "seg_id", "block_ord"], "left")
+            .agg(
+                F.count("*").alias("tot"),
+                F.sum(F.coalesce(F.col("_e"), F.lit(0))).alias("ess"),
+            )
+            .collect()[0]
+        )
+        tot_blocks, ess_blocks = int(cnt["tot"]), int(cnt["ess"] or 0)
+        if ess_blocks >= 0.95 * tot_blocks:
+            return None  # split drops too little to pay for extra phases
+        w_doc = F.floor(F.col("doc_id") / F.lit(wsz)).cast("long")
+        w_col = F.lit(None).cast("float")
+        for t, wv in weights.items():
+            w_col = F.when(F.col("term") == t, F.lit(wv).cast("float")).otherwise(
+                w_col
+            )
+        e_rows = (
+            blocks.join(e_sel, ["term", "seg_id", "block_ord"], "left_semi")
+            .select(decode_cols)
+            .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
+        )
+        e_per = e_rows.select(
+            "doc_id",
+            w_doc.alias("w"),
+            "term",
+            self._score_col(field, F.col("freq"), F.col("norm"), w_col).alias("s"),
+        ).join(ess_wt, ["w", "term"], "left_semi")
+        e_agg = e_per.groupBy("doc_id", "w").agg(
+            F.sum(F.col("s").cast("double")).alias("e_sum"),
+            F.max("s").alias("e_max"),
+        )
+        nb = ne_wt.groupBy("w").agg(
+            F.sum(F.col("wub").cast("double")).alias("ne_sum"),
+            F.max("wub").alias("ne_max"),
+        )
+        with_nb = e_agg.join(nb, "w", "left")
+        sm_ub = F.col("e_sum") + F.coalesce(F.col("ne_sum"), F.lit(0.0))
+        if tie is None:
+            ub = sm_ub
+        else:
+            mx_ub = F.greatest(
+                F.col("e_max").cast("double"),
+                F.coalesce(F.col("ne_max").cast("double"), F.lit(0.0)),
+            )
+            ub = mx_ub + F.lit(tie) * (sm_ub - mx_ub)
+        cap = min(
+            self.prune_max_candidates, max(self.essential_max_candidates, 64 * k)
+        )
+        cand_rows = (
+            with_nb.filter(ub.cast("float") >= F.lit(theta))
+            .select("doc_id", "w", "e_sum", "e_max")
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(cand_rows) > cap:
+            return None
+        spark = self.index.docs.sparkSession
+        cand = spark.createDataFrame(
+            [
+                (int(r["doc_id"]), int(r["w"]), float(r["e_sum"]), float(r["e_max"]))
+                for r in cand_rows
+            ],
+            schema="doc_id long, w long, e_sum double, e_max float",
+        )
+        # rescore side: EVERY block whose span holds a candidate (essential
+        # blocks included — a block essential in one window may hold a
+        # candidate in a neighboring window where its clause demoted); the
+        # is_ne filter keeps it disjoint from the partial
+        needed = blocks.join(
+            F.broadcast(cand.select("doc_id")),
+            (F.col("doc_id") >= F.col("first_doc"))
+            & (F.col("doc_id") <= F.col("last_doc")),
+            "left_semi",
+        )
+        if self.collect_prune_stats:
+            self.last_prune_stats = {
+                **stats_base,
+                "total_blocks": tot_blocks,
+                "essential_blocks": ess_blocks,
+                "rescore_blocks": needed.count(),
+                "n_candidates": len(cand_rows),
+                "fell_back": False,
+                "strategy": "maxscore_windowed",
+            }
+        n_per = (
+            needed.select(decode_cols)
+            .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
+            .join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+            .select(
+                "doc_id",
+                w_doc.alias("w"),
+                "term",
+                self._score_col(field, F.col("freq"), F.col("norm"), w_col).alias(
+                    "s"
+                ),
+            )
+            .join(ne_wt.select("w", "term"), ["w", "term"], "left_semi")
+        )
+        n_agg = n_per.groupBy("doc_id").agg(
+            F.sum(F.col("s").cast("double")).alias("n_sum"),
+            F.max("s").alias("n_max"),
+        )
+        joined = cand.join(n_agg, "doc_id", "left")
+        sm = F.col("e_sum") + F.coalesce(F.col("n_sum"), F.lit(0.0))
+        if tie is None:
+            score = sm.cast("float")
+        else:
             mx = F.greatest(
                 F.col("e_max").cast("double"),
                 F.coalesce(F.col("n_max").cast("double"), F.lit(0.0)),

@@ -356,3 +356,64 @@ def test_preloaded_maxub_matches_jvm_block_bound(built):
             .collect()[0][0]
         )
         assert got == float(jvm), (term, got, jvm)
+
+
+def test_windowed_maxscore_engages_on_local_hotness(spark):
+    """Per-window MAXSCORE (MaxScoreBulkScorer.java:26-70): when every
+    clause has a high GLOBAL bound (a freak short high-tf doc somewhere),
+    the global essential split cannot demote anything ("nosplit"), but
+    within each 4096-doc window only the locally-hot clause is essential
+    — the windowed strategy decodes ~1/3 of the blocks and stays
+    bit-identical to the plain disjunction.
+
+    Corpus: 12,288 regular docs (all three terms once, long) in exactly
+    three windows; 3 freak docs per term (term^50, nothing else), one
+    term's freaks per window; 30,000 short filler docs (no query terms)
+    deflate avgdl so regular tf=1 contributions stay small enough that
+    the freak bounds exceed theta."""
+    FILL = [f"w{j % 89}" for j in range(400)]
+    rows = []
+    for i in range(12288):
+        L = 220 + (i * 37) % 61
+        rows.append(("r", f"p{i}", "c", "t", " ".join(["aaa", "bbb", "ccc"] + FILL[: L - 3])))
+    freak = {10: "aaa", 11: "aaa", 12: "aaa",
+             4106: "bbb", 4107: "bbb", 4108: "bbb",
+             8202: "ccc", 8203: "ccc", 8204: "ccc"}
+    for i, t in freak.items():
+        rows[i] = ("r", f"p{i}", "c", "t", " ".join([t] * 50))
+    for i in range(30000):
+        rows.append(("r", f"f{i}", "c", "t", " ".join(FILL[:10])))
+    corpus = spark.createDataFrame(
+        rows, schema="repo string, path string, commit string, lang string, content string"
+    )
+    cfg = IndexConfig(text_col="content", field_name="content", order_by=None)
+    idx = build_index(spark, corpus, cfg)
+    idx.postings.persist()
+    try:
+        searcher = IndexSearcher(idx, prune_min_df=1)
+        searcher.collect_prune_stats = True
+        q = Q.BooleanQuery.of(
+            should=[
+                Q.TermQuery("content", "aaa"),
+                Q.TermQuery("content", "bbb"),
+                Q.TermQuery("content", "ccc"),
+            ]
+        )
+        pruned = searcher.search(q, k=10).collect()
+        stats = searcher.last_prune_stats
+        assert stats is not None
+        assert stats["strategy"] == "maxscore_windowed", stats
+        assert stats["fell_back"] is False
+        # the split is real: about one clause of three decodes per window
+        assert stats["essential_blocks"] < 0.6 * stats["total_blocks"], stats
+        # and the global split really was defeated (not just skipped)
+        assert searcher._essential_fail_reason == "nosplit"
+        full = searcher.search(q, k=10, prune=False).collect()
+        assert [(r["doc_id"], r["score"]) for r in pruned] == [
+            (r["doc_id"], r["score"]) for r in full
+        ]
+        # the freaks dominate the top-9: three per term
+        top_terms = [r["doc_id"] for r in pruned[:9]]
+        assert set(top_terms) == set(freak.keys())
+    finally:
+        idx.postings.unpersist()
