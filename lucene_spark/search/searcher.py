@@ -1443,6 +1443,7 @@ class IndexSearcher:
             decode_cols,
             stats_base=stats_base,
         )
+        windowed_skip: str | None = None
         if out is None and self._essential_fail_reason != "cap":
             # global bounds defeated by norm/tf variance (one short
             # stopword-heavy doc anywhere lifts a clause's global bound
@@ -1452,17 +1453,25 @@ class IndexSearcher:
             # split failed on the CANDIDATE budget: theta and the near-
             # identical per-window bounds produce the same flat candidate
             # set, so the retry would pay its planning jobs and fail the
-            # same way.
-            out = self._disjunction_topk_windowed(
-                field,
-                weights,
-                theta,
-                mode_tie,
-                k,
-                blocks,
-                decode_cols,
-                stats_base=stats_base,
-            )
+            # same way. Also skipped when the preloaded bound histograms
+            # prove the clause bounds FLAT (uniformly-hot pairs): no
+            # window could demote anything, so the retry's planning job
+            # is pure loss on the way to the same fallback.
+            if self._windowed_split_promising(
+                field, weights, maxub, theta, mode_tie
+            ):
+                out = self._disjunction_topk_windowed(
+                    field,
+                    weights,
+                    theta,
+                    mode_tie,
+                    k,
+                    blocks,
+                    decode_cols,
+                    stats_base=stats_base,
+                )
+            else:
+                windowed_skip = "flat_hist"
         if out is not None:
             return out
         if stats_counts is not None:
@@ -1489,6 +1498,7 @@ class IndexSearcher:
                     "rescore_blocks": 0,
                     "fell_back": True,
                     "preloaded": pre_ok,
+                    **({"windowed": windowed_skip} if windowed_skip else {}),
                 }
             return fallback
         # candidate docs: superset of the true top-k (step 2 of docstring).
@@ -1703,6 +1713,57 @@ class IndexSearcher:
             )
             score = (mx + F.lit(tie) * (sm - mx)).cast("float")
         return joined.select("doc_id", score.alias("score"))
+
+    def _windowed_split_promising(
+        self,
+        field: str,
+        weights: dict[str, float],
+        maxub: dict[str, float],
+        theta: float,
+        mode_tie: float | None,
+    ) -> bool:
+        """Zero-job cost guard for the windowed retry, driver-side from the
+        preloaded block-bound histograms (``preload_block_meta``).
+
+        Per-window MAXSCORE beats the global split only when some clause's
+        GLOBAL max bound is an OUTLIER of its per-block bound distribution
+        (one freak short high-tf doc): most windows then see the far lower
+        typical bound and demote the clause. Test: re-run the essential-
+        split engagement check with each clause's p95 block bound in place
+        of its max — engagement at p95 means typical windows can demote
+        the weakest clause, so the retry is worth its planning job.
+        Failure even at p95 is the uniformly-hot shape (stopword pairs:
+        bound mass concentrated at the top bins, exactly what
+        ``MaxScoreBulkScorer`` cannot prune either) — skip the retry and
+        fall straight back to the one-shuffle disjunction.
+
+        COST decision only: the fallback is exact either way; a wrong
+        guess here wastes or saves one metadata planning job, never
+        changes results. Returns True (keep the retry) whenever any
+        clause lacks preloaded histograms — no evidence, no skip."""
+        q: dict[str, float] = {}
+        for t in maxub:
+            m = self._block_meta.get((field, t))
+            if m is None:
+                return True
+            tot = int(m["bins"].sum())
+            w = weights.get(t, 0.0)
+            if tot <= 0 or m["max_sat"] <= 0.0 or w <= 0.0:
+                q[t] = maxub[t]
+                continue
+            # p95 block bound via the bin UPPER edge — over-estimates, so
+            # the guard can only err toward KEEPING the retry
+            edge = int(np.searchsorted(np.cumsum(m["bins"]), 0.95 * tot))
+            q[t] = (
+                w * (min(edge, self.N_BINS - 1) + 1) / self.N_BINS * m["max_sat"]
+            )
+        if len(q) < 2:
+            return False  # degenerate: nothing to demote
+        # engagement check mirrors _disjunction_topk_essential: the split
+        # exists iff the WEAKEST clause's combined solo bound clears under
+        # theta (comb of a single element is the element for both sum and
+        # dismax combiners)
+        return min(q.values()) < theta
 
     def _disjunction_topk_windowed(
         self,

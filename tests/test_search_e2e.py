@@ -417,3 +417,57 @@ def test_windowed_maxscore_engages_on_local_hotness(spark):
         assert set(top_terms) == set(freak.keys())
     finally:
         idx.postings.unpersist()
+
+
+def test_flat_hot_disjunction_skips_windowed_retry_from_histograms(spark):
+    """The windowed retry's zero-job cost guard
+    (``_windowed_split_promising``): when the preloaded block-bound
+    histograms show every clause's p95 block bound at its max (uniformly-
+    hot shape — every 256-doc block holds a max-bound doc for each
+    clause), no 4096-doc window can demote anything, so the retry's
+    planning job is skipped driver-side and the query falls straight back
+    to the exact one-shuffle disjunction.
+
+    Symmetric fixture so the GLOBAL split fails with nosplit (not cap):
+    per 128 docs, one aaa-only freak and one bbb-only freak (identical
+    tf/length, and equal dfs by construction, so the two clauses' max
+    bounds are bit-identical and theta — the k-th exact combined score,
+    set by the freaks — EQUALS each clause's bound; nothing demotes)."""
+    rows = []
+    FILL = [f"w{j % 89}" for j in range(400)]
+    for i in range(12800):
+        if i % 128 == 0:
+            rows.append(("r", f"p{i}", "c", "t", " ".join(["aaa"] * 8)))
+        elif i % 128 == 64:
+            rows.append(("r", f"p{i}", "c", "t", " ".join(["bbb"] * 8)))
+        else:
+            rows.append(
+                ("r", f"p{i}", "c", "t", " ".join(["aaa", "bbb"] + FILL[:298]))
+            )
+    corpus = spark.createDataFrame(
+        rows,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    cfg = IndexConfig(text_col="content", field_name="content", order_by=None)
+    idx = build_index(spark, corpus, cfg)
+    idx.postings.persist()
+    try:
+        searcher = IndexSearcher(idx, prune_min_df=1)
+        searcher.preload_stats()
+        assert searcher.preload_block_meta() >= 2
+        searcher.collect_prune_stats = True
+        q = Q.BooleanQuery.of(
+            should=[Q.TermQuery("content", "aaa"), Q.TermQuery("content", "bbb")]
+        )
+        pruned = searcher.search(q, k=10).collect()
+        stats = searcher.last_prune_stats
+        assert stats is not None
+        assert stats["fell_back"] is True, stats
+        assert stats.get("windowed") == "flat_hist", stats
+        assert searcher._essential_fail_reason == "nosplit"
+        full = searcher.search(q, k=10, prune=False).collect()
+        assert [(r["doc_id"], r["score"]) for r in pruned] == [
+            (r["doc_id"], r["score"]) for r in full
+        ]
+    finally:
+        idx.postings.unpersist()
