@@ -1357,20 +1357,21 @@ class IndexSearcher:
                 ),
             )
         )
-        anchor_ids = [
-            int(r["doc_id"])
-            for r in anchor_sc.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        # the k anchor docs stay IN-PLAN (sort + limit behind broadcast
+        # joins) instead of round-tripping through the driver: theta then
+        # costs ONE Spark job barrier, not two — phase latency, not decode
+        # volume, is what bounds pruned-path wall time at serving scale
+        # (BENCH.md hot-OR analysis). The tiny limit-k side broadcasts;
+        # both joins share the identical subplan, so exchange reuse (or at
+        # worst a second <=16-block decode inside the same job) covers the
+        # recompute.
+        anchor_top = (
+            anchor_sc.orderBy(F.col("s").desc(), F.col("doc_id").asc())
             .limit(k)
-            .collect()
-        ]
-        if len(anchor_ids) < k:
-            return fallback  # not enough hits to prune safely
-        spark = self.index.docs.sparkSession
-        anchor_df = spark.createDataFrame(
-            [(x,) for x in anchor_ids], schema="doc_id long"
+            .select("doc_id")
         )
         probe = blocks.join(
-            F.broadcast(anchor_df),
+            F.broadcast(anchor_top),
             (F.col("doc_id") >= F.col("first_doc"))
             & (F.col("doc_id") <= F.col("last_doc")),
             "left_semi",
@@ -1384,7 +1385,7 @@ class IndexSearcher:
         exact0 = combine(
             probe.select(decode_cols)
             .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
-            .join(F.broadcast(anchor_df), "doc_id", "left_semi")
+            .join(F.broadcast(anchor_top), "doc_id", "left_semi")
         )
         rows = (
             exact0.orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -1392,6 +1393,9 @@ class IndexSearcher:
             .collect()
         )
         if len(rows) < k:
+            # fewer than k exact anchor scores — covers the old
+            # "len(anchor_ids) < k" fallback too (combine over the anchor
+            # semi-join yields exactly one row per anchor doc)
             return fallback
         theta = float(rows[-1]["score"])
 
