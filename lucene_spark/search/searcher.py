@@ -1170,22 +1170,57 @@ class IndexSearcher:
             )
         )
         top1 = scored1.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
-        rows = top1.collect()
-        if len(rows) < k:
-            return self._scored(q, F32(1.0), ctx)  # not enough hits to prune safely
-        theta = rows[-1]["score"]
         key = F.concat_ws("#", F.col("seg_id"), F.col("block_ord"))
         p1_set = [f"{s}#{b}" for s, b in p1_keys]
-        remaining = blocks.filter(
-            (F.col("_ub") >= F.lit(float(theta)).cast("float")) & ~key.isin(p1_set)
-        )
         if self.collect_prune_stats:
+            # observable two-job path: theta and the block counters come
+            # back to the driver so last_prune_stats can report them
+            rows = top1.collect()
+            if len(rows) < k:
+                return self._scored(q, F32(1.0), ctx)  # not enough hits to prune
+            theta = rows[-1]["score"]
+            remaining = blocks.filter(
+                (F.col("_ub") >= F.lit(float(theta)).cast("float"))
+                & ~key.isin(p1_set)
+            )
             self.last_prune_stats = {
                 "total_blocks": blocks.count(),
                 "phase1_blocks": len(p1_keys),
                 "kept_blocks": remaining.count(),
                 "rescore_blocks": 0,
             }
+            scored2 = (
+                remaining.select(decode_cols)
+                .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
+                .select(
+                    "doc_id",
+                    self._score_col(field, F.col("freq"), F.col("norm"), w).alias(
+                        "score"
+                    ),
+                )
+            )
+            spark = self.index.docs.sparkSession
+            top1_df = spark.createDataFrame(
+                [(int(r["doc_id"]), float(r["score"])) for r in rows],
+                schema="doc_id long, score double",
+            ).select("doc_id", F.col("score").cast("float").alias("score"))
+            return top1_df.unionByName(scored2)
+        # serving path: theta stays IN-PLAN — the k-th phase-1 score is a
+        # broadcast scalar, so the whole pruned term query is ONE Spark
+        # job (with preloaded anchors there is no planning job either).
+        # Under-filled anchors (fewer than k phase-1 hits) degrade theta
+        # to -inf in-plan: phase 2 then keeps every non-anchor block and
+        # the union equals the unpruned full decode — same results the
+        # driver-side fallback would produce, without a branch barrier.
+        th = top1.agg(
+            F.when(F.count("*") >= F.lit(k), F.min("score"))
+            .otherwise(F.lit(float("-inf")))
+            .cast("float")
+            .alias("_theta")
+        )
+        remaining = blocks.crossJoin(F.broadcast(th)).filter(
+            (F.col("_ub") >= F.col("_theta")) & ~key.isin(p1_set)
+        )
         scored2 = (
             remaining.select(decode_cols)
             .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
@@ -1194,12 +1229,7 @@ class IndexSearcher:
                 self._score_col(field, F.col("freq"), F.col("norm"), w).alias("score"),
             )
         )
-        spark = self.index.docs.sparkSession
-        top1_df = spark.createDataFrame(
-            [(int(r["doc_id"]), float(r["score"])) for r in rows],
-            schema="doc_id long, score double",
-        ).select("doc_id", F.col("score").cast("float").alias("score"))
-        return top1_df.unionByName(scored2)
+        return top1.unionByName(scored2)
 
     def _disjunction_topk_pruned(
         self, clauses: list[Q.TermQuery], mode_tie: float | None, k: int
