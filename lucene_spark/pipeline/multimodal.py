@@ -5,13 +5,18 @@ per-item work (decode, frame-sample) runs as Arrow-batched pandas UDFs via
 ``mapInPandas`` so each Spark task streams record batches without
 materializing a partition.
 
-The decode path is REAL: payloads are uncompressed 24-bit BMP images (a
-pure-stdlib codec — no PIL/libjpeg needed in this environment), optionally
-wrapped in a tiny multi-frame container (``LSMF`` magic + frame count) for
-the video case. ``decode_image`` parses the actual BITMAPFILEHEADER /
-BITMAPINFOHEADER and pixel rows (4-byte-aligned, bottom-up) and computes
-mean intensity from the pixel bytes. JPEG/PNG/ffmpeg formats raise — wire
-a library decoder into ``decode_image`` and every downstream operator
+The decode path is REAL: payloads are uncompressed 24-bit BMP images or
+COMPRESSED PNG images (pure-stdlib codecs — BMP via struct, PNG via zlib
+DEFLATE with full scanline-filter reconstruction; no PIL/libjpeg needed
+in this environment), optionally wrapped in a tiny multi-frame container
+(``LSMF`` magic + frame count) for the video case. ``decode_image``
+dispatches on the file magic: BMP parses the actual BITMAPFILEHEADER /
+BITMAPINFOHEADER and pixel rows (4-byte-aligned, bottom-up); PNG walks
+the chunk list (IHDR/IDAT/IEND, CRC-checked), inflates the IDAT stream
+and reconstructs all five filter types (None/Sub/Up/Average/Paeth) per
+the PNG spec, for 8-bit grayscale and truecolor. Mean intensity comes
+from the reconstructed pixel bytes. JPEG/ffmpeg formats raise — wire a
+library decoder into ``decode_image`` and every downstream operator
 (schema, batching, partitioning) is unchanged.
 
 The synthetic payload generator is deterministic (dimensions and frame
@@ -24,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -42,6 +48,7 @@ from pyspark.sql.types import (
 __all__ = [
     "attach_payload",
     "encode_bmp",
+    "encode_png",
     "decode_image",
     "decode_container",
     "image_meta",
@@ -73,16 +80,127 @@ def encode_bmp(width: int, height: int, row_values: list[int]) -> bytes:
     return header + info + b"".join(rows)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, row_values: list[int]) -> bytes:
+    """8-bit grayscale PNG (color type 0, non-interlaced); row y is the
+    constant intensity ``row_values[y]``. Scanlines use filter 0 and the
+    IDAT stream is real zlib DEFLATE — a conforming decoder (this module's
+    or any library's) reads these bytes."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes([row_values[y] & 0xFF]) * width for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct PNG scanlines (spec §9 'Filtering'): ``raw`` is the
+    inflated IDAT stream reshaped to (height, 1 + stride); returns the
+    (height, stride) reconstructed bytes. All five filter types."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype == 1:  # Sub — prefix dependency, sequential per pixel
+            rec = line.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} is not in the spec")
+        prev = (rec & 0xFF).astype(np.uint8)
+        out[y] = prev
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, float]:
+    """Chunk walk + inflate + unfilter for 8-bit grayscale (color type 0)
+    and truecolor (type 2), non-interlaced — the shapes this pipeline
+    emits and the common ones in the wild. CRCs are verified (the role
+    CheckIndex's checksum pass plays for index files)."""
+    pos = len(_PNG_SIG)
+    width = height = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} fails CRC")
+        if tag == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8 or color_type not in (0, 2) or interlace != 0:
+                raise NotImplementedError(
+                    "built-in PNG codec reads 8-bit gray/truecolor, "
+                    "non-interlaced; wire PIL here for other shapes"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("PNG payload missing IHDR or IDAT")
+    bpp = 1 if color_type == 0 else 3
+    stride = width * bpp
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (1 + stride):
+        raise ValueError("PNG IDAT stream length does not match dimensions")
+    px = _png_unfilter(raw.reshape(height, 1 + stride), height, stride, bpp)
+    return int(width), int(height), float(px.mean()) / 255.0
+
+
 def decode_image(payload: bytes) -> tuple[int, int, float]:
-    """Parse a real BMP payload -> (width, height, mean_intensity).
+    """Parse a real BMP or PNG payload -> (width, height, mean_intensity).
 
     mean_intensity = mean of all pixel channel bytes / 255 (padding
-    excluded). Non-BMP formats raise — swap in a library decoder here.
+    excluded). Other formats raise — swap in a library decoder here.
     """
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if payload[:2] != b"BM":
         raise NotImplementedError(
-            "only the built-in BMP codec is available in this environment; "
-            "wire PIL/libjpeg here for other formats — downstream plumbing "
+            "built-in codecs cover BMP and PNG in this environment; wire "
+            "PIL/libjpeg here for other formats — downstream plumbing "
             "is format-agnostic"
         )
     off = struct.unpack_from("<I", payload, 10)[0]
@@ -113,10 +231,12 @@ def _h60(data: bytes) -> int:
     return int(hashlib.md5(data).hexdigest()[:15], 16)
 
 
-def _make_payload(text: str) -> bytes:
-    """Deterministic multi-frame BMP payload for one doc: dimensions/frame
-    count from md5(text); rows alternate two constant intensities (closed-
-    form mean for the SQL oracle)."""
+def _make_payload(text: str, fmt: str = "bmp") -> bytes:
+    """Deterministic multi-frame image payload for one doc: dimensions and
+    frame count from md5(text); rows alternate two constant intensities
+    (closed-form mean for the SQL oracle — identical for both codecs,
+    since BMP replicates each row value across 3 channels and PNG stores
+    it once in grayscale, and the mean is per channel byte)."""
     h = _h60(text.encode("utf-8"))
     width = 16 + h % 240
     height = 16 + (h // 256) % 240
@@ -124,7 +244,8 @@ def _make_payload(text: str) -> bytes:
     v1 = h % 256
     v2 = (h // 16777216) % 256
     rows = [v1 if y % 2 == 0 else v2 for y in range(height)]
-    frame = encode_bmp(width, height, rows)
+    enc = encode_bmp if fmt == "bmp" else encode_png
+    frame = enc(width, height, rows)
     return _MAGIC + struct.pack("<I", n_frames) + frame * n_frames
 
 
@@ -139,24 +260,31 @@ _PAYLOAD_SCHEMA = StructType(
 
 
 def attach_payload(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fmt: str = "bmp",
 ) -> DataFrame:
     """(doc_id, payload:binary, mime, n_bytes) — the multimodal column
-    shape, payload = REAL multi-frame BMP bytes synthesized per doc. A
-    production pipeline reads ``binaryFile`` sources or Iceberg binary
-    columns into the same schema."""
+    shape, payload = REAL multi-frame image bytes synthesized per doc
+    (``fmt``: "bmp" uncompressed or "png" zlib-compressed; same decoded
+    metadata either way). A production pipeline reads ``binaryFile``
+    sources or Iceberg binary columns into the same schema."""
+    if fmt not in ("bmp", "png"):
+        raise ValueError(f"fmt must be 'bmp' or 'png', got {fmt!r}")
+    mime = f"video/x-lsmf-{fmt}"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = [
-                _make_payload(t if isinstance(t, str) else "")
+                _make_payload(t if isinstance(t, str) else "", fmt)
                 for t in pdf[text_col].fillna("")
             ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "payload": payloads,
-                    "mime": "video/x-lsmf-bmp",
+                    "mime": mime,
                     "n_bytes": np.array([len(p) for p in payloads], dtype="int64"),
                 }
             )

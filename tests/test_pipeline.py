@@ -151,8 +151,8 @@ def test_multimodal_meta_and_frames(docs):
 
 def test_real_decode_roundtrip():
     """The decode path is REAL: a stdlib BMP codec parses actual headers
-    and pixel rows; non-BMP formats still raise until a library decoder is
-    wired in."""
+    and pixel rows; unsupported formats still raise until a library
+    decoder is wired in."""
     payload = multimodal.encode_bmp(5, 4, [10, 200, 10, 200])
     w, h, mean = multimodal.decode_image(payload)
     assert (w, h) == (5, 4)
@@ -165,6 +165,93 @@ def test_real_decode_roundtrip():
     )
     assert n == 3
     assert multimodal.decode_image(frame)[0] == 5
+
+
+def test_png_codec_roundtrip_and_filters():
+    """The PNG path is a real compressed-format decode: zlib DEFLATE
+    inflate + chunk CRC verification + scanline-filter reconstruction.
+    Same synthetic rows through BMP and PNG decode to identical meta, and
+    a hand-filtered truecolor image using ALL FIVE filter types (spec §9)
+    reconstructs bit-exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rows = [10 if y % 2 == 0 else 200 for y in range(33)]
+    assert multimodal.decode_image(multimodal.encode_png(17, 33, rows)) == (
+        multimodal.decode_image(multimodal.encode_bmp(17, 33, rows))
+    )
+    rng = np.random.RandomState(7)
+    W, H, BPP = 9, 5, 3
+    img = rng.randint(0, 256, size=(H, W * BPP), dtype=np.uint8)
+
+    def filt(y, ftype):
+        line = img[y].astype(np.int32)
+        prev = img[y - 1].astype(np.int32) if y > 0 else np.zeros(W * BPP, np.int32)
+        out = np.zeros(W * BPP, np.int32)
+        for x in range(W * BPP):
+            a = int(line[x - BPP]) if x >= BPP else 0
+            b = int(prev[x])
+            c = int(prev[x - BPP]) if x >= BPP else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (line[x] - pred) & 0xFF
+        return bytes([ftype]) + bytes(out.astype(np.uint8))
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(filt(y, y % 5) for y in range(H))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, mean = multimodal.decode_image(png)
+    assert (w, h) == (W, H)
+    assert abs(mean - float(img.mean()) / 255.0) < 1e-12
+    corrupted = bytearray(png)
+    corrupted[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_image(bytes(corrupted))
+
+
+def test_png_payload_meta_matches_bmp(docs):
+    """attach_payload(fmt='png') rides the same Spark plumbing and decodes
+    to the same metadata as the BMP payloads (grayscale stores each row
+    value once, BMP three times — per-channel mean is identical)."""
+    bmp = {
+        r["doc_id"]: r
+        for r in multimodal.image_meta(
+            multimodal.attach_payload(docs, text_col="text")
+        ).collect()
+    }
+    png_media = multimodal.attach_payload(docs, text_col="text", fmt="png")
+    png = {r["doc_id"]: r for r in multimodal.image_meta(png_media).collect()}
+    assert set(png) == set(bmp)
+    for d in bmp:
+        for col in ("width", "height", "n_frames"):
+            assert png[d][col] == bmp[d][col], (d, col)
+        assert abs(png[d]["mean_intensity"] - bmp[d]["mean_intensity"]) < 1e-12
+    mimes = {r["mime"] for r in png_media.select("mime").distinct().collect()}
+    assert mimes == {"video/x-lsmf-png"}
 
 
 def _topk_sets(df):
