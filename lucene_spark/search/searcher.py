@@ -190,6 +190,10 @@ class IndexSearcher:
         self.essential_max_candidates = 16384
         #: why the last global essential split declined ("nosplit" | "cap")
         self._essential_fail_reason: str | None = None
+        #: persisted essential-partial frames whose plans a prior query
+        #: returned (essential-completion branch); unpersisted at the next
+        #: search()/search_many() entry so at most one lingers
+        self._deferred_unpersist: list[DataFrame] = []
         self._stats_memo: dict[tuple[str, str], tuple[int, int]] = {}
         #: per-hot-term block metadata preloaded by preload_block_meta
         #: (serving layout): anchor block keys, the term's global impact
@@ -211,6 +215,16 @@ class IndexSearcher:
                 "array<float>"
             )
 
+    def _drain_deferred_unpersist(self) -> None:
+        """Unpersist essential-partial frames kept alive for a prior
+        query's returned plan (essential-completion branch)."""
+        for df_ in self._deferred_unpersist:
+            try:
+                df_.unpersist()
+            except Exception:
+                pass
+        self._deferred_unpersist.clear()
+
     # ------------------------------------------------------------------ public
 
     def search(
@@ -221,6 +235,7 @@ class IndexSearcher:
         prune: bool = True,
     ) -> DataFrame:
         """Top-k (doc_id, score), score desc / doc_id asc, searchAfter anchor."""
+        self._drain_deferred_unpersist()
         # pruning is unsafe with deletes: a deleted doc could set the
         # phase-1 bound and prune blocks holding live competitive docs
         prunable = prune and after is None and self.index.deletes is None
@@ -1687,6 +1702,10 @@ class IndexSearcher:
         # double ub within half a float32-ulp below theta can round UP to
         # exactly theta — fl32 is monotonic, so fl32(ub) >= fl32(true sum)
         # keeps every doc whose rounded score ties theta
+        # persist the essential partials: the candidate filter reads them
+        # now, and on cap overflow the COMPLETION branch below reuses them
+        # instead of throwing the decode away (success unpersists at once)
+        e_agg = e_agg.persist()
         cand_rows = (
             e_agg.filter(ub.cast("float") >= F.lit(theta))
             .select("doc_id", "e_sum", "e_max")
@@ -1695,7 +1714,58 @@ class IndexSearcher:
         )
         if len(cand_rows) > cap:
             self._essential_fail_reason = "cap"
-            return None
+            # EXACT COMPLETION: the flat-score shape (a large fraction of
+            # docs within a whisker of theta) used to discard the already-
+            # executed essential decode and fall back to a FULL re-decode —
+            # 2x the postings I/O of the plain disjunction on exactly the
+            # hottest queries. Instead, finish the job: decode ONLY the
+            # non-essential clauses' blocks and combine with the persisted
+            # essential partials (full outer — a doc may hold only ne or
+            # only ess clauses). Total postings decoded = the plain path's,
+            # once. Bit-identical: every per-(doc,term) float32 addend is
+            # exact in double and clause counts are small, so the split
+            # double sums equal the one-shot double sum.
+            n_per_all = (
+                blocks.filter(F.col("term").isin(ne))
+                .select(decode_cols)
+                .mapInPandas(_decode_blocks, schema=_DECODE_SCHEMA)
+                .select(
+                    "doc_id",
+                    self._score_col(
+                        field, F.col("freq"), F.col("norm"), w_col
+                    ).alias("s"),
+                )
+            )
+            n_agg_all = n_per_all.groupBy("doc_id").agg(
+                F.sum(F.col("s").cast("double")).alias("n_sum"),
+                F.max("s").alias("n_max"),
+            )
+            joined = e_agg.join(n_agg_all, "doc_id", "full_outer")
+            sm = F.coalesce(F.col("e_sum"), F.lit(0.0)) + F.coalesce(
+                F.col("n_sum"), F.lit(0.0)
+            )
+            if tie is None:
+                score = sm.cast("float")
+            else:
+                mx = F.greatest(
+                    F.coalesce(F.col("e_max").cast("double"), F.lit(0.0)),
+                    F.coalesce(F.col("n_max").cast("double"), F.lit(0.0)),
+                )
+                score = (mx + F.lit(tie) * (sm - mx)).cast("float")
+            if self.collect_prune_stats:
+                self.last_prune_stats = {
+                    **stats_base,
+                    "essential_blocks": e_blocks.count(),
+                    "rescore_blocks": -1,
+                    "n_candidates": len(cand_rows),
+                    "fell_back": False,
+                    "strategy": "essential_completion",
+                }
+            # the returned plan references the persisted partials; drained
+            # at the next search()/search_many() entry
+            self._deferred_unpersist.append(e_agg)
+            return joined.select("doc_id", score.alias("score"))
+        e_agg.unpersist()  # success: the collected cand rows carry the partials
         spark = self.index.docs.sparkSession
         cand = spark.createDataFrame(
             [
@@ -2011,6 +2081,7 @@ class IndexSearcher:
         (slop=0) — the single-shuffle query families keyable by query_id;
         other query types raise — run those individually.
         """
+        self._drain_deferred_unpersist()
         field = self.index.config.field_name
         term_like: dict[str, Q.Query] = {}
         phrases: dict[str, Q.PhraseQuery] = {}

@@ -471,3 +471,66 @@ def test_flat_hot_disjunction_skips_windowed_retry_from_histograms(spark):
         ]
     finally:
         idx.postings.unpersist()
+
+
+def test_essential_completion_on_candidate_cap(spark):
+    """When the essential split engages but the candidate set overflows
+    the broadcast budget (flat score distribution), the searcher COMPLETES
+    the already-executed essential decode with only the non-essential
+    blocks' decode (full-outer combine) instead of discarding it and
+    re-decoding everything — strategy `essential_completion`, results
+    bit-identical to the plain disjunction.
+
+    Fixture: the strong clause sits tf=1 in 2,000 SHORT docs with
+    near-identical lengths (flat scores — theta lands inside the flat
+    mass, so every strong-clause doc plus the weak bound clears it); the
+    weak clause sits tf=1 in 2,000 LONG docs (norm-penalized bound below
+    theta -> demotes globally; similar df keeps the idfs comparable).
+    Caps are lowered so the flat candidate set overflows."""
+    rows = []
+    FILL = [f"w{j % 89}" for j in range(400)]
+    for i in range(2000):
+        L = 200 + (i * 13) % 17
+        rows.append(("r", f"a{i}", "c", "t", " ".join(["aaa"] + FILL[:L])))
+    for i in range(2000):
+        rows.append(("r", f"b{i}", "c", "t", " ".join(["bbb"] + FILL[:399])))
+    for i in range(1000):
+        rows.append(("r", f"f{i}", "c", "t", " ".join(FILL[:50])))
+    corpus = spark.createDataFrame(
+        rows,
+        schema="repo string, path string, commit string, lang string, content string",
+    )
+    cfg = IndexConfig(text_col="content", field_name="content", order_by=None)
+    idx = build_index(spark, corpus, cfg)
+    idx.postings.persist()
+    try:
+        searcher = IndexSearcher(idx, prune_min_df=1)
+        searcher.prune_max_candidates = 50  # force the cap overflow
+        searcher.collect_prune_stats = True
+        q = Q.BooleanQuery.of(
+            should=[Q.TermQuery("content", "aaa"), Q.TermQuery("content", "bbb")]
+        )
+        pruned = searcher.search(q, k=10).collect()
+        stats = searcher.last_prune_stats
+        assert stats is not None
+        assert stats["strategy"] == "essential_completion", stats
+        assert stats["fell_back"] is False
+        assert searcher._essential_fail_reason == "cap"
+        full = searcher.search(q, k=10, prune=False).collect()
+        assert [(r["doc_id"], r["score"]) for r in pruned] == [
+            (r["doc_id"], r["score"]) for r in full
+        ]
+        # the deferred-unpersist bookkeeping drained on the second search
+        assert searcher._deferred_unpersist == []
+        # dismax over the same shape completes identically
+        dq = Q.DisjunctionMaxQuery(
+            (Q.TermQuery("content", "aaa"), Q.TermQuery("content", "bbb")),
+            tie_breaker=0.4,
+        )
+        dp = searcher.search(dq, k=10).collect()
+        df_ = searcher.search(dq, k=10, prune=False).collect()
+        assert [(r["doc_id"], r["score"]) for r in dp] == [
+            (r["doc_id"], r["score"]) for r in df_
+        ]
+    finally:
+        idx.postings.unpersist()
