@@ -41,6 +41,7 @@ __all__ = [
     "SynonymMap",
     "cjk_width",
     "CJKBigrams",
+    "WordDelimiterGraph",
     "FilteredAnalyzer",
     "make_filter",
 ]
@@ -394,6 +395,224 @@ class CJKBigrams:
         return out_t, out_p
 
 
+class WordDelimiterGraph:
+    """WordDelimiterGraphFilter — split tokens at intra-word delimiters,
+    case changes and letter/number transitions
+    (``miscellaneous/WordDelimiterGraphFilter.java:121``; boundary rules
+    from ``miscellaneous/WordDelimiterIterator.java:40``). The filter the
+    reference reaches for on source-code-like tokens: ``fooBar_baz2`` ->
+    ``foo bar baz 2``.
+
+    Index-time (post-FlattenGraphFilter) stream shape:
+
+    - generated PARTS consume consecutive positions (posIncr 1 each; the
+      first part takes the source token's position, preserving any
+      stopword hole before it);
+    - CATENATIONS (``catenate_words`` joins adjacent alpha parts,
+      ``catenate_numbers`` adjacent digit parts, ``catenate_all`` joins
+      everything) and the ``preserve_original`` token are OVERLAPS at
+      their run's first emitted position (posIncr 0), so norms discount
+      them — unless the run generated no parts at all (e.g.
+      ``generate_word_parts=False, catenate_words=True``), in which case
+      the catenation itself takes the position, matching the reference's
+      single-token output for that config;
+    - a run-of-one catenation is emitted only when its parts were NOT
+      generated (the reference suppresses the verbatim duplicate);
+    - a token with no split points passes through untouched (the
+      iterator's isSingleWord fast path);
+    - an all-delimiter token emits nothing and leaves a position hole
+      (``preserve_original`` still emits it).
+
+    ``stem_english_possessive`` strips a trailing ``'s`` (straight or
+    curly apostrophe) before splitting, so ``O'Neil's`` -> ``O Neil``.
+
+    Case rules: a lower->UPPER boundary splits; an UPPER-run followed by
+    lowercase splits before its last upper (``ABCDef`` -> ``ABC Def``).
+    Digits split from letters in both directions under
+    ``split_on_numerics``.
+
+    Pure (terms, positions) -> (terms, positions, emitted_n) transform
+    over the CASED token texts — ``FilteredAnalyzer`` recovers them from
+    the tokenizer's character offsets, because the reference chain runs
+    this filter BEFORE LowerCaseFilter.
+    """
+
+    def __init__(
+        self,
+        generate_word_parts: bool = True,
+        generate_number_parts: bool = True,
+        split_on_case_change: bool = True,
+        split_on_numerics: bool = True,
+        stem_english_possessive: bool = True,
+        catenate_words: bool = False,
+        catenate_numbers: bool = False,
+        catenate_all: bool = False,
+        preserve_original: bool = False,
+    ):
+        self.generate_word_parts = generate_word_parts
+        self.generate_number_parts = generate_number_parts
+        self.split_on_case_change = split_on_case_change
+        self.split_on_numerics = split_on_numerics
+        self.stem_english_possessive = stem_english_possessive
+        self.catenate_words = catenate_words
+        self.catenate_numbers = catenate_numbers
+        self.catenate_all = catenate_all
+        self.preserve_original = preserve_original
+
+    @staticmethod
+    def _kind(ch: str) -> int:
+        """0 delimiter, 1 lower, 2 upper, 3 digit (caseless letters count
+        as lower — the iterator's ALPHA default)."""
+        if ch.isdigit():
+            return 3
+        if ch.isalpha():
+            return 2 if ch.isupper() else 1
+        return 0
+
+    def _parts(self, token: str) -> list[tuple[str, bool, bool]]:
+        """(text, has_alpha, has_digit) per subword, in order."""
+        if self.stem_english_possessive and len(token) >= 2:
+            if token[-1] in ("s", "S") and token[-2] in ("'", "’"):
+                token = token[:-2]
+        kinds = [self._kind(ch) for ch in token]
+        parts: list[tuple[str, bool, bool]] = []
+        start = None
+        n = len(token)
+        for i in range(n + 1):
+            k = kinds[i] if i < n else 0
+            if start is None:
+                if k != 0:
+                    start = i
+                continue
+            boundary = False
+            if k == 0:
+                boundary = True
+            else:
+                prev = kinds[i - 1]
+                if self.split_on_numerics and (prev == 3) != (k == 3):
+                    boundary = True
+                elif self.split_on_case_change and prev == 1 and k == 2:
+                    boundary = True
+                elif (
+                    self.split_on_case_change
+                    and prev == 2
+                    and k == 1
+                    and i - 1 > start
+                    and kinds[i - 2] == 2
+                ):
+                    # UPPER-run followed by lower: split before last upper
+                    sub = token[start : i - 1]
+                    parts.append(
+                        (sub, any(c.isalpha() for c in sub), any(c.isdigit() for c in sub))
+                    )
+                    start = i - 1
+                    continue
+            if boundary:
+                sub = token[start:i]
+                parts.append(
+                    (sub, any(c.isalpha() for c in sub), any(c.isdigit() for c in sub))
+                )
+                start = None if k == 0 else i
+        return parts
+
+    def split(self, token: str) -> list[str]:
+        """Generated part texts for one token (no catenations)."""
+        return [
+            t
+            for t, ha, hd in self._parts(token)
+            if (self.generate_word_parts and ha) or (self.generate_number_parts and hd)
+        ]
+
+    def _emit_token(self, token: str):
+        """One input token -> ([(text, takes_position)], is_passthrough)."""
+        parts = self._parts(token)
+        if (
+            len(parts) == 1
+            and parts[0][0] == token
+        ):
+            return [(token, True)], True
+        out: list[tuple[str, bool]] = []
+        gen = [
+            (self.generate_word_parts and ha) or (self.generate_number_parts and hd)
+            for _, ha, hd in parts
+        ]
+        out.extend((t, True) for (t, _, _), g in zip(parts, gen) if g)
+
+        def _catenate(select):
+            runs: list[tuple[str, int, bool]] = []  # (joined, n_parts, any_generated)
+            buf: list[str] = []
+            any_gen = False
+            for (t, ha, hd), g in zip(parts, gen):
+                if select(ha, hd):
+                    buf.append(t)
+                    any_gen = any_gen or g
+                elif buf:
+                    runs.append(("".join(buf), len(buf), any_gen))
+                    buf, any_gen = [], False
+            if buf:
+                runs.append(("".join(buf), len(buf), any_gen))
+            for joined, n_parts, any_gen in runs:
+                if n_parts >= 2 or not any_gen:
+                    out.append((joined, False))
+
+        if self.catenate_words:
+            _catenate(lambda ha, hd: ha)
+        if self.catenate_numbers:
+            _catenate(lambda ha, hd: hd and not ha)
+        if self.catenate_all and len(parts) >= 2:
+            out.append(("".join(t for t, _, _ in parts), False))
+        if self.preserve_original:
+            out.append((token, False))
+        return out, False
+
+    def apply(self, terms: list, pos) -> tuple[list, list, int]:
+        """(cased terms, positions) -> (terms, positions, emitted_n).
+
+        ``emitted_n`` counts position-consuming tokens only (overlaps
+        discounted, ``FieldInvertState.java:38-43``).
+        """
+        out_t: list = []
+        out_p: list = []
+        new_pos = -1
+        prev_in = -1
+        pending = 0
+        emitted_n = 0
+        for i, tok in enumerate(terms):
+            gap = int(pos[i]) - prev_in
+            prev_in = int(pos[i])
+            emissions, _ = self._emit_token(tok)
+            positional = [e for e in emissions if e[1]]
+            overlaps = [e for e in emissions if not e[1]]
+            if not positional and not overlaps:
+                pending += gap
+                continue
+            if positional:
+                first = True
+                for t, _ in positional:
+                    new_pos += (gap + pending) if first else 1
+                    first = False
+                    out_t.append(t)
+                    out_p.append(new_pos)
+                    emitted_n += 1
+                anchor = out_p[-len(positional)]
+                for t, _ in overlaps:
+                    out_t.append(t)
+                    out_p.append(anchor)
+            else:
+                # no generated parts: the catenation/original itself is
+                # the token (reference single-token output)
+                first = True
+                for t, _ in overlaps:
+                    new_pos += (gap + pending) if first else 0
+                    first = False
+                    out_t.append(t)
+                    out_p.append(new_pos)
+                emitted_n += 1
+            pending = 0
+        order = sorted(range(len(out_p)), key=lambda j: out_p[j])
+        return [out_t[j] for j in order], [out_p[j] for j in order], emitted_n
+
+
 def make_filter(spec):
     """Resolve a filter spec to a per-token callable:
     "ascii_folding" | "porter" | SynonymMap instance | any callable."""
@@ -427,10 +646,16 @@ class FilteredAnalyzer:
         shingle_size: int = 0,
         char_ngram: int = 0,
         cjk_bigrams: CJKBigrams | None = None,
+        word_delimiter: WordDelimiterGraph | None = None,
     ):
         from lucene_spark.analysis.tokenizer import StandardAnalyzer
 
         self.base = base or StandardAnalyzer()
+        #: runs FIRST, on the CASED token texts recovered via character
+        #: offsets (the reference chain puts WordDelimiterGraphFilter
+        #: before LowerCaseFilter); its outputs are then lowercased and
+        #: flow through the 1:1 filters / expanders like base tokens
+        self.word_delimiter = word_delimiter
         self.filters = tuple(make_filter(f) for f in filters)
         self.shingle_size = shingle_size
         self.char_ngram = char_ngram
@@ -450,7 +675,16 @@ class FilteredAnalyzer:
     def term_position_arrays(self, text: str):
         import numpy as np
 
-        terms, pos, n = self.base.term_position_arrays(text)
+        if self.word_delimiter is not None:
+            from lucene_spark.analysis.tokenizer import java_lower
+
+            _, bpos, offs, _ = self.base.term_position_offset_arrays(text)
+            cased = [text[int(s) : int(e)] for s, e in offs]
+            wterms, wpos, n = self.word_delimiter.apply(cased, bpos)
+            terms = [java_lower(t) for t in wterms]
+            pos = np.asarray(wpos, dtype=np.int32)
+        else:
+            terms, pos, n = self.base.term_position_arrays(text)
         # 1:1 filters run BEFORE bigramming — the reference chain order
         # (CJKAnalyzer: tokenizer -> CJKWidthFilter -> LowerCase ->
         # CJKBigramFilter), so width-folded halfwidth kana join bigrams
@@ -505,12 +739,13 @@ class FilteredAnalyzer:
             self.shingle_size
             or self.char_ngram
             or self.cjk_bigrams is not None
+            or self.word_delimiter is not None
             or any(isinstance(f, SynonymMap) and f.phrases for f in self.filters)
         ):
             raise NotImplementedError(
                 "offsets with expanding filters (shingle/char_ngram/"
-                "cjk_bigrams/phrase synonyms) are not supported — expanded "
-                "tokens have no single character span"
+                "cjk_bigrams/word_delimiter/phrase synonyms) are not "
+                "supported — expanded tokens have no single character span"
             )
         terms, pos, offs, n = self.base.term_position_offset_arrays(text)
         return [self._apply(t) for t in terms], pos, offs, n
@@ -527,7 +762,7 @@ class FilteredAnalyzer:
             raise NotImplementedError("tokens() with expanders; use arrays")
         from lucene_spark.analysis.tokenizer import Token
 
-        if self.cjk_bigrams is not None:
+        if self.cjk_bigrams is not None or self.word_delimiter is not None:
             terms, pos, _ = self.term_position_arrays(text)
             return [Token(t, int(p), -1, -1) for t, p in zip(terms, pos)]
         return [
@@ -540,7 +775,7 @@ class FilteredAnalyzer:
         return t
 
     def emitted_count(self, text: str) -> int:
-        if self.cjk_bigrams is not None:
+        if self.cjk_bigrams is not None or self.word_delimiter is not None:
             # bigramming changes the emitted-token count (n chars -> n-1
             # bigrams per run); norms must see the post-filter count
             _, _, n = self.term_position_arrays(text)

@@ -100,12 +100,12 @@ _INV_EXPR = _fdiv(
     ),
 )
 
-BASE_CTES = f"""
-tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_SQL}')) AS term,
-         unnest(generate_series(1, len(regexp_extract_all(text, '{TOKEN_SQL}')))) - 1 AS pos
-  FROM documents
-),
+def _bm25_ctes(tok_select: str) -> str:
+    """The shared BM25 CTE chain (tf/dl/fstats/norms/avgdl/inv-norm in
+    float32 op order) over a pluggable tokenization CTE — custom-analyzer
+    entries (e.g. the word-delimiter field) swap in their own `tok`."""
+    return f"""
+tok AS ({tok_select}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM tok GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY doc_id),
 fstats AS (
@@ -126,6 +126,15 @@ invn AS (
   FROM norms n JOIN b4 t ON t.nb = n.nb CROSS JOIN avgd a
 )
 """.strip()
+
+
+BASE_CTES = _bm25_ctes(
+    f"""
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_SQL}')) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(text, '{TOKEN_SQL}')))) - 1 AS pos
+  FROM documents
+""".strip()
+)
 
 
 def _idf_sql(df_expr: str) -> str:
@@ -967,6 +976,72 @@ def query_time_join_scored(spark, sf_dir):
     )
 
 
+# ---- WordDelimiterGraphFilter end-to-end ----------------------------------
+# (miscellaneous/WordDelimiterGraphFilter.java:121 — the analysis chain a
+# source-code corpus needs: camelCase / underscore / letter-digit splits.)
+# The documents text is lowercase-only, so the entry derives a cased
+# identifier field — word1 + InitCap(word2) + '_' + word3 + (doc_id%10) —
+# that BOTH sides rebuild from raw columns; the oracle re-derives the split
+# with a part-enumerating regex instead of the engine's boundary scanner.
+
+_WD_CACHE: dict[str, IndexSearcher] = {}
+
+_WD_PART_RE = "[a-z]+|[A-Z][a-z]*|[0-9]+"
+
+_WD_TOK = f"""
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(ident, '{_WD_PART_RE}'))) AS term,
+         unnest(generate_series(1, len(regexp_extract_all(ident, '{_WD_PART_RE}')))) - 1 AS pos
+  FROM (
+    SELECT doc_id,
+           split_part(text, ' ', 1)
+           || upper(substr(split_part(text, ' ', 2), 1, 1))
+           || substr(split_part(text, ' ', 2), 2)
+           || '_' || split_part(text, ' ', 3)
+           || CAST(doc_id % 10 AS VARCHAR) AS ident
+    FROM documents)
+""".strip()
+
+
+def _get_wd_searcher(spark, sf_dir) -> IndexSearcher:
+    if sf_dir not in _WD_CACHE:
+        from lucene_spark.analysis.filters import FilteredAnalyzer, WordDelimiterGraph
+
+        docs = _docs(spark, sf_dir, "documents")
+        w = F.split(F.col("text"), " ")
+        cased = docs.select(
+            "doc_id",
+            F.concat(
+                F.element_at(w, 1),
+                F.initcap(F.element_at(w, 2)),
+                F.lit("_"),
+                F.element_at(w, 3),
+                (F.col("doc_id") % 10).cast("string"),
+            ).alias("ident"),
+        )
+        cfg = IndexConfig(
+            text_col="ident",
+            field_name="ident",
+            doc_id_col="doc_id",
+            docs_per_segment=1024,
+            analyzer=FilteredAnalyzer(word_delimiter=WordDelimiterGraph()),
+        )
+        _WD_CACHE[sf_dir] = IndexSearcher(build_index(spark, cased, cfg))
+    return _WD_CACHE[sf_dir]
+
+
+@register(
+    "word_delimiter_query",
+    f"WITH {_bm25_ctes(_WD_TOK)},\n{_term_scores_cte('sc', 'table')}\n{_topk_sql('sc')}",
+)
+def word_delimiter_query(spark, sf_dir):
+    """BM25 over a WordDelimiterGraph-analyzed identifier field: the
+    subword 'table' matches docs whose derived ident embeds it at any of
+    the camelCase/underscore/digit-boundary slots."""
+    s = _get_wd_searcher(spark, sf_dir)
+    return _topk_df(s.search(Q.TermQuery("ident", "table"), k=10))
+
+
 def _register_all() -> None:
     from lucene_spark import entry_extras, entry_pipeline  # noqa: F401
 
@@ -987,7 +1062,7 @@ _PRIORITY = [
     "simple_parser_query",
     "disjunction_max",
     "synonym_query",
-    "blended_term_query",
+    "word_delimiter_query",
     "phrase_query",
     "sloppy_phrase_query",
     "prefix_query",

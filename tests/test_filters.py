@@ -307,3 +307,144 @@ def test_cjk_width_before_bigrams_chain():
     assert terms == ["ガキ", "キガ", "ok"]
     assert list(pos) == [0, 1, 2]
     assert n == 3
+
+
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter (miscellaneous/WordDelimiterGraphFilter.java:121)
+# ---------------------------------------------------------------------------
+
+
+def test_word_delimiter_split_goldens():
+    """Boundary rules from WordDelimiterIterator.java:40 — the javadoc's
+    own examples plus the source-code shapes this corpus cares about."""
+    from lucene_spark.analysis.filters import WordDelimiterGraph
+
+    w = WordDelimiterGraph()
+    assert w.split("PowerShot") == ["Power", "Shot"]
+    assert w.split("PowerShot2000") == ["Power", "Shot", "2000"]
+    assert w.split("500-42") == ["500", "42"]
+    assert w.split("wi-fi") == ["wi", "fi"]
+    assert w.split("O'Neil's") == ["O", "Neil"]  # possessive stripped
+    assert w.split("j2se") == ["j", "2", "se"]
+    assert w.split("ABCDef") == ["ABC", "Def"]  # split before last upper
+    assert w.split("XMLHttpRequest") == ["XML", "Http", "Request"]
+    assert w.split("fooBar_baz2") == ["foo", "Bar", "baz", "2"]
+    assert w.split("hello") == ["hello"]  # single-word fast path
+    assert w.split("__") == []  # all-delimiter: nothing
+
+    no_case = WordDelimiterGraph(split_on_case_change=False)
+    assert no_case.split("fooBar") == ["fooBar"]
+    no_num = WordDelimiterGraph(split_on_numerics=False)
+    assert no_num.split("j2se") == ["j2se"]
+    words_only = WordDelimiterGraph(generate_number_parts=False)
+    assert words_only.split("500-42sub") == ["sub"]
+
+
+def test_word_delimiter_catenate_and_preserve_emissions():
+    from lucene_spark.analysis.filters import WordDelimiterGraph
+
+    w = WordDelimiterGraph(catenate_all=True, preserve_original=True)
+    emissions, passthrough = w._emit_token("wi-fi-4000")
+    assert not passthrough
+    # parts take positions; catenation + original are overlaps
+    assert emissions == [
+        ("wi", True),
+        ("fi", True),
+        ("4000", True),
+        ("wifi4000", False),
+        ("wi-fi-4000", False),
+    ]
+    # catenate_words joins ONLY adjacent alpha runs
+    w2 = WordDelimiterGraph(catenate_words=True)
+    emissions, _ = w2._emit_token("foo-bar2000baz-qux")
+    assert ("foobar", False) in emissions and ("bazqux", False) in emissions
+    # generate off + catenate on: the joined form IS the token
+    w3 = WordDelimiterGraph(generate_word_parts=False, catenate_words=True)
+    assert w3._emit_token("foo-bar") == ([("foobar", False)], False)
+    # single-part run: catenation suppressed when the part was generated
+    w4 = WordDelimiterGraph(catenate_words=True)
+    emissions, _ = w4._emit_token("foo2000")
+    assert emissions == [("foo", True), ("2000", True)]
+    # untouched token passes through even with preserve_original
+    w5 = WordDelimiterGraph(preserve_original=True)
+    assert w5._emit_token("hello") == ([("hello", True)], True)
+
+
+def test_word_delimiter_apply_positions_and_holes():
+    from lucene_spark.analysis.filters import WordDelimiterGraph
+
+    w = WordDelimiterGraph()
+    # "--" emits nothing -> position hole carries to the next token
+    terms, pos, n = w.apply(["fooBar_baz2", "--", "Hello"], [0, 1, 3])
+    assert terms == ["foo", "Bar", "baz", "2", "Hello"]
+    assert pos == [0, 1, 2, 3, 6]
+    assert n == 5
+    # overlaps anchor at the run's first position and don't count in n
+    w2 = WordDelimiterGraph(catenate_all=True)
+    terms, pos, n = w2.apply(["wi-fi", "ok"], [0, 1])
+    assert list(zip(terms, pos)) == [("wi", 0), ("wifi", 0), ("fi", 1), ("ok", 2)]
+    assert n == 3
+
+
+def test_word_delimiter_analyzer_chain():
+    from lucene_spark.analysis.filters import WordDelimiterGraph
+
+    an = FilteredAnalyzer(word_delimiter=WordDelimiterGraph())
+    terms, pos, n = an.term_position_arrays("getFooBar_v2 plain O'Neil's")
+    assert terms == ["get", "foo", "bar", "v", "2", "plain", "o", "neil"]
+    assert list(pos) == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert n == 8
+    assert an.emitted_count("getFooBar_v2 plain") == 6
+    # 1:1 filters run after the split, on lowercased parts
+    an2 = FilteredAnalyzer(
+        word_delimiter=WordDelimiterGraph(), filters=("porter",)
+    )
+    assert an2.terms("RunningShoes") == ["run", "shoe"]
+
+
+def test_word_delimiter_offsets_raise():
+    import pytest as _pytest
+
+    from lucene_spark.analysis.filters import WordDelimiterGraph
+
+    an = FilteredAnalyzer(word_delimiter=WordDelimiterGraph())
+    with _pytest.raises(NotImplementedError):
+        an.term_position_offset_arrays("fooBar")
+
+
+def test_word_delimiter_index_rank_identity(spark):
+    """An index built with the word-delimiter chain matches the
+    pure-Python oracle; subword phrase queries match across the split
+    (the headline use: PhraseQuery('foo','bar') hits 'fooBar')."""
+    from lucene_spark.analysis.filters import WordDelimiterGraph
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+    from tests.oracle import OracleIndex
+
+    texts = [
+        "call getFooBar now",
+        "the foo_bar helper",
+        "FooBar2000 release notes",
+        "unrelated words entirely",
+        "foo bar plain tokens",
+    ]
+    an = FilteredAnalyzer(word_delimiter=WordDelimiterGraph())
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    cfg = IndexConfig(doc_id_col="doc_id", docs_per_segment=4, analyzer=an)
+    idx = build_index(spark, docs, cfg)
+    s = IndexSearcher(idx)
+    oracle = OracleIndex({i: t for i, t in enumerate(texts)}, analyzer=an)
+
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in s.search(Q.TermQuery("content", "foo"), k=5).collect()
+    ]
+    want = oracle.top_k(oracle.term_scores("foo"), 5)
+    assert got == want
+    assert len(got) == 4
+
+    phrase = s.search(Q.PhraseQuery("content", ["foo", "bar"]), k=5)
+    assert sorted(int(r["doc_id"]) for r in phrase.collect()) == [0, 1, 2, 4]
