@@ -14,10 +14,12 @@ dispatches on the file magic: BMP parses the actual BITMAPFILEHEADER /
 BITMAPINFOHEADER and pixel rows (4-byte-aligned, bottom-up); PNG walks
 the chunk list (IHDR/IDAT/IEND, CRC-checked), inflates the IDAT stream
 and reconstructs all five filter types (None/Sub/Up/Average/Paeth) per
-the PNG spec, for 8-bit grayscale and truecolor. Mean intensity comes
-from the reconstructed pixel bytes. JPEG/ffmpeg formats raise — wire a
-library decoder into ``decode_image`` and every downstream operator
-(schema, batching, partitioning) is unchanged.
+the PNG spec, for 8-bit grayscale and truecolor; JPEG (``jpeg.py``)
+Huffman-decodes the baseline-sequential scan, dequantizes with the
+stream's own DQT tables and runs the IDCT. Mean intensity comes from the
+reconstructed pixel bytes. Progressive/chroma JPEG and ffmpeg container
+formats raise — wire a library decoder into ``decode_image`` and every
+downstream operator (schema, batching, partitioning) is unchanged.
 
 The synthetic payload generator is deterministic (dimensions and frame
 count derived from md5 of the source text; pixel rows alternate two
@@ -49,6 +51,7 @@ __all__ = [
     "attach_payload",
     "encode_bmp",
     "encode_png",
+    "encode_jpeg",
     "decode_image",
     "decode_container",
     "image_meta",
@@ -107,6 +110,19 @@ def encode_png(width: int, height: int, row_values: list[int]) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_jpeg(width: int, height: int, row_values: list[int]) -> bytes:
+    """Baseline grayscale JFIF; row y is the constant intensity
+    ``row_values[y]``. Real DCT + Huffman entropy coding (``jpeg.py``) —
+    lossy, unlike the BMP/PNG twins, so decoded means match the source
+    only to quantization error."""
+    from lucene_spark.pipeline import jpeg
+
+    px = np.repeat(
+        np.array(row_values, dtype=np.uint8)[:height, None], width, axis=1
+    )
+    return jpeg.encode_jpeg_pixels(px)
 
 
 def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
@@ -197,11 +213,15 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
     """
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from lucene_spark.pipeline import jpeg
+
+        return jpeg.decode_jpeg_meta(payload)
     if payload[:2] != b"BM":
         raise NotImplementedError(
-            "built-in codecs cover BMP and PNG in this environment; wire "
-            "PIL/libjpeg here for other formats — downstream plumbing "
-            "is format-agnostic"
+            "built-in codecs cover BMP, PNG and baseline JPEG in this "
+            "environment; wire PIL/libjpeg here for other formats — "
+            "downstream plumbing is format-agnostic"
         )
     off = struct.unpack_from("<I", payload, 10)[0]
     size, width, height, _planes, bpp = struct.unpack_from(
@@ -234,9 +254,10 @@ def _h60(data: bytes) -> int:
 def _make_payload(text: str, fmt: str = "bmp") -> bytes:
     """Deterministic multi-frame image payload for one doc: dimensions and
     frame count from md5(text); rows alternate two constant intensities
-    (closed-form mean for the SQL oracle — identical for both codecs,
-    since BMP replicates each row value across 3 channels and PNG stores
-    it once in grayscale, and the mean is per channel byte)."""
+    (closed-form mean for the SQL oracle — identical for the lossless
+    codecs, since BMP replicates each row value across 3 channels and PNG
+    stores it once in grayscale, and the mean is per channel byte; JPEG
+    is lossy, so its decoded mean matches only to quantization error)."""
     h = _h60(text.encode("utf-8"))
     width = 16 + h % 240
     height = 16 + (h // 256) % 240
@@ -244,7 +265,7 @@ def _make_payload(text: str, fmt: str = "bmp") -> bytes:
     v1 = h % 256
     v2 = (h // 16777216) % 256
     rows = [v1 if y % 2 == 0 else v2 for y in range(height)]
-    enc = encode_bmp if fmt == "bmp" else encode_png
+    enc = {"bmp": encode_bmp, "png": encode_png, "jpeg": encode_jpeg}[fmt]
     frame = enc(width, height, rows)
     return _MAGIC + struct.pack("<I", n_frames) + frame * n_frames
 
@@ -267,11 +288,13 @@ def attach_payload(
 ) -> DataFrame:
     """(doc_id, payload:binary, mime, n_bytes) — the multimodal column
     shape, payload = REAL multi-frame image bytes synthesized per doc
-    (``fmt``: "bmp" uncompressed or "png" zlib-compressed; same decoded
-    metadata either way). A production pipeline reads ``binaryFile``
-    sources or Iceberg binary columns into the same schema."""
-    if fmt not in ("bmp", "png"):
-        raise ValueError(f"fmt must be 'bmp' or 'png', got {fmt!r}")
+    (``fmt``: "bmp" uncompressed, "png" zlib-compressed, or "jpeg"
+    DCT-coded; identical decoded metadata for the lossless pair, mean to
+    quantization error for jpeg). A production pipeline reads
+    ``binaryFile`` sources or Iceberg binary columns into the same
+    schema."""
+    if fmt not in ("bmp", "png", "jpeg"):
+        raise ValueError(f"fmt must be 'bmp', 'png' or 'jpeg', got {fmt!r}")
     mime = f"video/x-lsmf-{fmt}"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -157,8 +157,10 @@ def test_real_decode_roundtrip():
     w, h, mean = multimodal.decode_image(payload)
     assert (w, h) == (5, 4)
     assert abs(mean - ((2 * 10 + 2 * 200) / 4) / 255.0) < 1e-12
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # SOI magic but a malformed JPEG body
         multimodal.decode_image(b"\xff\xd8jpeg-bytes")
+    with pytest.raises(NotImplementedError):  # GIF: no built-in codec
+        multimodal.decode_image(b"GIF89a......")
     # container: n frames + first-frame parse
     n, frame = multimodal.decode_container(
         b"LSMF" + (3).to_bytes(4, "little") + payload * 3
@@ -231,6 +233,80 @@ def test_png_codec_roundtrip_and_filters():
     corrupted[-5] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         multimodal.decode_image(bytes(corrupted))
+
+
+def test_jpeg_entropy_layer_is_lossless():
+    """decode(encode(img)) equals the quantize→dequantize→IDCT
+    reconstruction computed directly in numpy, bit for bit — only DCT
+    quantization is lossy, never the Huffman/bit layer. Covers odd
+    (non-multiple-of-8) dimensions, a smooth gradient, a constant block
+    (DC-only, EOB), a corner-frequency block (index-63, no EOB) and a
+    sparse block whose zero run forces ZRL emission."""
+    from lucene_spark.pipeline import jpeg
+
+    rng = np.random.default_rng(42)
+    cases = [
+        rng.integers(0, 256, size=(37, 21), dtype=np.uint8),
+        ((np.mgrid[0:32, 0:48][0] * 3 + np.mgrid[0:32, 0:48][1] * 2) % 256).astype(
+            np.uint8
+        ),
+        np.full((16, 16), 77, dtype=np.uint8),
+    ]
+    # synthesize a block with exactly one high-zigzag coefficient: the
+    # 39-zero run between DC and it must go out as ZRL + ZRL + (7,s)
+    for zz_index, val in ((40, 4), (63, 9)):
+        blocks = np.zeros((1, 1, 8, 8), dtype=np.int32)
+        r, c = jpeg._ZIGZAG[zz_index]
+        blocks[0, 0, r, c] = val
+        px = jpeg.dequantize_reconstruct(blocks, 8, 8)
+        qb, _, _ = jpeg.quantized_blocks(px)
+        zz = qb[0, 0][[p[0] for p in jpeg._ZIGZAG], [p[1] for p in jpeg._ZIGZAG]]
+        nz = np.nonzero(zz)[0]
+        # the uint8 round trip may sprinkle small neighbors, but the shape
+        # that matters survives: a >=16 zero-run before the first nonzero
+        # AC (forces ZRL) and, for the corner case, a nonzero at index 63
+        # (the no-EOB path)
+        assert nz[0] >= 17, nz
+        assert nz[-1] == zz_index, nz
+        cases.append(px)
+    for img in cases:
+        enc = jpeg.encode_jpeg_pixels(img)
+        ref = jpeg.dequantize_reconstruct(*jpeg.quantized_blocks(img))
+        assert np.array_equal(jpeg.decode_jpeg_pixels(enc), ref)
+
+
+def test_jpeg_rejects_non_baseline():
+    from lucene_spark.pipeline import jpeg
+
+    img = np.full((8, 8), 5, dtype=np.uint8)
+    enc = bytearray(jpeg.encode_jpeg_pixels(img))
+    sof = enc.index(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg_pixels(bytes(enc))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(b"not a jpeg at all")
+
+
+def test_jpeg_payload_meta_close_to_bmp(docs):
+    """attach_payload(fmt='jpeg') rides the same Spark plumbing; dims and
+    frame counts are exact, mean intensity matches to DCT quantization
+    error (the codec is genuinely lossy, unlike the BMP/PNG twins)."""
+    bmp = {
+        r["doc_id"]: r
+        for r in multimodal.image_meta(
+            multimodal.attach_payload(docs, text_col="text")
+        ).collect()
+    }
+    jpg_media = multimodal.attach_payload(docs, text_col="text", fmt="jpeg")
+    jpg = {r["doc_id"]: r for r in multimodal.image_meta(jpg_media).collect()}
+    assert set(jpg) == set(bmp)
+    for d in bmp:
+        for col in ("width", "height", "n_frames"):
+            assert jpg[d][col] == bmp[d][col], (d, col)
+        assert abs(jpg[d]["mean_intensity"] - bmp[d]["mean_intensity"]) < 0.05
+    mimes = {r["mime"] for r in jpg_media.select("mime").distinct().collect()}
+    assert mimes == {"video/x-lsmf-jpeg"}
 
 
 def test_png_payload_meta_matches_bmp(docs):
