@@ -615,7 +615,9 @@ class WordDelimiterGraph:
 
 def make_filter(spec):
     """Resolve a filter spec to a per-token callable:
-    "ascii_folding" | "porter" | SynonymMap instance | any callable."""
+    "ascii_folding" | "porter" | "light_de"/"light_fr"/"light_es"/
+    "light_it"/"light_pt" (UniNE light stemmers, ``stemmers.py``) |
+    SynonymMap instance | any callable."""
     if callable(spec):
         return spec
     if spec == "ascii_folding":
@@ -624,6 +626,18 @@ def make_filter(spec):
         return porter_stem
     if spec == "cjk_width":
         return cjk_width
+    if isinstance(spec, str) and spec.startswith("light_"):
+        from lucene_spark.analysis import stemmers
+
+        by_lang = {
+            "light_de": stemmers.german_light_stem,
+            "light_fr": stemmers.french_light_stem,
+            "light_es": stemmers.spanish_light_stem,
+            "light_it": stemmers.italian_light_stem,
+            "light_pt": stemmers.portuguese_light_stem,
+        }
+        if spec in by_lang:
+            return by_lang[spec]
     raise ValueError(f"unknown token filter {spec!r}")
 
 

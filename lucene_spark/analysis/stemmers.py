@@ -1,0 +1,261 @@
+"""Light stemmers for non-English corpora (the "UniNE" family).
+
+Jacques Savoy's light stemming algorithms — *Light Stemming Approaches
+for the French, Portuguese, German and Hungarian Languages* (SAC 2006)
+and the CLEF experiment reports — as per-token callables that plug into
+``FilteredAnalyzer`` (``filters=("light_de",)`` etc.) exactly like
+``porter_stem``. Semantics match the reference's light-stem filters:
+
+- German  — analysis/common/.../de/GermanLightStemmer.java:63
+- French  — analysis/common/.../fr/FrenchLightStemmer.java:64
+- Spanish — analysis/common/.../es/SpanishLightStemmer.java:59
+- Italian — analysis/common/.../it/ItalianLightStemmer.java:59
+- Portuguese — analysis/common/.../pt/PortugueseLightStemmer.java:59
+
+Light stemmers only conflate plural/gender/derivational endings (no
+measure conditions like Porter's), so they are tiny rule cascades: each
+is expressed here as accent folding + ordered suffix rewrites over
+Python strings. Unlike Porter these operate on already-lowercased
+tokens (the chain order in the reference analyzers puts them after
+LowerCaseFilter), which ``FilteredAnalyzer`` guarantees.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "german_light_stem",
+    "french_light_stem",
+    "spanish_light_stem",
+    "italian_light_stem",
+    "portuguese_light_stem",
+]
+
+# shared accent-folding maps (each language folds a slightly different set)
+_DE_FOLD = str.maketrans("äàáâöòóôïìíîüùúû", "aaaaooooiiiiuuuu")
+_ROMANCE_FOLD = str.maketrans("àáâäòóôöèéêëùúûüìíîï", "aaaaooooeeeeuuuuiiii")
+_FR_FOLD = str.maketrans("àáâôèéêùûîç", "aaaoeeeuuic")
+_PT_FOLD = str.maketrans("àáâäãòóôöõèéêëùúûüìíîïç", "aaaaaoooooeeeeuuuuiiiic")
+
+_DE_ST_ENDING = set("bdfghklmnt")
+
+
+def german_light_stem(word: str) -> str:
+    """Fold umlauts/accents, then two passes of plural/case endings:
+    -ern/-em/-en/-er/-es/-e/-s(after bdfghklmnt), then -est/-er/-en/-st."""
+    s = word.translate(_DE_FOLD)
+    n = len(s)
+    # pass 1
+    if n > 5 and s.endswith("ern"):
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "mnrs":
+        n -= 2
+    elif n > 3 and s[n - 1] == "e":
+        n -= 1
+    elif n > 3 and s[n - 1] == "s" and s[n - 2] in _DE_ST_ENDING:
+        n -= 1
+    # pass 2 (superlative/comparative endings on the pass-1 result)
+    if n > 5 and s[n - 3 : n] == "est":
+        n -= 3
+    elif n > 4 and (s[n - 2 : n] == "er" or s[n - 2 : n] == "en"):
+        n -= 2
+    elif n > 4 and s[n - 2 : n] == "st" and s[n - 3] in _DE_ST_ENDING:
+        n -= 2
+    return s[:n]
+
+
+def _fr_norm(s: str) -> str:
+    """French final normalization: fold accents, collapse letter runs,
+    strip -ie, then trailing r/e/e and a doubled final letter — applied
+    only while the stem stays longer than 4."""
+    if len(s) > 4:
+        s = s.translate(_FR_FOLD)
+        # collapse consecutive identical letters anywhere in the stem
+        out = [s[0]]
+        for ch in s[1:]:
+            if ch == out[-1] and ch.isalpha():
+                continue
+            out.append(ch)
+        s = "".join(out)
+    if len(s) > 4 and s.endswith("ie"):
+        s = s[:-2]
+    if len(s) > 4:
+        if s[-1] == "r":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if s[-1] == "e":
+            s = s[:-1]
+        if len(s) >= 2 and s[-1] == s[-2] and s[-1].isalpha():
+            s = s[:-1]
+    return s
+
+
+def french_light_stem(word: str) -> str:
+    """Plural -x/-s removal, a cascade of derivational rewrites
+    (-issement→-ir, -ateur→-er, -trice→-teur, …), then ``_fr_norm``.
+    Rule order and length guards follow the UniNE algorithm."""
+    s = word
+    if len(s) > 5 and s[-1] == "x":
+        if s[-3:] == "aux" and s[-4] != "e":
+            s = s[:-3] + "al"  # chevaux -> cheval
+        else:
+            s = s[:-1]
+    if len(s) > 3 and s[-1] == "x":
+        s = s[:-1]
+    if len(s) > 3 and s[-1] == "s":
+        s = s[:-1]
+
+    n = len(s)
+    if n > 9 and s.endswith("issement"):
+        return _fr_norm(s[: n - 7] + "r")  # -issement -> -ir
+    if n > 8 and s.endswith("issant"):
+        return _fr_norm(s[: n - 5] + "r")  # -issant -> -ir
+    if n > 6 and s.endswith("ement"):
+        s = s[: n - 4]  # keep the trailing e
+        if len(s) > 3 and s.endswith("ive"):
+            s = s[:-2] + "f"  # -ivement -> -if
+        return _fr_norm(s)
+    if n > 11 and s.endswith("ficatrice"):
+        return _fr_norm(s[: n - 7] + "er")  # -ficatrice -> -fier
+    if n > 10 and s.endswith("ficateur"):
+        return _fr_norm(s[: n - 6] + "er")  # -ficateur -> -fier
+    if n > 9 and s.endswith("catrice"):
+        return _fr_norm(s[: n - 7] + "quer")  # -catrice -> -quer
+    if n > 8 and s.endswith("cateur"):
+        return _fr_norm(s[: n - 6] + "quer")  # -cateur -> -quer
+    if n > 8 and s.endswith("atrice"):
+        return _fr_norm(s[: n - 6] + "er")  # -atrice -> -er
+    if n > 7 and s.endswith("ateur"):
+        return _fr_norm(s[: n - 5] + "er")  # -ateur -> -er
+    if n > 6 and s.endswith("trice"):
+        s = s[: n - 5] + "teur"  # falls through, no return
+        n = len(s)
+    if n > 5 and s.endswith("ième"):
+        return _fr_norm(s[: n - 4])
+    if n > 7 and s.endswith("teuse"):
+        return _fr_norm(s[: n - 3] + "r")  # -teuse -> -ter
+    if n > 6 and s.endswith("teur"):
+        return _fr_norm(s[: n - 2] + "r")  # -teur -> -ter
+    if n > 5 and s.endswith("euse"):
+        return _fr_norm(s[: n - 2])  # -euse -> -eu
+    if n > 8 and s.endswith("ère"):
+        return _fr_norm(s[: n - 3] + "er")
+    if n > 7 and s.endswith("ive"):
+        return _fr_norm(s[: n - 2] + "f")  # -ive -> -if
+    if n > 4 and (s.endswith("folle") or s.endswith("molle")):
+        return _fr_norm(s[: n - 3] + "u")  # folle -> fou
+    if n > 9 and s.endswith("nnelle"):
+        return _fr_norm(s[: n - 5])
+    if n > 9 and s.endswith("nnel"):
+        return _fr_norm(s[: n - 3])
+    if n > 4 and s.endswith("ète"):
+        s = s[: n - 3] + "et"  # falls through, no return
+        n = len(s)
+    if n > 8 and s.endswith("ique"):
+        s = s[: n - 4]
+        n = len(s)
+    if n > 8 and s.endswith("esse"):
+        return _fr_norm(s[: n - 3])  # -esse -> -e
+    if n > 7 and s.endswith("inage"):
+        return _fr_norm(s[: n - 3])  # -inage -> -in
+    if n > 9 and s.endswith("isation"):
+        s = s[: n - 7]
+        if len(s) > 5 and s.endswith("ual"):
+            s = s[:-3] + "uel"  # -ualisation -> -uel
+        return _fr_norm(s)
+    if n > 9 and s.endswith("isateur"):
+        return _fr_norm(s[: n - 7])
+    if n > 8 and s.endswith("ation"):
+        return _fr_norm(s[: n - 5])
+    if n > 8 and s.endswith("ition"):
+        return _fr_norm(s[: n - 5])
+    return _fr_norm(s)
+
+
+def spanish_light_stem(word: str) -> str:
+    """Accent folding + plural/gender endings: -os/-as/-es, final
+    -o/-a/-e; -ces conflates to -z (voces -> voz)."""
+    if len(word) < 5:
+        return word
+    s = word.translate(_ROMANCE_FOLD)
+    if s[-1] in "oae":
+        return s[:-1]
+    if s[-1] == "s":
+        if s.endswith("eses"):
+            return s[:-2]
+        if s.endswith("ces"):
+            return s[:-3] + "z"
+        if s[-2] in "oae":
+            return s[:-2]
+    return s
+
+
+def italian_light_stem(word: str) -> str:
+    """Accent folding + plural/gender vowel endings, with the -i/-h
+    spelling adjustments (amiche -> amic, cani -> can)."""
+    if len(word) < 6:
+        return word
+    s = word.translate(_ROMANCE_FOLD)
+    last, prev = s[-1], s[-2]
+    if last == "e":
+        return s[:-2] if prev in "ih" else s[:-1]
+    if last == "i":
+        return s[:-2] if prev in "hi" else s[:-1]
+    if last in "ao":
+        return s[:-2] if prev == "i" else s[:-1]
+    return s
+
+
+def _pt_remove_suffix(s: str) -> str:
+    n = len(s)
+    if n > 4 and s.endswith("es") and s[n - 3] in "rslz":
+        return s[:-2]
+    if n > 3 and s.endswith("ns"):
+        return s[:-2] + "m"  # bons -> bom
+    if n > 4 and (s.endswith("eis") or s.endswith("éis")):
+        return s[:-3] + "el"  # papéis -> papel
+    if n > 4 and s.endswith("ais"):
+        return s[:-2] + "l"  # animais -> animal
+    if n > 4 and s.endswith("óis"):
+        return s[:-3] + "ol"  # lençóis -> lençol
+    if n > 4 and s.endswith("is"):
+        return s[:-1] + "l"  # barris -> barril
+    if n > 3 and (s.endswith("ões") or s.endswith("ães")):
+        return s[:-3] + "ão"  # botões -> botão
+    if n > 6 and s.endswith("mente"):
+        return s[:-5]
+    if n > 3 and s[-1] == "s":
+        return s[:-1]
+    return s
+
+
+def _pt_norm_feminine(s: str) -> str:
+    n = len(s)
+    if n > 7 and (s.endswith("inha") or s.endswith("iaca") or s.endswith("eira")):
+        return s[:-1] + "o"
+    if n > 6:
+        if s[-3:] in ("osa", "ica", "ida", "ada", "iva", "ama"):
+            return s[:-1] + "o"
+        if s.endswith("ona"):
+            return s[:-3] + "ão"
+        if s.endswith("ora"):
+            return s[:-1]
+        if s.endswith("esa"):
+            return s[:-3] + "ês"
+        if s.endswith("na"):
+            return s[:-1] + "o"
+    return s
+
+
+def portuguese_light_stem(word: str) -> str:
+    """Plural suffix rewrites (-ões→-ão, -ais→-al, …), feminine→masculine
+    conflation, final-vowel drop, then accent folding (folding comes LAST
+    so the ã/ê rewrites above take part in conflation)."""
+    if len(word) < 4:
+        return word
+    s = _pt_remove_suffix(word)
+    if len(s) > 3 and s[-1] == "a":
+        s = _pt_norm_feminine(s)
+    if len(s) > 4 and s[-1] in "eao":
+        s = s[:-1]
+    return s.translate(_PT_FOLD)

@@ -448,3 +448,111 @@ def test_word_delimiter_index_rank_identity(spark):
 
     phrase = s.search(Q.PhraseQuery("content", ["foo", "bar"]), k=5)
     assert sorted(int(r["doc_id"]) for r in phrase.collect()) == [0, 1, 2, 4]
+
+
+def test_light_stemmers_goldens():
+    """UniNE light stemmers: outputs traced through the reference rule
+    cascades (GermanLightStemmer.java:63, FrenchLightStemmer.java:64,
+    SpanishLightStemmer.java:59, ItalianLightStemmer.java:59,
+    PortugueseLightStemmer.java:59). Light stemmers normalize
+    aggressively — e.g. French norm() strips the very 'r' the -issement
+    rule appends, conflating verb and noun forms."""
+    from lucene_spark.analysis import stemmers as st
+
+    for stem, pairs in (
+        (
+            st.german_light_stem,
+            [
+                ("häuser", "haus"),  # umlaut fold + -er
+                ("hauses", "haus"),
+                ("kindern", "kind"),  # -ern
+                ("grösste", "grosst"),  # -e only; 'sst' is not an st-ending
+                ("schönste", "schon"),  # -e, then -st after 'n'
+                ("katzen", "katz"),  # -en via step1
+            ],
+        ),
+        (
+            st.french_light_stem,
+            [
+                ("chevaux", "cheval"),  # -aux -> -al
+                ("peaux", "peau"),  # eaux keeps the e
+                ("investissement", "investi"),  # -issement -> -ir, norm drops r
+                ("finissant", "fini"),
+                ("activement", "actif"),  # -ivement -> -if
+                ("classification", "clasific"),  # -ation + ss collapse
+                ("chanteuse", "chant"),  # -teuse -> -ter, norm drops r,e
+                ("nationale", "national"),
+                ("actrice", "acteu"),  # -trice -> -teur, norm drops r
+            ],
+        ),
+        (
+            st.spanish_light_stem,
+            [
+                ("casas", "cas"),
+                ("voces", "voz"),  # -ces -> -z
+                ("meses", "mes"),  # -eses
+                ("libro", "libr"),
+                ("señora", "señor"),  # ñ is untouched; -a dropped
+                ("días", "días"),  # len < 5: untouched, fold included
+                ("éxitos", "exit"),  # accent fold + -os
+            ],
+        ),
+        (
+            st.italian_light_stem,
+            [
+                ("amiche", "amic"),  # -he spelling adjustment
+                ("ragazzi", "ragazz"),
+                ("ragazza", "ragazz"),  # gender conflation
+                ("studio", "stud"),  # -io
+                ("città", "città"),  # len < 6: untouched, fold included
+            ],
+        ),
+        (
+            st.portuguese_light_stem,
+            [
+                ("botões", "bota"),  # -ões -> -ão, vowel drop, fold
+                ("animais", "animal"),
+                ("papéis", "papel"),
+                ("bons", "bom"),  # -ns -> -m
+                ("bonita", "bonit"),  # len 6 is not > 6: -ita rule skipped
+                ("meninas", "menin"),  # -s; len 6 skips -na; vowel drop
+                ("rapidamente", "rapid"),  # -mente
+            ],
+        ),
+    ):
+        for word, want in pairs:
+            assert stem(word) == want, (stem.__name__, word, stem(word), want)
+
+
+def test_light_stemmer_index_rank_identity(spark):
+    """End-to-end: an index analyzed with the German light stemmer matches
+    the pure-Python oracle, and a stemmed query term hits every inflected
+    surface form."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+    from tests.oracle import OracleIndex
+
+    texts = [
+        "die häuser der stadt",
+        "ein haus am see",
+        "das hauses dach",  # genitive
+        "keine gebäude hier",
+        "haus haus haus",
+    ]
+    an = FilteredAnalyzer(filters=("light_de",))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    cfg = IndexConfig(doc_id_col="doc_id", docs_per_segment=4, analyzer=an)
+    idx = build_index(spark, docs, cfg)
+    s = IndexSearcher(idx)
+    oracle = OracleIndex({i: t for i, t in enumerate(texts)}, analyzer=an)
+
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in s.search(Q.TermQuery("content", "haus"), k=5).collect()
+    ]
+    want = oracle.top_k(oracle.term_scores("haus"), 5)
+    assert got == want
+    assert sorted(d for d, _ in got) == [0, 1, 2, 4]  # every surface form
