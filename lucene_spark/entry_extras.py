@@ -1367,3 +1367,81 @@ def classify_naive_bayes(spark, sf_dir):
 
     idx, s = get_searcher(spark, sf_dir)
     return naive_bayes_classify(s, idx.docs, " ".join(_NB_CLS_TEXT), class_col="lang")
+
+
+# ---- German light stemmer field (de/GermanLightStemmer.java:63) -----------
+
+#: the UniNE German light stem as pure SQL: umlaut fold, then the two
+#: suffix passes as nested CASE cascades — the oracle twin of
+#: analysis/stemmers.py german_light_stem
+_DE_ST = "[bdfghklmnt]"
+_DE_TOK = f"""
+  SELECT doc_id,
+         CASE
+           WHEN length(s1) > 5 AND s1 LIKE '%est' THEN substr(s1, 1, length(s1)-3)
+           WHEN length(s1) > 4 AND (s1 LIKE '%er' OR s1 LIKE '%en') THEN substr(s1, 1, length(s1)-2)
+           WHEN length(s1) > 4 AND regexp_matches(s1, '{{st}}st$') THEN substr(s1, 1, length(s1)-2)
+           ELSE s1
+         END AS term,
+         pos
+  FROM (
+    SELECT doc_id,
+           CASE
+             WHEN length(t) > 5 AND t LIKE '%ern' THEN substr(t, 1, length(t)-3)
+             WHEN length(t) > 4 AND regexp_matches(t, 'e[mnrs]$') THEN substr(t, 1, length(t)-2)
+             WHEN length(t) > 3 AND t LIKE '%e' THEN substr(t, 1, length(t)-1)
+             WHEN length(t) > 3 AND regexp_matches(t, '{{st}}s$') THEN substr(t, 1, length(t)-1)
+             ELSE t
+           END AS s1,
+           pos
+    FROM (
+      SELECT doc_id,
+             translate(unnest(regexp_extract_all(text, '{{tok}}')),
+                       'äàáâöòóôïìíîüùúû', 'aaaaooooiiiiuuuu') AS t,
+             unnest(generate_series(1, len(regexp_extract_all(text, '{{tok}}')))) - 1 AS pos
+      FROM documents)
+  )
+""".strip()
+
+_LS_CACHE: dict = {}
+
+
+def _get_light_stem_searcher(spark, sf_dir):
+    if sf_dir not in _LS_CACHE:
+        from lucene_spark.analysis.filters import FilteredAnalyzer
+        from lucene_spark.entry_impl import _docs
+        from lucene_spark.index.build import IndexConfig, build_index
+        from lucene_spark.search.searcher import IndexSearcher
+
+        cfg = IndexConfig(
+            text_col="text",
+            field_name="text",
+            doc_id_col="doc_id",
+            docs_per_segment=1024,
+            analyzer=FilteredAnalyzer(filters=("light_de",)),
+        )
+        _LS_CACHE[sf_dir] = IndexSearcher(
+            build_index(spark, _docs(spark, sf_dir, "documents"), cfg)
+        )
+    return _LS_CACHE[sf_dir]
+
+
+def _register_light_stem() -> None:
+    from lucene_spark.entry_impl import TOKEN_SQL, _bm25_ctes
+
+    tok = _DE_TOK.format(st=_DE_ST, tok=TOKEN_SQL)
+
+    @register(
+        "light_stem_query",
+        f"WITH {_bm25_ctes(tok)},\n{_term_scores_cte('sc', 'tabl')}\n{_topk_sql('sc')}",
+    )
+    def light_stem_query(spark, sf_dir):
+        """BM25 over a German-light-stemmed field (GermanLightStemmer.java
+        rules as a FilteredAnalyzer chain); querying the stem 'tabl'
+        matches every doc whose surface form is 'table' — the oracle
+        re-derives the stems with a pure-SQL twin of the rule cascade."""
+        s = _get_light_stem_searcher(spark, sf_dir)
+        return s.search(Q.TermQuery("text", "tabl"), k=10).select("doc_id", "score")
+
+
+_register_light_stem()
