@@ -1445,3 +1445,36 @@ def _register_light_stem() -> None:
 
 
 _register_light_stem()
+
+
+# ---- DirectSpellChecker (suggest/spell/DirectSpellChecker.java:50) --------
+
+
+@register(
+    "spell_check_query",
+    f"""WITH {BASE_CTES},
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+spcand AS (
+  SELECT term, df, damerau_levenshtein(term, 'tabel') AS ed,
+         CAST(CAST(1.0 AS FLOAT)
+              - CAST(damerau_levenshtein(term, 'tabel') AS FLOAT)
+                / CAST(least(length(term), 5) AS FLOAT) AS FLOAT) AS score
+  FROM dict
+  WHERE substr(term, 1, 1) = 't' AND term <> 'tabel'
+    AND abs(length(term) - 5) <= 2
+)
+SELECT term, score, df FROM spcand
+WHERE ed <= 2 AND score >= CAST(0.5 AS FLOAT)
+ORDER BY score DESC, df DESC, term ASC LIMIT 5""",
+)
+def spell_check_query(spark, sf_dir):
+    """Did-you-mean over the term dictionary (DirectSpellChecker.java:50):
+    'tabel' is not in the index, so suggestions fire; candidates share the
+    first letter, sit within 2 OSA edits, and rank by float32 similarity
+    then df. The oracle recomputes the dictionary + Damerau distances in
+    SQL (OSA == true Damerau on this dictionary — no edit-inside-
+    transposition shapes; any divergence would hash-mismatch here)."""
+    from lucene_spark.search import spell
+
+    _, s = get_searcher(spark, sf_dir)
+    return spell.suggest_similar(s, "tabel", num_sug=5)

@@ -534,3 +534,34 @@ def test_essential_completion_on_candidate_cap(spark):
         ]
     finally:
         idx.postings.unpersist()
+
+
+def test_direct_spell_checker(built):
+    """DirectSpellChecker semantics: OSA distances (transposition = one
+    edit), float32 similarity, frequency gates and modes."""
+    from lucene_spark.search import spell
+
+    assert spell.osa_distance("abcd", "acbd") == 1  # transposition
+    assert spell.osa_distance("ca", "abc") == 3  # OSA, not true Damerau
+    assert spell.osa_distance("", "ab") == 2
+    assert spell.osa_distance("same", "same") == 0
+
+    _, searcher, oracle = built
+    # 'retrun' is absent from the corpus -> suggestions fire; 'return' is
+    # one transposition away: score = 1 - 1/6 in float32
+    rows = spell.suggest_similar(searcher, "retrun").collect()
+    assert rows and rows[0]["term"] == "return"
+    assert abs(rows[0]["score"] - (1.0 - 1.0 / 6.0)) < 1e-6
+    assert rows[0]["df"] == len(oracle.postings.get("return", {}))
+    # a term that IS in the index -> no suggestions in the default mode,
+    # and a hot term trips the max_query_frequency gate in every mode
+    assert spell.suggest_similar(searcher, "return").collect() == []
+    assert (
+        spell.suggest_similar(searcher, "return", suggest_mode="always").collect()
+        == []
+    )
+    # "always" mode suggests neighbors of an absent-but-cold query term
+    always = spell.suggest_similar(
+        searcher, "whlie", suggest_mode="always"
+    ).collect()
+    assert any(r["term"] == "while" for r in always)
