@@ -1427,9 +1427,14 @@ def _get_light_stem_searcher(spark, sf_dir):
 
 
 def _register_light_stem() -> None:
-    from lucene_spark.entry_impl import TOKEN_SQL, _bm25_ctes
+    from lucene_spark.entry_impl import _bm25_ctes
 
-    tok = _DE_TOK.format(st=_DE_ST, tok=TOKEN_SQL)
+    # the base TOKEN_SQL class is ASCII-only (fine for this corpus); the
+    # light-stem oracle widens it with the German letters so the umlaut
+    # fold is reachable on umlaut-bearing text, matching the engine's
+    # Unicode tokenizer + stemmer chain
+    de_token_sql = "[a-zäàáâöòóôïìíîüùúû0-9_]+"
+    tok = _DE_TOK.format(st=_DE_ST, tok=de_token_sql)
 
     @register(
         "light_stem_query",

@@ -169,11 +169,15 @@ def quantized_blocks(pixels: np.ndarray) -> tuple[np.ndarray, int, int]:
     return np.round(dct / _QTABLE).astype(np.int32), h, w
 
 
-def dequantize_reconstruct(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+def dequantize_reconstruct(
+    blocks: np.ndarray, h: int, w: int, qtable: np.ndarray | None = None
+) -> np.ndarray:
     """Inverse of :func:`quantized_blocks` minus the (lossy) rounding:
-    dequantize, IDCT, level-unshift, clamp, crop. What any conforming
-    decoder must produce for these coefficients."""
-    dct = (blocks * _QTABLE).astype(np.float64)
+    dequantize (with ``qtable``, default the module's Annex K table),
+    IDCT, level-unshift, clamp, crop. What any conforming decoder must
+    produce for these coefficients — the decoder calls this with the
+    stream's own table."""
+    dct = (blocks * (_QTABLE if qtable is None else qtable)).astype(np.float64)
     spatial = np.einsum("xu,abuv,yv->abxy", _C.T, dct, _C.T)
     by, bx = blocks.shape[:2]
     img = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
@@ -310,6 +314,12 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte (B.1.1.2): extra 0xFF padding
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: standalone
+            pos += 2
+            continue
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT — possibly several tables per segment
@@ -356,8 +366,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         pos += 2 + length
     if br is None or h is None:
         raise ValueError("JPEG stream missing SOF0 or SOS")
-    qt = qtables[comp_q]
-    dc_table, ac_table = htables[(0, dc_id)], htables[(1, ac_id)]
+    try:
+        qt = qtables[comp_q]
+        dc_table, ac_table = htables[(0, dc_id)], htables[(1, ac_id)]
+    except KeyError as missing:
+        raise ValueError(
+            f"JPEG scan references undeclared table {missing}"
+        ) from None
 
     by, bx = -(-h // 8), -(-w // 8)
     blocks = np.zeros((by, bx, 8, 8), dtype=np.int32)
@@ -386,10 +401,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 i += 1
             blocks[y, x][zz_rows, zz_cols] = zz
     # decoder dequantizes with the STREAM's table, not the module constant
-    dct = (blocks * qt).astype(np.float64)
-    spatial = np.einsum("xu,abuv,yv->abxy", _C.T, dct, _C.T)
-    img = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
-    return np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w]
+    return dequantize_reconstruct(blocks, h, w, qtable=qt)
 
 
 def decode_jpeg_meta(payload: bytes) -> tuple[int, int, float]:

@@ -119,8 +119,11 @@ def encode_jpeg(width: int, height: int, row_values: list[int]) -> bytes:
     only to quantization error."""
     from lucene_spark.pipeline import jpeg
 
+    # index per row so a short row_values raises like the BMP/PNG twins
     px = np.repeat(
-        np.array(row_values, dtype=np.uint8)[:height, None], width, axis=1
+        np.array([row_values[y] for y in range(height)], dtype=np.uint8)[:, None],
+        width,
+        axis=1,
     )
     return jpeg.encode_jpeg_pixels(px)
 

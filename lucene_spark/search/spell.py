@@ -122,14 +122,20 @@ def suggest_similar(
     if max_query_frequency >= 1.0:
         if df_q > int(max_query_frequency):
             return empty
-    elif df_q > math.ceil(max_query_frequency * float(max_doc)):
+    elif df_q > math.ceil(
+        # the reference computes the ratio gate in float32
+        # (DirectSpellChecker.java:346 `maxQueryFrequency * (float) maxDoc`)
+        float(np.float32(max_query_frequency) * np.float32(max_doc))
+    ):
         return empty
 
     docfreq = df_q if suggest_mode == "more_popular" else 0
     if threshold_frequency >= 1.0:
         docfreq = max(docfreq, int(threshold_frequency))
     elif threshold_frequency > 0.0:
-        docfreq = max(docfreq, int(threshold_frequency * float(max_doc)) - 1)
+        docfreq = max(
+            docfreq, int(float(np.float32(threshold_frequency) * np.float32(max_doc))) - 1
+        )
 
     cand = idx.termstats.filter(
         (F.col("field") == fld)

@@ -288,6 +288,26 @@ def test_jpeg_rejects_non_baseline():
         jpeg.decode_jpeg_pixels(b"not a jpeg at all")
 
 
+def test_jpeg_marker_edge_cases():
+    """Spec-legal oddities a foreign encoder may emit: 0xFF fill bytes
+    before a marker (T.81 B.1.1.2) decode fine; a scan referencing tables
+    the stream never declared raises the module's ValueError contract
+    (not a raw KeyError); encode_jpeg raises on short row_values like the
+    BMP/PNG twins instead of silently truncating."""
+    from lucene_spark.pipeline import jpeg
+
+    img = np.full((8, 8), 5, dtype=np.uint8)
+    enc = jpeg.encode_jpeg_pixels(img)
+    i = enc.index(b"\xff\xdb")
+    filled = enc[:i] + b"\xff\xff" + enc[i:]
+    assert np.array_equal(jpeg.decode_jpeg_pixels(filled), jpeg.decode_jpeg_pixels(enc))
+    no_dht = enc.replace(b"\xff\xc4", b"\xff\xe8", 2)  # rename DHTs to APP8
+    with pytest.raises(ValueError, match="undeclared table"):
+        jpeg.decode_jpeg_pixels(no_dht)
+    with pytest.raises(IndexError):
+        multimodal.encode_jpeg(16, 8, [10, 200])
+
+
 def test_jpeg_payload_meta_close_to_bmp(docs):
     """attach_payload(fmt='jpeg') rides the same Spark plumbing; dims and
     frame counts are exact, mean intensity matches to DCT quantization
