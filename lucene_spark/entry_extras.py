@@ -1483,3 +1483,40 @@ def spell_check_query(spark, sf_dir):
 
     _, s = get_searcher(spark, sf_dir)
     return spell.suggest_similar(s, "tabel", num_sug=5)
+
+
+@register(
+    "word_break_query",
+    f"""WITH {BASE_CTES},
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+wbcand AS (
+  SELECT substr('sparkmerge', 1, i) AS left_word,
+         substr('sparkmerge', i + 1) AS right_word
+  FROM generate_series(1, 9) AS t(i)
+)
+SELECT c.left_word, l.df AS left_df, c.right_word, r.df AS right_df
+FROM wbcand c
+JOIN dict l ON l.term = c.left_word
+JOIN dict r ON r.term = c.right_word
+ORDER BY greatest(l.df, r.df) DESC, c.left_word ASC LIMIT 5""",
+)
+def word_break_query(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordBreaks (WordBreakSpellChecker.java:74):
+    'sparkmerge' is not an indexed token, so break suggestions fire; each
+    split whose halves are both dictionary terms becomes one row. Rows are
+    re-sorted canonically (the reference heap's equal-key order is
+    insertion-defined) — the oracle enumerates every split point in SQL
+    and applies the same sort."""
+    from lucene_spark.search import spell
+
+    _, s = get_searcher(spark, sf_dir)
+    rows = spell.suggest_word_breaks(s, "sparkmerge", max_suggestions=5)
+    data = [
+        (left, ldf, right, rdf) for ((left, ldf), (right, rdf)) in rows
+    ]
+    out = spark.createDataFrame(
+        data, "left_word string, left_df long, right_word string, right_df long"
+    )
+    return out.orderBy(
+        F.desc(F.greatest("left_df", "right_df")), F.asc("left_word")
+    ).limit(5)

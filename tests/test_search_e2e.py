@@ -565,3 +565,43 @@ def test_direct_spell_checker(built):
         searcher, "whlie", suggest_mode="always"
     ).collect()
     assert any(r["term"] == "while" for r in always)
+
+
+def test_word_break_spell_checker(built):
+    """WordBreakSpellChecker: run-together terms break into dictionary
+    words; adjacent terms combine into an indexed concatenation; gates
+    and orderings follow the reference (fewest changes, then frequency)."""
+    from lucene_spark.search import spell
+
+    _, searcher, oracle = built
+    df = {t: len(p) for t, p in oracle.postings.items()}
+
+    # 'indexwriter' is itself an indexed camelCase token -> default mode
+    # suggests nothing; "always" breaks it into (index, writer) with the
+    # oracle's dfs
+    assert df.get("indexwriter", 0) > 0
+    assert spell.suggest_word_breaks(searcher, "indexwriter") == []
+    breaks = spell.suggest_word_breaks(searcher, "indexwriter", suggest_mode="always")
+    assert breaks[0] == [("index", df["index"]), ("writer", df["writer"])]
+
+    # a term absent from the index fires in the default mode
+    made_up = "writerterm" if df.get("writerterm", 0) == 0 else "qqqq"
+    got = spell.suggest_word_breaks(searcher, made_up)
+    if made_up == "writerterm":
+        assert [("writer", df["writer"]), ("term", df["term"])] in got
+
+    # combinations: 'indexblock' is indexed; both originals exist, so the
+    # default not-in-index gate suppresses it and "always" finds it
+    assert df.get("indexblock", 0) > 0
+    assert spell.suggest_word_combinations(searcher, ["index", "block"]) == []
+    combos = spell.suggest_word_combinations(
+        searcher, ["index", "block"], suggest_mode="always"
+    )
+    assert combos and combos[0] == ("indexblock", df["indexblock"], [0, 1])
+    # SEPARATOR forbids joining across it
+    assert (
+        spell.suggest_word_combinations(
+            searcher, ["index", spell.SEPARATOR, "block"], suggest_mode="always"
+        )
+        == []
+    )
