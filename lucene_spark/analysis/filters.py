@@ -626,7 +626,7 @@ def make_filter(spec):
         return porter_stem
     if spec == "cjk_width":
         return cjk_width
-    if isinstance(spec, str) and spec.startswith("light_"):
+    if isinstance(spec, str) and spec.startswith(("light_", "german_")):
         from lucene_spark.analysis import stemmers
 
         by_lang = {
@@ -635,6 +635,7 @@ def make_filter(spec):
             "light_es": stemmers.spanish_light_stem,
             "light_it": stemmers.italian_light_stem,
             "light_pt": stemmers.portuguese_light_stem,
+            "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:
             return by_lang[spec]

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 __all__ = [
     "german_light_stem",
+    "german_normalize",
     "french_light_stem",
     "spanish_light_stem",
     "italian_light_stem",
@@ -259,3 +260,48 @@ def portuguese_light_stem(word: str) -> str:
     if len(s) > 4 and s[-1] in "eao":
         s = s[:-1]
     return s.translate(_PT_FOLD)
+
+
+def german_normalize(word: str) -> str:
+    """GermanNormalizationFilter (de/GermanNormalizationFilter.java:26): a
+    three-state FSM that folds umlauts to base letters, expands ß to ss,
+    and deletes the 'e' of spelled-out umlauts (ue→u, ae→a, oe→o) —
+    except after q/i/y/another vowel-consumed position, so 'quelle' and
+    'die' keep their e. Run BEFORE ``german_light_stem`` to conflate both
+    umlaut spellings."""
+    # states: N ordinary, V blocks e-deletion, U allows it
+    N, V, U = 0, 1, 2
+    out: list[str] = []
+    state = N
+    for c in word:
+        if c in "ao":
+            out.append(c)
+            state = U
+        elif c == "u":
+            out.append(c)
+            state = U if state == N else V
+        elif c == "e":
+            if state == U:
+                state = V  # spelled-out umlaut: drop the e
+                continue
+            out.append(c)
+            state = V
+        elif c in "iqy":
+            out.append(c)
+            state = V
+        elif c == "ä":
+            out.append("a")
+            state = V
+        elif c == "ö":
+            out.append("o")
+            state = V
+        elif c == "ü":
+            out.append("u")
+            state = V
+        elif c == "ß":
+            out.append("ss")
+            state = N
+        else:
+            out.append(c)
+            state = N
+    return "".join(out)

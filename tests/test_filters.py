@@ -556,3 +556,31 @@ def test_light_stemmer_index_rank_identity(spark):
     want = oracle.top_k(oracle.term_scores("haus"), 5)
     assert got == want
     assert sorted(d for d, _ in got) == [0, 1, 2, 4]  # every surface form
+
+
+def test_german_normalization_fsm():
+    """GermanNormalizationFilter's three-state FSM
+    (de/GermanNormalizationFilter.java:26): spelled-out umlauts lose the
+    e only when the u/a/o entered the 'umlaut' state (after a consonant);
+    q/i/y and a preceding vowel block the deletion; ß expands to ss."""
+    from lucene_spark.analysis.stemmers import german_light_stem, german_normalize
+
+    for w, want in [
+        ("ueber", "uber"),
+        ("gruen", "grun"),
+        ("schoen", "schon"),
+        ("quelle", "quelle"),  # q blocks: 'ue' here is not an umlaut
+        ("dauer", "dauer"),  # u after a vowel: V state, e kept
+        ("feuer", "feuer"),
+        ("äpfel", "apfel"),
+        ("straße", "strasse"),
+        ("die", "die"),
+    ]:
+        assert german_normalize(w) == want, (w, german_normalize(w), want)
+    # chained with the light stemmer, both umlaut spellings conflate
+    a = german_light_stem(german_normalize("häuser"))
+    b = german_light_stem(german_normalize("haeuser"))
+    assert a == b == "haus"
+    # reachable through the FilteredAnalyzer spec
+    an = FilteredAnalyzer(filters=("german_normalization", "light_de"))
+    assert an.terms("häuser haeuser") == ["haus", "haus"]
