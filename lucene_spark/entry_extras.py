@@ -1520,3 +1520,44 @@ def word_break_query(spark, sf_dir):
     return out.orderBy(
         F.desc(F.greatest("left_df", "right_df")), F.asc("left_word")
     ).limit(5)
+
+
+@register(
+    "free_text_suggest_query",
+    """WITH toks AS (
+  SELECT regexp_extract_all(text, '[a-z0-9_]+') AS t FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (SELECT gram, count(*)::BIGINT AS cnt FROM big GROUP BY gram),
+ctx AS (
+  SELECT count(*)::BIGINT AS c
+  FROM (SELECT unnest(t) AS w FROM toks) WHERE w = 'the'
+)
+SELECT gram AS suggestion, CAST(cnt AS DOUBLE) / (SELECT c FROM ctx) AS score
+FROM bc
+WHERE gram LIKE 'the %' AND NOT contains(substr(gram, 5), ' ')
+ORDER BY score DESC, suggestion ASC LIMIT 10""",
+)
+def free_text_suggest_query(spark, sf_dir):
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:91):
+    'the ' ends with the separator, so every suggestion is a bigram
+    continuation of 'the', scored count(bigram)/count('the') — the
+    stupid-backoff top model with backoff 1.0. The oracle rebuilds the
+    bigram counts in SQL and applies the same division."""
+    from lucene_spark.entry_impl import _docs
+    from lucene_spark.search.freetext import FreeTextSuggester
+
+    key = (sf_dir, "freetext")
+    if key not in _FT_CACHE:
+        _FT_CACHE[key] = FreeTextSuggester().build(
+            _docs(spark, sf_dir, "documents"), "text"
+        )
+    rows = _FT_CACHE[key].lookup("the ", num=10)
+    out = spark.createDataFrame(rows, "suggestion string, score double")
+    return out.orderBy(F.desc("score"), F.asc("suggestion")).limit(10)
+
+
+_FT_CACHE: dict = {}

@@ -605,3 +605,31 @@ def test_word_break_spell_checker(built):
         )
         == []
     )
+
+
+def test_free_text_suggester(spark):
+    """FreeTextSuggester: bigram continuations with stupid backoff —
+    hand-computable corpus, reference scoring (count/context, ALPHA=0.4
+    per order step down, highest-order model owns each predicted word)."""
+    from lucene_spark.search.freetext import FreeTextSuggester
+
+    docs = spark.createDataFrame(
+        [
+            ("the quick fox",),
+            ("the quick dog",),
+            ("the slow dog",),
+            ("quick brown fox",),
+        ],
+        "text string",
+    )
+    s = FreeTextSuggester().build(docs, "text")
+    assert s.tot_tokens == 12
+    # partial last word: only the matching bigram completes it
+    assert s.lookup("the q") == [("the quick", 2 / 3)]
+    # trailing space upgrades to full-word continuations; no unigram noise
+    assert s.lookup("the ") == [("the quick", 2 / 3), ("the slow", 1 / 3)]
+    # unseen context backs off to the unigram model at ALPHA * count/total
+    (word, score), = s.lookup("purple q")
+    assert word == "quick" and abs(score - 0.4 * 3 / 12) < 1e-12
+    # bare prefix: unigram model, no backoff
+    assert s.lookup("q") == [("quick", 3 / 12)]
