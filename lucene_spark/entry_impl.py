@@ -1066,19 +1066,19 @@ _PRIORITY = [
     "phrase_query",
     "sloppy_phrase_query",
     "prefix_query",
-    "term_range_query",
+    "word_break_query",
     "point_range_query",
     "total_hit_count",
     "facet_counts",
     "grouping_top2_per_lang",
     "sort_by_field",
-    "search_after_page2",
+    "spell_check_query",
     "covering_query",
     "top_terms_by_df",
     "block_join_parent",
     "query_time_join_scored",
     "classic_similarity_query",
-    "suggest_prefix",
+    "free_text_suggest_query",
     "more_like_this",
     "function_score_query",
     "drill_sideways_lang",
