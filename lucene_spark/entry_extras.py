@@ -1561,3 +1561,22 @@ def free_text_suggest_query(spark, sf_dir):
 
 
 _FT_CACHE: dict = {}
+
+
+@register(
+    "surround_query",
+    f"""WITH {BASE_CTES},
+{_IV_ORDERED_CTES}
+SELECT doc_id, CAST(count(*) AS DOUBLE) AS score
+FROM iv_min WHERE e - s - 1 <= 2
+GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def surround_query(spark, sf_dir):
+    """Surround query language (queryparser/surround/parser/QueryParser.jj):
+    'key 3W value' = ordered distance 3 = SpanNear(slop 2, in order),
+    ranked by minimal span count. The oracle reuses the minimal-ordered-
+    interval CTEs with the same gap bound."""
+    from lucene_spark.search import surround
+
+    _, s = get_searcher(spark, sf_dir)
+    return surround.execute(s, "key 3W value", k=10)

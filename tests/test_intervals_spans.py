@@ -303,3 +303,48 @@ def test_unordered_nary_exact_wmatch(s):
         )
     )
     assert got2 == [(0, 4, 6)]
+
+
+def test_surround_parser_grammar(spark):
+    """Surround syntax (queryparser/surround/parser/QueryParser.jj):
+    precedence OR<AND<NOT<N<W, infix left-associative distance folds,
+    prefix n-ary forms, truncation expansion, boosts, field guard."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import surround
+    from lucene_spark.search.searcher import IndexSearcher
+
+    texts = [
+        "spark index merge fast",  # index/merge adjacent, ordered
+        "index the merge",  # one gap
+        "merge index now",  # reversed adjacency
+        "index alone here",
+        "spark table scan",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    idx = build_index(spark, docs, IndexConfig(doc_id_col="doc_id", docs_per_segment=4))
+    s = IndexSearcher(idx)
+
+    def run(q):
+        return [(int(r["doc_id"]), float(r["score"])) for r in surround.execute(s, q).collect()]
+
+    assert run("index W merge") == [(0, 1.0)]
+    assert run("index 2W merge") == [(0, 1.0), (1, 1.0)]
+    assert run("index N merge") == [(0, 1.0), (2, 1.0)]  # unordered adjacency
+    assert run("2N(index, merge)") == [(0, 1.0), (1, 1.0), (2, 1.0)]
+    assert run("3W(spark, index, merge)") == [(0, 1.0)]  # prefix n-ary
+    assert run("index AND spark") == [(0, 2.0)]
+    assert run("index NOT spark") == [(1, 1.0), (2, 1.0), (3, 1.0)]
+    assert run("mer* W fast") == [(0, 1.0)]  # truncation inside W
+    assert run("ind?x W merge") == [(0, 1.0)]
+    assert run("zzz* W fast") == []  # empty expansion kills the distance op
+    boosted = dict(run("index^3 OR table"))
+    assert boosted[4] == 1.0 and boosted[0] == 3.0
+    assert run("content: index W merge") == [(0, 1.0)]
+    with pytest.raises(NotImplementedError):
+        surround.execute(s, "other: index")
+    with pytest.raises(surround.SurroundParseError):
+        surround.parse("index AND")  # dangling operator
+    with pytest.raises(surround.SurroundParseError):
+        surround.parse("(index OR spark) W merge")  # boolean inside W
