@@ -63,13 +63,15 @@ class FreeTextSuggester:
         orders = []
         for n in range(1, self.grams + 1):
             grams = F.expr(
-                f"transform(sequence(0, greatest(size(t) - {n}, -1)), "
+                f"transform(sequence(0, size(t) - {n}), "
                 f"i -> concat_ws('{self.sep}', slice(t, i + 1, {n})))"
             )
             orders.append(
-                toks.select(F.explode(grams).alias("gram")).select(
-                    F.lit(n).alias("order"), "gram"
-                )
+                # docs shorter than the gram order contribute nothing to
+                # this model (Spark's sequence(0, -1) would DESCEND)
+                toks.filter(F.size("t") >= n)
+                .select(F.explode(grams).alias("gram"))
+                .select(F.lit(n).alias("order"), "gram")
             )
         u = orders[0]
         for o in orders[1:]:
@@ -101,7 +103,8 @@ class FreeTextSuggester:
         tokens = an.terms(key)
         if not tokens:
             raise ValueError("no tokens produced by analyzer")
-        ended = key.rstrip() != key  # trailing separator: last word complete
+        # trailing whitespace OR the configured separator: last word complete
+        ended = bool(key) and (key[-1].isspace() or key[-1] == self.sep)
 
         # last-i-gram contexts, mirroring the reference's lastTokens fill
         last: list[str | None] = [None] * self.grams

@@ -50,6 +50,11 @@ class SurroundParseError(ValueError):
     pass
 
 
+#: expansion cap per truncated term — the TooManyBasicQueries bound
+#: (query/BasicQueryFactory.java; default maxBasicQueries 1024)
+MAX_BASIC_QUERIES = 1024
+
+
 # ---- AST (boolean layer above the span layer) ------------------------------
 
 
@@ -87,7 +92,9 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_DIST_RE = re.compile(r"^(\d{1,2})?([WwNn])$")
+#: the grammar's _DISTOP_NUM allows only 2-99; bare W/N mean distance 1,
+#: and "0w"/"1w" are ordinary terms (QueryParser.jj token _DISTOP_NUM)
+_DIST_RE = re.compile(r"^([2-9]|[1-9][0-9])?([WwNn])$")
 
 
 def _lex(text: str) -> list[tuple[str, str]]:
@@ -114,6 +121,9 @@ class _Parser:
     def __init__(self, tokens: list[tuple[str, str]]):
         self.toks = tokens
         self.i = 0
+        #: every field: prefix seen anywhere (incl. nested groups and
+        #: prefix-operator argument lists) — validated by execute()
+        self.fields_seen: list[str] = []
 
     def peek(self):
         return self.toks[self.i]
@@ -139,6 +149,7 @@ class _Parser:
         ):
             fields.append(self.next()[1])
             self.next()
+        self.fields_seen.extend(fields)
         q = self.or_query()
         return (fields, q) if fields else ([], q)
 
@@ -167,15 +178,16 @@ class _Parser:
         return clauses[0] if len(clauses) == 1 else _Bool("not", tuple(clauses))
 
     def _dist_level(self, letter: str, inner):
+        # infix distance is BINARY and left-associative (WQuery/NQuery);
+        # a distance token AFTER an operand is always infix — the prefix
+        # form ("3W(a,b)") only occurs where a primary is expected, so
+        # 'a W (b)' parses as infix with a parenthesized right operand
         q = inner()
         while True:
             k, v = self.peek()
             m = _DIST_RE.match(v) if k == "word" else None
             if not m or m.group(2).upper() != letter:
                 return q
-            # infix distance is BINARY and left-associative (WQuery/NQuery)
-            if self.toks[self.i + 1] == ("lparen", "("):
-                return q  # prefix form handled by primary()
             self.next()
             dist = int(m.group(1) or 1)
             rhs = inner()
@@ -209,14 +221,20 @@ class _Parser:
                 if up == "NOT":
                     raise SurroundParseError("NOT has no prefix form")
                 dist = int(m.group(1) or 1)
-                spans_args = [_require_span(a) for a in args]
+                spans_args = []
+                boost = 1.0
+                for a in args:
+                    sq, b = _require_span(a)
+                    spans_args.append(sq)
+                    boost *= b
                 return self._weights(
                     _Span(
                         SP.SpanNearQuery(
                             tuple(spans_args),
                             slop=dist - 1,
                             in_order=m.group(2).upper() == "W",
-                        )
+                        ),
+                        boost,
                     )
                 )
             self.next()
@@ -252,30 +270,46 @@ def _term(text: str):
     return _Span(SP.SpanTermQuery(text.lower()))
 
 
-def _require_span(node) -> SP.SpanQuery:
+def _require_span(node) -> tuple[SP.SpanQuery, float]:
+    """(span query, accumulated boost) for a distance operand. OR groups
+    are valid operands (OrQuery implements DistanceSubQuery, OrQuery.java:26
+    — they become SpanOr clauses); AND/NOT are not (only OrQuery and terms
+    carry DistanceSubQuery in the reference). Operand boosts multiply into
+    the enclosing distance query (weights may sit at any level,
+    SrndQuery.java:61)."""
     if isinstance(node, _Span):
-        return node.q
+        return node.q, node.boost
+    if isinstance(node, _Bool) and node.op == "or":
+        clauses = []
+        boost = node.boost
+        for c in node.clauses:
+            sq, b = _require_span(c)
+            clauses.append(sq)
+            boost *= b
+        return SP.SpanOrQuery(tuple(clauses)), boost
     raise SurroundParseError(
-        "distance operators take span operands, not boolean subqueries "
-        "(DistanceQuery rejects non-DistanceSubQuery operands)"
+        "distance operators take span or OR operands; AND/NOT subqueries "
+        "are not DistanceSubQuery (DistanceQuery.java:83)"
     )
 
 
 def _fold_near(a, b, dist: int, ordered: bool):
+    qa, ba = _require_span(a)
+    qb, bb = _require_span(b)
     return _Span(
-        SP.SpanNearQuery(
-            (_require_span(a), _require_span(b)), slop=dist - 1, in_order=ordered
-        )
+        SP.SpanNearQuery((qa, qb), slop=dist - 1, in_order=ordered), ba * bb
     )
 
 
 def parse(text: str):
-    """Surround syntax -> (field_names, AST). Raises SurroundParseError."""
+    """Surround syntax -> (field_names, AST) where field_names includes
+    every ``field:`` prefix seen at ANY nesting depth. Raises
+    SurroundParseError."""
     p = _Parser(_lex(text))
-    fields, q = p.fields_query()
+    _, q = p.fields_query()
     if p.peek()[0] != "eof":
         raise SurroundParseError(f"trailing input at {p.peek()!r}")
-    return fields, q
+    return p.fields_seen, q
 
 
 # ---- execution -------------------------------------------------------------
@@ -296,9 +330,16 @@ def _expand_trunc(searcher, q: SP.SpanQuery) -> SP.SpanQuery | None:
                     (F.col("field") == fld) & F.col("term").rlike(rx)
                 )
                 .select("term")
-                .limit(1024)
+                .limit(MAX_BASIC_QUERIES + 1)
                 .collect()
             ]
+            if len(terms) > MAX_BASIC_QUERIES:
+                # fail loudly like BasicQueryFactory -> TooManyBasicQueries
+                # rather than silently searching an arbitrary term subset
+                raise SurroundParseError(
+                    f"too unrestrictive truncation {t.pattern!r}: more than "
+                    f"{MAX_BASIC_QUERIES} dictionary terms match"
+                )
             if not terms:
                 return None
             if len(terms) == 1:

@@ -342,9 +342,24 @@ def test_surround_parser_grammar(spark):
     boosted = dict(run("index^3 OR table"))
     assert boosted[4] == 1.0 and boosted[0] == 3.0
     assert run("content: index W merge") == [(0, 1.0)]
+    # infix distance with a parenthesized right operand (grammar: infix W
+    # takes PrimaryQuery operands, which include groups)
+    assert run("index W (merge)") == [(0, 1.0)]
+    # OR groups are DistanceSubQuery operands -> SpanOr clauses
+    assert run("(index OR table) W merge") == [(0, 1.0)]
+    assert run("(merge OR table) W scan") == [(4, 1.0)]
+    # operand boosts propagate through distance folds
+    assert run("index^3 W merge") == [(0, 3.0)]
+    # _DISTOP_NUM is 2-99: '0w'/'1w' are ordinary terms, not operators —
+    # so 'a 0w b' is operator-less juxtaposition, a parse error
+    with pytest.raises(surround.SurroundParseError):
+        surround.parse("index 0w merge")
+    assert run("0w OR index")[0][0] in (0, 1, 3)  # '0w' usable as a term
     with pytest.raises(NotImplementedError):
         surround.execute(s, "other: index")
+    with pytest.raises(NotImplementedError):  # nested field guard
+        surround.execute(s, "(other: index) W merge")
     with pytest.raises(surround.SurroundParseError):
         surround.parse("index AND")  # dangling operator
     with pytest.raises(surround.SurroundParseError):
-        surround.parse("(index OR spark) W merge")  # boolean inside W
+        surround.parse("(index AND spark) W merge")  # AND is no DistanceSubQuery

@@ -624,6 +624,17 @@ def test_free_text_suggester(spark):
     )
     s = FreeTextSuggester().build(docs, "text")
     assert s.tot_tokens == 12
+    # short/empty docs must not break the gram windows (sequence(0,-1)
+    # would DESCEND in Spark) nor leak truncated grams into wrong orders
+    docs2 = docs.unionByName(
+        docs.sparkSession.createDataFrame([("hello",), ("",)], "text string")
+    )
+    s2 = FreeTextSuggester().build(docs2, "text")
+    assert s2.tot_tokens == 13
+    assert s2.lookup("the q") == [("the quick", 2 / 3)]
+    # a non-space separator still recognizes the completed-word state
+    s3 = FreeTextSuggester(separator="|").build(docs, "text")
+    assert s3.lookup("the|") == [("the|quick", 2 / 3), ("the|slow", 1 / 3)]
     # partial last word: only the matching bigram completes it
     assert s.lookup("the q") == [("the quick", 2 / 3)]
     # trailing space upgrades to full-word continuations; no unigram noise
