@@ -635,6 +635,7 @@ def make_filter(spec):
             "light_es": stemmers.spanish_light_stem,
             "light_it": stemmers.italian_light_stem,
             "light_pt": stemmers.portuguese_light_stem,
+            "light_hu": stemmers.hungarian_light_stem,
             "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:

@@ -11,6 +11,7 @@ and the CLEF experiment reports — as per-token callables that plug into
 - Spanish — analysis/common/.../es/SpanishLightStemmer.java:59
 - Italian — analysis/common/.../it/ItalianLightStemmer.java:59
 - Portuguese — analysis/common/.../pt/PortugueseLightStemmer.java:59
+- Hungarian — analysis/common/.../hu/HungarianLightStemmer.java:59
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -29,6 +30,7 @@ __all__ = [
     "spanish_light_stem",
     "italian_light_stem",
     "portuguese_light_stem",
+    "hungarian_light_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -305,3 +307,83 @@ def german_normalize(word: str) -> str:
             out.append(c)
             state = N
     return "".join(out)
+
+
+# Hungarian — analysis/common/.../hu/HungarianLightStemmer.java:59
+_HU_FOLD = str.maketrans("áëéíóőõöúűũûü", "aeeioooouuuuu")
+_HU_VOWELS = set("aeiouy")
+
+_HU_CASE3 = (
+    "nak", "nek", "val", "vel", "ert", "rol", "ban", "ben", "bol", "nal",
+    "nel", "hoz", "hez", "tol",
+)
+_HU_CASE2 = ("at", "et", "ot", "va", "ve", "ra", "re", "ba", "be", "ul", "ig")
+
+
+def _hu_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith("kent"):
+        return s[:-4]
+    if n > 5:
+        if s[-3:] in _HU_CASE3:
+            return s[:-3]
+        if s[-2:] in ("al", "el") and s[-3] not in _HU_VOWELS and s[-3] == s[-4]:
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in _HU_CASE2:
+            return s[:-2]
+        if s[-2:] in ("on", "en") and s[-3] not in _HU_VOWELS:
+            return s[:-2]
+        if s[-1] in "tn":
+            return s[:-1]
+        if s[-1] in "ae" and s[-2] == s[-3] and s[-2] not in _HU_VOWELS:
+            return s[:-2]
+    return s
+
+
+def _hu_remove_possessive(s: str) -> str:
+    n = len(s)
+    if n > 6:
+        if s[-5] not in _HU_VOWELS and s[-4:] in ("atok", "otok", "etek"):
+            return s[:-4]
+        if s[-4:] in ("itek", "itok"):
+            return s[:-4]
+    if n > 5:
+        if s[-4] not in _HU_VOWELS and s[-3:] in ("unk", "tok", "tek"):
+            return s[:-3]
+        if s[-4] in _HU_VOWELS and s[-3:] == "juk":
+            return s[:-3]
+        if s[-3:] == "ink":
+            return s[:-3]
+    if n > 4:
+        if s[-3] not in _HU_VOWELS and s[-2:] in (
+            "am", "em", "om", "ad", "ed", "od", "uk",
+        ):
+            return s[:-2]
+        if s[-3] in _HU_VOWELS and s[-2:] in ("nk", "ja", "je"):
+            return s[:-2]
+        if s[-2:] in ("im", "id", "ik"):
+            return s[:-2]
+    if n > 3:
+        if s[-1] in "ae" and s[-2] not in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] in "md" and s[-2] in _HU_VOWELS:
+            return s[:-1]
+        if s[-1] == "i":
+            return s[:-1]
+    return s
+
+
+def hungarian_light_stem(word: str) -> str:
+    """Fold accents, then strip case endings, possessives, plural -k and a
+    final vowel — the fourth language of the UniNE light-stemming paper
+    (hu/HungarianLightStemmer.java:59)."""
+    s = word.translate(_HU_FOLD)
+    s = _hu_remove_case(s)
+    s = _hu_remove_possessive(s)
+    # plural: -k with a/o/e before it drops both (len > 4), else just -k
+    if len(s) > 3 and s[-1] == "k":
+        s = s[:-2] if (s[-2] in "aoe" and len(s) > 4) else s[:-1]
+    if len(s) > 3 and s[-1] in "aeio":
+        s = s[:-1]
+    return s

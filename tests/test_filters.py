@@ -584,3 +584,22 @@ def test_german_normalization_fsm():
     # reachable through the FilteredAnalyzer spec
     an = FilteredAnalyzer(filters=("german_normalization", "light_de"))
     assert an.terms("häuser haeuser") == ["haus", "haus"]
+
+
+def test_hungarian_light_stemmer_goldens():
+    """HungarianLightStemmer.java:59 — case endings, possessives, plural
+    -k, final vowel; 'y' counts as a vowel in the guards."""
+    from lucene_spark.analysis.filters import make_filter
+
+    hu = make_filter("light_hu")
+    for w, want in [
+        ("házak", "haz"),  # fold + plural -ak
+        ("házakat", "haz"),  # case -at, then plural
+        ("könyvek", "konyv"),  # plural -ek
+        ("autóval", "aut"),  # case -val, then final vowel
+        ("kertben", "kert"),  # case -ben
+        ("emberek", "ember"),  # plural -ek
+        ("kutyák", "kuty"),  # 'y' is a vowel: possessive rules skip
+        ("ház", "haz"),  # len 3: untouched beyond folding
+    ]:
+        assert hu(w) == want, (w, hu(w), want)
