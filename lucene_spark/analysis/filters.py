@@ -636,6 +636,9 @@ def make_filter(spec):
             "light_it": stemmers.italian_light_stem,
             "light_pt": stemmers.portuguese_light_stem,
             "light_hu": stemmers.hungarian_light_stem,
+            "light_sv": stemmers.swedish_light_stem,
+            "light_no": stemmers.norwegian_light_stem,
+            "light_ru": stemmers.russian_light_stem,
             "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:

@@ -12,6 +12,9 @@ and the CLEF experiment reports — as per-token callables that plug into
 - Italian — analysis/common/.../it/ItalianLightStemmer.java:59
 - Portuguese — analysis/common/.../pt/PortugueseLightStemmer.java:59
 - Hungarian — analysis/common/.../hu/HungarianLightStemmer.java:59
+- Swedish — analysis/common/.../sv/SwedishLightStemmer.java:42
+- Norwegian (Bokmål) — analysis/common/.../no/NorwegianLightStemmer.java:44
+- Russian — analysis/common/.../ru/RussianLightStemmer.java:40
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -31,6 +34,9 @@ __all__ = [
     "italian_light_stem",
     "portuguese_light_stem",
     "hungarian_light_stem",
+    "swedish_light_stem",
+    "norwegian_light_stem",
+    "russian_light_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -386,4 +392,82 @@ def hungarian_light_stem(word: str) -> str:
         s = s[:-2] if (s[-2] in "aoe" and len(s) > 4) else s[:-1]
     if len(s) > 3 and s[-1] in "aeio":
         s = s[:-1]
+    return s
+
+
+def swedish_light_stem(word: str) -> str:
+    """sv/SwedishLightStemmer.java:42 — possessive -s, then one pass of
+    noun/adjective endings by descending length."""
+    s = word
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and s[-5:] in ("elser", "heten"):
+        return s[:-5]
+    if n > 6 and s[-4:] in (
+        "arne", "erna", "ande", "else", "aste", "orna", "aren",
+    ):
+        return s[:-4]
+    if n > 5 and s[-3:] in ("are", "ast", "het"):
+        return s[:-3]
+    if n > 4 and s[-2:] in ("ar", "er", "or", "en", "at", "te", "et"):
+        return s[:-2]
+    if n > 3 and s[-1] in "taen":
+        return s[:-1]
+    return s
+
+
+def norwegian_light_stem(word: str) -> str:
+    """no/NorwegianLightStemmer.java:44 with the default BOKMAAL flag:
+    possessive -s, -het(er/en), -else(r/n), participle/adjective endings,
+    definite/indefinite noun endings, final a/e/n."""
+    s = word
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 7 and s[-5:] in ("heter", "heten", "elser", "elsen"):
+        return s[:-5]
+    if n > 5 and s[-3:] in ("dom", "het"):
+        return s[:-3]
+    if n > 6 and s[-4:] in ("ende", "else", "este", "eren"):
+        return s[:-4]
+    if n > 5 and s[-3:] in ("ere", "est", "ene"):
+        return s[:-3]
+    if n > 4 and s[-2:] in ("er", "en", "et", "st", "te"):
+        return s[:-2]
+    if n > 3 and s[-1] in "aen":
+        return s[:-1]
+    return s
+
+
+_RU_CASE4 = ("иями", "оями")
+_RU_CASE3 = (
+    "иям", "иях", "оях", "ями", "оям", "оьв", "ами", "его", "ему", "ери",
+    "ими", "ого", "ому", "ыми", "оев",
+)
+_RU_CASE2 = (
+    "ая", "яя", "ях", "юю", "ах", "ею", "их", "ия", "ию", "ьв", "ою", "ую",
+    "ям", "ых", "ея", "ам", "ем", "ей", "ём", "ев", "ий", "им", "ое", "ой",
+    "ом", "ов", "ые", "ый", "ым", "ми",
+)
+
+
+def russian_light_stem(word: str) -> str:
+    """ru/RussianLightStemmer.java:40 — case endings by descending length,
+    then the normalize pass (final ь/и, doubled н)."""
+    s = word
+    n = len(s)
+    if n > 6 and s[-4:] in _RU_CASE4:
+        s = s[:-4]
+    elif n > 5 and s[-3:] in _RU_CASE3:
+        s = s[:-3]
+    elif n > 4 and s[-2:] in _RU_CASE2:
+        s = s[:-2]
+    elif n > 3 and s[-1] in "аеиоуйыяь":
+        s = s[:-1]
+    if len(s) > 3:
+        if s[-1] in "ьи":
+            return s[:-1]
+        if s[-1] == "н" and s[-2] == "н":
+            return s[:-1]
     return s

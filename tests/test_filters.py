@@ -603,3 +603,40 @@ def test_hungarian_light_stemmer_goldens():
         ("ház", "haz"),  # len 3: untouched beyond folding
     ]:
         assert hu(w) == want, (w, hu(w), want)
+
+
+def test_scandinavian_and_russian_light_stemmers():
+    """SwedishLightStemmer.java:42 / NorwegianLightStemmer.java:44 (Bokmål)
+    / RussianLightStemmer.java:40 goldens traced through the reference
+    cascades."""
+    from lucene_spark.analysis.filters import make_filter
+
+    sv = make_filter("light_sv")
+    for w, want in [
+        ("bilens", "bil"),  # possessive -s then -en
+        ("bilarna", "bilarn"),  # 'arna' is NOT in the table; only final -a
+        ("flickorna", "flick"),  # -orna
+        ("starkaste", "stark"),  # -aste
+        ("huset", "hus"),
+    ]:
+        assert sv(w) == want, (w, sv(w), want)
+
+    no = make_filter("light_no")
+    for w, want in [
+        ("hemmeligheter", "hemmelig"),  # -heter
+        ("følelsen", "føl"),  # -elsen
+        ("husene", "hus"),  # -ene
+        ("kaker", "kak"),
+        ("sovende", "sov"),  # -ende (Bokmål)
+    ]:
+        assert no(w) == want, (w, no(w), want)
+
+    ru = make_filter("light_ru")
+    for w, want in [
+        ("красивая", "красив"),  # -ая
+        ("журналами", "журнал"),  # -ами
+        ("студенты", "студент"),  # final -ы
+        ("осенний", "осен"),  # -ий then doubled н
+        ("ночь", "ноч"),  # final -ь
+    ]:
+        assert ru(w) == want, (w, ru(w), want)
