@@ -15,6 +15,7 @@ and the CLEF experiment reports — as per-token callables that plug into
 - Swedish — analysis/common/.../sv/SwedishLightStemmer.java:42
 - Norwegian (Bokmål) — analysis/common/.../no/NorwegianLightStemmer.java:44
 - Russian — analysis/common/.../ru/RussianLightStemmer.java:40
+- Finnish — analysis/common/.../fi/FinnishLightStemmer.java:44
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -37,6 +38,7 @@ __all__ = [
     "swedish_light_stem",
     "norwegian_light_stem",
     "russian_light_stem",
+    "finnish_light_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -471,3 +473,110 @@ def russian_light_stem(word: str) -> str:
         if s[-1] == "н" and s[-2] == "н":
             return s[:-1]
     return s
+
+
+# Finnish — analysis/common/.../fi/FinnishLightStemmer.java:44
+_FI_FOLD = str.maketrans("äåö", "aao")
+_FI_VOWELS = set("aeiouy")
+
+
+def _fi_step1(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("kin"):
+            return _fi_step1(s[:-3])  # clitic -kin recurses
+        if s.endswith("ko"):
+            return _fi_step1(s[:-2])  # clitic -ko recurses
+    if n > 11:
+        if s.endswith("dellinen"):
+            return s[:-8]
+        if s.endswith("dellisuus"):
+            return s[:-9]
+    return s
+
+
+def _fi_step2(s: str) -> str:
+    if len(s) > 5:
+        if s[-3:] in ("lla", "tse", "sti"):
+            return s[:-3]
+        if s.endswith("ni"):
+            return s[:-2]
+        if s.endswith("aa"):
+            return s[:-1]
+    return s
+
+
+def _fi_step3(s: str) -> str:
+    n = len(s)
+    if n > 8:
+        if s.endswith("nnen"):
+            return s[:-4] + "s"  # -nnen -> -s
+        if s.endswith("ntena"):
+            return s[:-5] + "s"
+        if s.endswith("tten"):
+            return s[:-4]
+        if s.endswith("eiden"):
+            return s[:-5]
+    if n > 6:
+        if s[-4:] in ("neen", "niin", "seen", "teen", "inen"):
+            return s[:-4]
+        if s[-3] == "h" and s[-2] in _FI_VOWELS and s[-1] == "n":
+            return s[:-3]
+        if s.endswith("den"):
+            return s[:-3] + "s"
+        if s.endswith("ksen"):
+            return s[:-4] + "s"
+        if s[-3:] in ("ssa", "sta", "lla", "lta", "tta", "ksi", "lle"):
+            return s[:-3]
+    if n > 5:
+        if s[-2:] in ("na", "ne"):
+            return s[:-2]
+        if s.endswith("nei"):
+            return s[:-3]
+    if n > 4:
+        if s[-2:] in ("ja", "ta"):
+            return s[:-2]
+        if s[-1] == "a":
+            return s[:-1]
+        if s[-1] == "n" and s[-2] in _FI_VOWELS:
+            return s[:-2]
+        if s[-1] == "n":
+            return s[:-1]
+    return s
+
+
+def _fi_norm1(s: str) -> str:
+    if len(s) > 5 and s.endswith("hde"):
+        s = s[:-3] + "ksi"  # in-place rewrite, falls through
+    if len(s) > 4 and s[-2:] in ("ei", "at"):
+        return s[:-2]
+    if len(s) > 3 and s[-1] in "tsjeai":
+        return s[:-1]
+    return s
+
+
+def _fi_norm2(s: str) -> str:
+    if len(s) > 8 and s[-1] in "eou":
+        s = s[:-1]
+    if len(s) > 4:
+        if s[-1] == "i":
+            s = s[:-1]
+        if len(s) > 4:
+            # collapse doubled k/p/t anywhere (consonant gradation)
+            out = [s[0]]
+            for ch in s[1:]:
+                if ch == out[-1] and ch in "kpt":
+                    continue
+                out.append(ch)
+            s = "".join(out)
+    return s
+
+
+def finnish_light_stem(word: str) -> str:
+    """fi/FinnishLightStemmer.java:44 — clitic recursion, case-ending
+    cascade (incl. the -nnen/-den/-ksen → -s rewrites and -hde → -ksi),
+    then the two normalization passes with k/p/t de-doubling."""
+    if len(word) < 4:
+        return word
+    s = word.translate(_FI_FOLD)
+    return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))

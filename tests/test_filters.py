@@ -640,3 +640,23 @@ def test_scandinavian_and_russian_light_stemmers():
         ("ночь", "ноч"),  # final -ь
     ]:
         assert ru(w) == want, (w, ru(w), want)
+
+
+def test_finnish_light_stemmer_goldens():
+    """FinnishLightStemmer.java:44 — traced goldens: clitic recursion
+    (-kin), locative/illative case endings, k/p/t de-doubling and the
+    -hde -> -ksi rewrite."""
+    from lucene_spark.analysis.filters import make_filter
+
+    fi = make_filter("light_fi")
+    for w, want in [
+        ("taloissa", "talo"),  # plural inessive
+        ("talossa", "talo"),  # singular inessive — conflates
+        ("talossakin", "talo"),  # clitic -kin recurses into step1
+        ("kaupunkiin", "kaupunk"),  # illative -Vn
+        ("pankki", "pank"),  # doubled k collapses (gradation)
+        ("maahde", "maaks"),  # -hde -> -ksi rewrite, then final-i strip
+        ("kirjat", "kirj"),  # -at in norm1
+        ("työ", "työ"),  # len < 4: untouched (fold skipped too)
+    ]:
+        assert fi(w) == want, (w, fi(w), want)
