@@ -640,6 +640,7 @@ def make_filter(spec):
             "light_no": stemmers.norwegian_light_stem,
             "light_ru": stemmers.russian_light_stem,
             "light_fi": stemmers.finnish_light_stem,
+            "light_cs": stemmers.czech_light_stem,
             "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:

@@ -16,6 +16,7 @@ and the CLEF experiment reports — as per-token callables that plug into
 - Norwegian (Bokmål) — analysis/common/.../no/NorwegianLightStemmer.java:44
 - Russian — analysis/common/.../ru/RussianLightStemmer.java:40
 - Finnish — analysis/common/.../fi/FinnishLightStemmer.java:44
+- Czech — analysis/common/.../cz/CzechStemmer.java:31
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -39,6 +40,7 @@ __all__ = [
     "norwegian_light_stem",
     "russian_light_stem",
     "finnish_light_stem",
+    "czech_light_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -580,3 +582,53 @@ def finnish_light_stem(word: str) -> str:
         return word
     s = word.translate(_FI_FOLD)
     return _fi_norm2(_fi_norm1(_fi_step3(_fi_step2(_fi_step1(s)))))
+
+
+# Czech — analysis/common/.../cz/CzechStemmer.java:31 (Dolamic & Savoy's
+# light stemmer for Czech)
+_CZ_CASE3 = (
+    "ech", "ich", "ích", "ého", "ěmi", "emi", "ému", "ěte", "ete", "ěti",
+    "eti", "ího", "iho", "ími", "ímu", "imu", "ách", "ata", "aty", "ých",
+    "ama", "ami", "ové", "ovi", "ými",
+)
+_CZ_CASE2 = ("em", "es", "ém", "ím", "ům", "at", "ám", "os", "us", "ým", "mi", "ou")
+
+
+def _cz_remove_case(s: str) -> str:
+    n = len(s)
+    if n > 7 and s.endswith("atech"):
+        return s[:-5]
+    if n > 6 and s[-4:] in ("ětem", "etem", "atům"):
+        return s[:-4]
+    if n > 5 and s[-3:] in _CZ_CASE3:
+        return s[:-3]
+    if n > 4 and s[-2:] in _CZ_CASE2:
+        return s[:-2]
+    if n > 3 and s[-1] in "aeiouůyáéíýě":
+        return s[:-1]
+    return s
+
+
+def czech_light_stem(word: str) -> str:
+    """cz/CzechStemmer.java:31 — case endings, possessive -ov/-in/-ův,
+    then palatalization-undoing normalization (čt→ck, št→sk, c/č→k,
+    z/ž→h, e-insertion removal, ů→o)."""
+    s = _cz_remove_case(word)
+    if len(s) > 5 and s[-2:] in ("ov", "in", "ův"):
+        s = s[:-2]
+    if not s:
+        return s
+    # normalize
+    if s.endswith("čt"):
+        return s[:-2] + "ck"
+    if s.endswith("št"):
+        return s[:-2] + "sk"
+    if s[-1] in "cč":
+        return s[:-1] + "k"
+    if s[-1] in "zž":
+        return s[:-1] + "h"
+    if len(s) > 1 and s[-2] == "e":
+        return s[:-2] + s[-1]  # e-insertion: e* -> *
+    if len(s) > 2 and s[-2] == "ů":
+        return s[:-2] + "o" + s[-1]
+    return s

@@ -660,3 +660,22 @@ def test_finnish_light_stemmer_goldens():
         ("työ", "työ"),  # len < 4: untouched (fold skipped too)
     ]:
         assert fi(w) == want, (w, fi(w), want)
+
+
+def test_czech_stemmer_goldens():
+    """CzechStemmer.java:31 — case endings, possessives, palatalization
+    undoing. The e-insertion removal is aggressive by design (žen -> žn),
+    matching the published Dolamic & Savoy algorithm."""
+    from lucene_spark.analysis.filters import make_filter
+
+    cz = make_filter("light_cs")
+    for w, want in [
+        ("ženách", "žn"),  # -ách, then e-insertion removal
+        ("městech", "měst"),  # -ech
+        ("matčin", "matk"),  # possessive -in, then č -> k
+        ("otcův", "otcov"),  # len 5 keeps -ův; normalize ů -> o
+        ("kočce", "kočk"),  # final vowel, then c -> k
+        ("domek", "domk"),  # e-insertion removal
+        ("nůž", "nůh"),  # ž -> h (before the ů rule)
+    ]:
+        assert cz(w) == want, (w, cz(w), want)
