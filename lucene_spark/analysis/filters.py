@@ -626,7 +626,7 @@ def make_filter(spec):
         return porter_stem
     if spec == "cjk_width":
         return cjk_width
-    if isinstance(spec, str) and spec.startswith(("light_", "german_")):
+    if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_")):
         from lucene_spark.analysis import stemmers
 
         by_lang = {
@@ -641,6 +641,9 @@ def make_filter(spec):
             "light_ru": stemmers.russian_light_stem,
             "light_fi": stemmers.finnish_light_stem,
             "light_cs": stemmers.czech_light_stem,
+            "arabic_normalization": stemmers.arabic_normalize,
+            "light_ar": stemmers.arabic_stem,
+            "light_bg": stemmers.bulgarian_stem,
             "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:

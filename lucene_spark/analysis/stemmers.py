@@ -17,6 +17,8 @@ and the CLEF experiment reports — as per-token callables that plug into
 - Russian — analysis/common/.../ru/RussianLightStemmer.java:40
 - Finnish — analysis/common/.../fi/FinnishLightStemmer.java:44
 - Czech — analysis/common/.../cz/CzechStemmer.java:31
+- Arabic — analysis/common/.../ar/ArabicStemmer.java:30 (+ normalizer)
+- Bulgarian — analysis/common/.../bg/BulgarianStemmer.java:27
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -41,6 +43,9 @@ __all__ = [
     "russian_light_stem",
     "finnish_light_stem",
     "czech_light_stem",
+    "arabic_normalize",
+    "arabic_stem",
+    "bulgarian_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -631,4 +636,115 @@ def czech_light_stem(word: str) -> str:
         return s[:-2] + s[-1]  # e-insertion: e* -> *
     if len(s) > 2 and s[-2] == "ů":
         return s[:-2] + "o" + s[-1]
+    return s
+
+
+# Arabic — analysis/common/.../ar/ArabicStemmer.java:30 (Larkey's light
+# stemmer) + ArabicNormalizer.java:30; chain order in ArabicAnalyzer:
+# normalize THEN stem
+_AR_PREFIXES = ("ال", "وال", "بال", "كال", "فال", "لل", "و")
+_AR_SUFFIXES = ("ها", "ان", "ات", "ون", "ين", "يه", "ية", "ه", "ة", "ي")
+_AR_DIACRITICS = set("ـًٌٍَُِّْ")
+
+
+def arabic_normalize(word: str) -> str:
+    """Hamza'd alefs -> bare alef, dotless yeh -> yeh, teh marbuta -> heh,
+    tatweel + harakat deleted (ArabicNormalizer.java:30)."""
+    out = []
+    for ch in word:
+        if ch in "آأإ":  # alef madda / hamza above / below
+            out.append("ا")
+        elif ch == "ى":  # dotless yeh
+            out.append("ي")
+        elif ch == "ة":  # teh marbuta
+            out.append("ه")
+        elif ch in _AR_DIACRITICS:
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def arabic_stem(word: str) -> str:
+    """One definite-article/conjunction prefix (first match; the bare waw
+    needs a 4-char word, others 2 chars after the strip), then EVERY
+    matching suffix in table order (the reference loops the whole suffix
+    table, stripping repeatedly)."""
+    s = word
+    for p in _AR_PREFIXES:
+        if len(p) == 1:
+            if len(s) >= 4 and s.startswith(p):
+                s = s[1:]
+                break
+        elif len(s) >= len(p) + 2 and s.startswith(p):
+            s = s[len(p):]
+            break
+    for suf in _AR_SUFFIXES:
+        if len(s) >= len(suf) + 2 and s.endswith(suf):
+            s = s[: -len(suf)]
+    return s
+
+
+# Bulgarian — analysis/common/.../bg/BulgarianStemmer.java:27 (the light
+# stemmer from Nakov et al.'s BulStem paper, with the ен->н fix)
+
+
+def _bg_remove_article(s: str) -> str:
+    n = len(s)
+    if n > 6 and s.endswith("ият"):
+        return s[:-3]
+    if n > 5 and s[-2:] in ("ът", "то", "те", "та", "ия"):
+        return s[:-2]
+    if n > 4 and s.endswith("ят"):
+        return s[:-2]
+    return s
+
+
+def _bg_remove_plural(s: str) -> str:
+    n = len(s)
+    if n > 6:
+        if s.endswith("овци"):
+            return s[:-3]  # keeps the о
+        if s.endswith("ове"):
+            return s[:-3]
+        if s.endswith("еве"):
+            return s[:-3] + "й"
+    if n > 5:
+        if s.endswith("ища"):
+            return s[:-3]
+        if s.endswith("та"):
+            return s[:-2]
+        if s.endswith("ци"):
+            return s[:-2] + "к"
+        if s.endswith("зи"):
+            return s[:-2] + "г"
+        if s[-3] == "е" and s[-1] == "и":
+            return s[:-3] + "я" + s[-2]  # е -> я, drop the и
+    if n > 4:
+        if s.endswith("си"):
+            return s[:-2] + "х"
+        if s.endswith("и"):
+            return s[:-1]
+    return s
+
+
+def bulgarian_stem(word: str) -> str:
+    """Definite article, plural (with the ц/з/с -> к/г/х and е -> я
+    palatalization reversals), final я/а/о/е, ен -> н, ъN -> N."""
+    if len(word) < 4:
+        return word
+    s = word
+    if len(s) > 5 and s.endswith("ища"):
+        return s[:-3]
+    s = _bg_remove_article(s)
+    s = _bg_remove_plural(s)
+    if len(s) > 3:
+        if s.endswith("я"):
+            s = s[:-1]
+        if s[-1] in "аое":
+            s = s[:-1]
+    if len(s) > 4 and s.endswith("ен"):
+        s = s[:-2] + "н"
+    if len(s) > 5 and s[-2] == "ъ":
+        s = s[:-2] + s[-1]
     return s

@@ -679,3 +679,32 @@ def test_czech_stemmer_goldens():
         ("nůž", "nůh"),  # ž -> h (before the ů rule)
     ]:
         assert cz(w) == want, (w, cz(w), want)
+
+
+def test_arabic_and_bulgarian_stemmers():
+    """ArabicStemmer.java:30 (+ ArabicNormalizer.java:30) and
+    BulgarianStemmer.java:27 goldens traced through the reference
+    cascades."""
+    from lucene_spark.analysis.filters import make_filter
+
+    norm = make_filter("arabic_normalization")
+    ar = make_filter("light_ar")
+    # definite-article prefixes and the -ha possessive all conflate
+    assert ar("الكتاب") == "كتاب"
+    assert ar("والكتاب") == "كتاب"
+    assert ar("كتابها") == "كتاب"
+    assert ar("مكتبة") == "مكتب"  # teh-marbuta suffix
+    assert ar("ول") == "ول"  # too short for any rule
+    assert norm("أحمد") == "احمد"  # hamza'd alef folds
+    assert norm("على") == "علي"  # dotless yeh
+    assert norm("رسالة") == "رساله"  # teh marbuta -> heh
+    assert norm("مُدَرِّس") == "مدرس"  # harakat deleted
+
+    bg = make_filter("light_bg")
+    assert bg("градът") == "град"  # definite article
+    assert bg("градовете") == "град"  # article + -ове plural
+    assert bg("книгите") == "книг"  # article + -и plural
+    assert bg("големи") == "голям"  # е -> я palatalization reversal
+    assert bg("червен") == "червн"  # ен -> н
+    assert bg("театър") == "театр"  # ъN -> N
+    assert bg("юли") == "юли"  # len < 4: untouched
