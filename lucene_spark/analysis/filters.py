@@ -626,7 +626,7 @@ def make_filter(spec):
         return porter_stem
     if spec == "cjk_width":
         return cjk_width
-    if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_")):
+    if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_", "persian_", "hindi_")):
         from lucene_spark.analysis import stemmers
 
         by_lang = {
@@ -644,6 +644,9 @@ def make_filter(spec):
             "arabic_normalization": stemmers.arabic_normalize,
             "light_ar": stemmers.arabic_stem,
             "light_bg": stemmers.bulgarian_stem,
+            "persian_normalization": stemmers.persian_normalize,
+            "hindi_normalization": stemmers.hindi_normalize,
+            "light_hi": stemmers.hindi_light_stem,
             "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:

@@ -19,6 +19,8 @@ and the CLEF experiment reports — as per-token callables that plug into
 - Czech — analysis/common/.../cz/CzechStemmer.java:31
 - Arabic — analysis/common/.../ar/ArabicStemmer.java:30 (+ normalizer)
 - Bulgarian — analysis/common/.../bg/BulgarianStemmer.java:27
+- Persian normalizer — analysis/common/.../fa/PersianNormalizer.java:31
+- Hindi — analysis/common/.../hi/HindiStemmer.java:26 (+ normalizer)
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -46,6 +48,9 @@ __all__ = [
     "arabic_normalize",
     "arabic_stem",
     "bulgarian_stem",
+    "persian_normalize",
+    "hindi_normalize",
+    "hindi_light_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -748,3 +753,96 @@ def bulgarian_stem(word: str) -> str:
     if len(s) > 5 and s[-2] == "ъ":
         s = s[:-2] + s[-1]
     return s
+
+
+def persian_normalize(word: str) -> str:
+    """fa/PersianNormalizer.java:31 — farsi yeh / yeh barree -> arabic
+    yeh, keheh -> kaf, heh+yeh / heh goal -> heh, combining hamza above
+    deleted. Run together with ``arabic_normalize`` for mixed text (the
+    PersianAnalyzer chains both)."""
+    out = []
+    for ch in word:
+        if ch in "یے":
+            out.append("ي")
+        elif ch == "ک":
+            out.append("ك")
+        elif ch in "ۀہ":
+            out.append("ه")
+        elif ch == "ٔ":
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+# Hindi — analysis/common/.../hi/HindiNormalizer.java:43 (Devanagari
+# orthographic normalization per Ljiljana Dolamic's UniNE runs) and
+# hi/HindiStemmer.java:26 (light suffix stripping)
+_HI_MAP = {
+    "ँ": "ं",  # candrabindu -> bindu
+    "ऩ": "न", "ऱ": "र", "ऴ": "ळ",  # nukta forms
+    "क़": "क", "ख़": "ख", "ग़": "ग",
+    "ज़": "ज", "ड़": "ड", "ढ़": "ढ",
+    "फ़": "फ", "य़": "य",
+    "ॅ": "े", "ॆ": "े",  # chandra/short e -> e
+    "ॉ": "ो", "ॊ": "ो",  # chandra/short o -> o
+    "ऍ": "ए", "ऎ": "ए",
+    "ऑ": "ओ", "ऒ": "ओ",
+    "ॲ": "अ",
+    "आ": "अ", "ई": "इ", "ऊ": "उ",  # long->short
+    "ॠ": "ऋ", "ॡ": "ऌ",
+    "ऐ": "ए", "औ": "ओ",
+    "ी": "ि", "ू": "ु", "ॄ": "ृ",
+    "ॣ": "ॢ", "ै": "े", "ौ": "ो",
+}
+_HI_DELETE = {"़", "‍", "‌", "्"}  # nukta, zwj/zwnj, virama
+
+_HI_SUF5 = ("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
+_HI_SUF4 = (
+    "ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे", "ेंगे",
+    "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ",
+    "ियों", "ियां",
+)
+_HI_SUF3 = (
+    "ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे", "ाने", "ाना",
+    "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं", "ुआं",
+)
+_HI_SUF2 = (
+    "कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते", "ीं", "ती",
+    "ता", "ाँ", "ां", "ों", "ें",
+)
+_HI_SUF1 = ("ो", "े", "ू", "ु", "ी", "ि", "ा")
+
+
+def hindi_normalize(word: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(word):
+        ch = word[i]
+        if ch == "न" and i + 1 < len(word) and word[i + 1] == "्":
+            out.append("ं")  # dead n -> bindu (consumes the virama)
+            i += 2
+            continue
+        if ch in _HI_DELETE:
+            i += 1
+            continue
+        out.append(_HI_MAP.get(ch, ch))
+        i += 1
+    return "".join(out)
+
+
+def hindi_light_stem(word: str) -> str:
+    """One suffix strip, longest table first with the reference's length
+    guards (HindiStemmer.java:26)."""
+    n = len(word)
+    if n > 6 and word[-5:] in _HI_SUF5:
+        return word[:-5]
+    if n > 5 and word[-4:] in _HI_SUF4:
+        return word[:-4]
+    if n > 4 and word[-3:] in _HI_SUF3:
+        return word[:-3]
+    if n > 3 and word[-2:] in _HI_SUF2:
+        return word[:-2]
+    if n > 2 and word[-1] in _HI_SUF1:
+        return word[:-1]
+    return word

@@ -708,3 +708,24 @@ def test_arabic_and_bulgarian_stemmers():
     assert bg("червен") == "червн"  # ен -> н
     assert bg("театър") == "театр"  # ъN -> N
     assert bg("юли") == "юли"  # len < 4: untouched
+
+
+def test_persian_and_hindi_normalization_and_stemming():
+    """PersianNormalizer.java:31, HindiNormalizer.java:43 and
+    HindiStemmer.java:26 goldens."""
+    from lucene_spark.analysis.filters import make_filter
+
+    fa = make_filter("persian_normalization")
+    assert fa("یکہ") == "يكه"  # farsi yeh -> yeh, keheh -> kaf, heh goal -> heh
+
+    hn = make_filter("hindi_normalization")
+    assert hn("न्द") == "ंद"  # dead n consumes its virama -> bindu
+    assert hn("क़िताब") == "किताब"  # nukta form folds
+    assert hn("लड़का") == "लडका"
+
+    hi = make_filter("light_hi")
+    # plural and oblique forms conflate after normalization
+    assert hi(hn("लड़कियाँ")) == "लडक"
+    assert hi(hn("लड़के")) == "लडक"
+    assert hi("बनाकर") == "बन"  # conjunctive participle -कर
+    assert hi("किताब") == "किताब"  # no suffix: unchanged
