@@ -647,6 +647,7 @@ def make_filter(spec):
             "persian_normalization": stemmers.persian_normalize,
             "hindi_normalization": stemmers.hindi_normalize,
             "light_hi": stemmers.hindi_light_stem,
+            "light_id": stemmers.indonesian_stem,
             "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:

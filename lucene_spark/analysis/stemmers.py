@@ -21,6 +21,7 @@ and the CLEF experiment reports — as per-token callables that plug into
 - Bulgarian — analysis/common/.../bg/BulgarianStemmer.java:27
 - Persian normalizer — analysis/common/.../fa/PersianNormalizer.java:31
 - Hindi — analysis/common/.../hi/HindiStemmer.java:26 (+ normalizer)
+- Indonesian — analysis/common/.../id/IndonesianStemmer.java:27
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -51,6 +52,7 @@ __all__ = [
     "persian_normalize",
     "hindi_normalize",
     "hindi_light_stem",
+    "indonesian_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -846,3 +848,115 @@ def hindi_light_stem(word: str) -> str:
     if n > 2 and word[-1] in _HI_SUF1:
         return word[:-1]
     return word
+
+
+# Indonesian — analysis/common/.../id/IndonesianStemmer.java:27 (Tala's
+# stemmer: inflectional particles/possessives, then derivational
+# prefix/suffix rules with recoding and combination constraints)
+_ID_KE, _ID_PENG, _ID_DI, _ID_MENG, _ID_TER, _ID_BER, _ID_PE = (
+    1, 2, 4, 8, 16, 32, 64,
+)
+_ID_VOWELS = set("aeiou")
+
+
+def _id_first_prefix(s, syll, flags):
+    if s.startswith("meng"):
+        return s[4:], syll - 1, flags | _ID_MENG
+    if s.startswith("meny") and len(s) > 4 and s[4] in _ID_VOWELS:
+        return "s" + s[4:], syll - 1, flags | _ID_MENG  # meny+V -> s (recode)
+    if s.startswith(("men", "mem")):
+        return s[3:], syll - 1, flags | _ID_MENG
+    if s.startswith("me"):
+        return s[2:], syll - 1, flags | _ID_MENG
+    if s.startswith("peng"):
+        return s[4:], syll - 1, flags | _ID_PENG
+    if s.startswith("peny") and len(s) > 4 and s[4] in _ID_VOWELS:
+        return "s" + s[4:], syll - 1, flags | _ID_PENG
+    if s.startswith("peny"):
+        return s[4:], syll - 1, flags | _ID_PENG
+    if s.startswith("pen") and len(s) > 3 and s[3] in _ID_VOWELS:
+        return "t" + s[3:], syll - 1, flags | _ID_PENG  # pen+V -> t (recode)
+    if s.startswith("pen"):
+        return s[3:], syll - 1, flags | _ID_PENG
+    if s.startswith("pem"):
+        return s[3:], syll - 1, flags | _ID_PENG
+    if s.startswith("di"):
+        return s[2:], syll - 1, flags | _ID_DI
+    if s.startswith("ter"):
+        return s[3:], syll - 1, flags | _ID_TER
+    if s.startswith("ke"):
+        return s[2:], syll - 1, flags | _ID_KE
+    return s, syll, flags
+
+
+def _id_second_prefix(s, syll, flags):
+    if s.startswith("ber"):
+        return s[3:], syll - 1, flags | _ID_BER
+    if s == "belajar":
+        return s[3:], syll - 1, flags | _ID_BER
+    if (
+        s.startswith("be")
+        and len(s) > 4
+        and s[2] not in _ID_VOWELS
+        and s[3] == "e"
+        and s[4] == "r"
+    ):
+        return s[2:], syll - 1, flags | _ID_BER
+    if s.startswith("per"):
+        return s[3:], syll - 1, flags
+    if s == "pelajar":
+        return s[3:], syll - 1, flags
+    if s.startswith("pe"):
+        return s[2:], syll - 1, flags | _ID_PE
+    return s, syll, flags
+
+
+def _id_suffix(s, syll, flags):
+    if s.endswith("kan") and not flags & (_ID_KE | _ID_PENG | _ID_PE):
+        return s[:-3], syll - 1, flags
+    if s.endswith("an") and not flags & (_ID_DI | _ID_MENG | _ID_TER):
+        return s[:-2], syll - 1, flags
+    if (
+        s.endswith("i")
+        and not s.endswith("si")
+        and not flags & (_ID_BER | _ID_KE | _ID_PENG)
+    ):
+        return s[:-1], syll - 1, flags
+    return s, syll, flags
+
+
+def indonesian_stem(word: str, stem_derivational: bool = True) -> str:
+    """id/IndonesianStemmer.java:27: inflectional particles (-kah/-lah/
+    -pun) and possessives (-ku/-mu/-nya) always strip; derivational
+    prefixes/suffixes apply with the reference's fired-rule sequencing
+    and prefix/suffix combination constraints. Every rule requires the
+    word to keep more than two syllables (vowel count)."""
+    syll = sum(1 for ch in word if ch in _ID_VOWELS)
+    flags = 0
+    s = word
+    if syll > 2 and s[-3:] in ("kah", "lah", "pun"):
+        syll -= 1
+        s = s[:-3]
+    if syll > 2:
+        if s[-2:] in ("ku", "mu"):
+            syll -= 1
+            s = s[:-2]
+        elif s.endswith("nya"):
+            syll -= 1
+            s = s[:-3]
+    if stem_derivational:
+        old = len(s)
+        if syll > 2:
+            s, syll, flags = _id_first_prefix(s, syll, flags)
+        if len(s) != old:  # a first-order rule fired
+            old = len(s)
+            if syll > 2:
+                s, syll, flags = _id_suffix(s, syll, flags)
+            if len(s) != old and syll > 2:  # a suffix rule fired too
+                s, syll, flags = _id_second_prefix(s, syll, flags)
+        else:
+            if syll > 2:
+                s, syll, flags = _id_second_prefix(s, syll, flags)
+            if syll > 2:
+                s, syll, flags = _id_suffix(s, syll, flags)
+    return s

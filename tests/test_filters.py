@@ -729,3 +729,37 @@ def test_persian_and_hindi_normalization_and_stemming():
     assert hi(hn("लड़के")) == "लडक"
     assert hi("बनाकर") == "बन"  # conjunctive participle -कर
     assert hi("किताब") == "किताब"  # no suffix: unchanged
+
+
+def test_indonesian_stemmer_reference_fixtures():
+    """Replays TestIndonesianStemmer.java's checkOneTerm fixtures: all
+    particle/possessive strips, first/second-order prefixes with the
+    meny->s / pen+V->t recodings, suffix combination constraints, and the
+    multi-affix compounds."""
+    from lucene_spark.analysis.filters import make_filter
+
+    st = make_filter("light_id")
+    for w, want in [
+        ("bukukah", "buku"), ("adalah", "ada"), ("bukupun", "buku"),
+        ("bukuku", "buku"), ("bukumu", "buku"), ("bukunya", "buku"),
+        ("mengukur", "ukur"), ("menyapu", "sapu"), ("menduga", "duga"),
+        ("menuduh", "uduh"), ("membaca", "baca"), ("merusak", "rusak"),
+        ("pengukur", "ukur"), ("penyapu", "sapu"), ("penduga", "duga"),
+        ("pembaca", "baca"), ("diukur", "ukur"), ("tersapu", "sapu"),
+        ("kekasih", "kasih"), ("berlari", "lari"), ("belajar", "ajar"),
+        ("bekerja", "kerja"), ("perjelas", "jelas"), ("pelajar", "ajar"),
+        ("pekerja", "kerja"), ("tarikkan", "tarik"), ("ambilkan", "ambil"),
+        ("mengambilkan", "ambil"), ("makanan", "makan"), ("janjian", "janji"),
+        ("perjanjian", "janji"), ("tandai", "tanda"), ("dapati", "dapat"),
+        ("mendapati", "dapat"), ("pantai", "panta"),
+        ("penyalahgunaan", "salahguna"), ("menyalahgunakan", "salahguna"),
+        ("disalahgunakan", "salahguna"),
+        ("pertanggungjawaban", "tanggungjawab"),
+        ("mempertanggungjawabkan", "tanggungjawab"),
+    ]:
+        assert st(w) == want, (w, st(w), want)
+    # inflectional-only mode keeps derivational affixes
+    from lucene_spark.analysis.stemmers import indonesian_stem
+
+    assert indonesian_stem("bukunya", stem_derivational=False) == "buku"
+    assert indonesian_stem("mengukur", stem_derivational=False) == "mengukur"
