@@ -763,3 +763,61 @@ def test_indonesian_stemmer_reference_fixtures():
 
     assert indonesian_stem("bukunya", stem_derivational=False) == "buku"
     assert indonesian_stem("mengukur", stem_derivational=False) == "mengukur"
+
+
+_REF_ANALYSIS_TEST = (
+    "/root/reference/lucene/analysis/common/src/test/org/apache/lucene/analysis"
+)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_ANALYSIS_TEST),
+    reason="reference test data not present",
+)
+def test_light_stemmers_full_reference_vocabularies():
+    """Replays the reference's ENTIRE light-stemmer vocabulary files —
+    311,619 word/stem pairs across nine languages — plus Porter's
+    23,531-pair voc/output set. Every pair must match exactly (the
+    reference's assertVocabulary contract)."""
+    import zipfile
+
+    from lucene_spark.analysis import stemmers as st
+    from lucene_spark.analysis.filters import porter_stem
+
+    vocab = {
+        "de/delighttestdata.zip": st.german_light_stem,
+        "es/eslighttestdata.zip": st.spanish_light_stem,
+        "fi/filighttestdata.zip": st.finnish_light_stem,
+        "fr/frlighttestdata.zip": st.french_light_stem,
+        "hu/hulighttestdata.zip": st.hungarian_light_stem,
+        "it/itlighttestdata.zip": st.italian_light_stem,
+        "pt/ptlighttestdata.zip": st.portuguese_light_stem,
+        "ru/rulighttestdata.zip": st.russian_light_stem,
+        "sv/svlighttestdata.zip": st.swedish_light_stem,
+    }
+    grand_total = 0
+    for path, fn in vocab.items():
+        z = zipfile.ZipFile(f"{_REF_ANALYSIS_TEST}/{path}")
+        lines = z.read(z.namelist()[0]).decode("utf-8").splitlines()
+        total = 0
+        for ln in lines:
+            if not ln.strip() or ln.startswith("#"):
+                continue
+            parts = ln.split("\t")
+            if len(parts) != 2:
+                continue
+            word, want = parts
+            assert fn(word) == want, (path, word, fn(word), want)
+            total += 1
+        assert total > 20000, (path, total)  # the files are large on purpose
+        grand_total += total
+
+    z = zipfile.ZipFile(f"{_REF_ANALYSIS_TEST}/en/porterTestData.zip")
+    voc = z.read("voc.txt").decode("utf-8").splitlines()
+    out = z.read("output.txt").decode("utf-8").splitlines()
+    for word, want in zip(voc, out):
+        word, want = word.strip(), want.strip()
+        if word:
+            assert porter_stem(word) == want, (word, porter_stem(word), want)
+            grand_total += 1
+    assert grand_total > 330000
