@@ -626,7 +626,7 @@ def make_filter(spec):
         return porter_stem
     if spec == "cjk_width":
         return cjk_width
-    if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_", "persian_", "hindi_")):
+    if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_", "persian_", "hindi_", "minimal_", "sorani_")):
         from lucene_spark.analysis import stemmers
 
         by_lang = {
@@ -648,6 +648,10 @@ def make_filter(spec):
             "hindi_normalization": stemmers.hindi_normalize,
             "light_hi": stemmers.hindi_light_stem,
             "light_id": stemmers.indonesian_stem,
+            "minimal_de": stemmers.german_minimal_stem,
+            "minimal_fr": stemmers.french_minimal_stem,
+            "sorani_normalization": stemmers.sorani_normalize,
+            "light_ckb": stemmers.sorani_stem,
             "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:

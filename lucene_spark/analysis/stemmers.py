@@ -22,6 +22,8 @@ and the CLEF experiment reports — as per-token callables that plug into
 - Persian normalizer — analysis/common/.../fa/PersianNormalizer.java:31
 - Hindi — analysis/common/.../hi/HindiStemmer.java:26 (+ normalizer)
 - Indonesian — analysis/common/.../id/IndonesianStemmer.java:27
+- German/French minimal — de/GermanMinimalStemmer.java:44, fr/FrenchMinimalStemmer.java:44
+- Sorani Kurdish — ckb/SoraniStemmer.java:27 (+ normalizer :40)
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -53,6 +55,10 @@ __all__ = [
     "hindi_normalize",
     "hindi_light_stem",
     "indonesian_stem",
+    "german_minimal_stem",
+    "french_minimal_stem",
+    "sorani_normalize",
+    "sorani_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -959,4 +965,132 @@ def indonesian_stem(word: str, stem_derivational: bool = True) -> str:
                 s, syll, flags = _id_second_prefix(s, syll, flags)
             if syll > 2:
                 s, syll, flags = _id_suffix(s, syll, flags)
+    return s
+
+
+def german_minimal_stem(word: str) -> str:
+    """de/GermanMinimalStemmer.java:44 — umlaut fold + plural-only
+    endings (-nen, -en/-se/-es/-er, single -n/-e/-s/-r)."""
+    if len(word) < 5:
+        return word
+    s = word.translate(str.maketrans("äöü", "aou"))
+    n = len(s)
+    if n > 6 and s.endswith("nen"):
+        return s[:-3]
+    if n > 5 and s[-2:] in ("en", "se", "es", "er"):
+        return s[:-2]
+    if s[-1] in "nesr":
+        return s[:-1]
+    return s
+
+
+def french_minimal_stem(word: str) -> str:
+    """fr/FrenchMinimalStemmer.java:44 — plural-only: -x (with -aux ->
+    -al), then sequential s/r/e/é drops and a final-double-letter
+    collapse."""
+    if len(word) < 6:
+        return word
+    s = word
+    if s[-1] == "x":
+        if s[-3] == "a" and s[-2] == "u":
+            return s[:-2] + "l"  # chevaux -> cheval
+        return s[:-1]
+    if s[-1] == "s":
+        s = s[:-1]
+    if s[-1] == "r":
+        s = s[:-1]
+    if s[-1] == "e":
+        s = s[:-1]
+    if s[-1] == "é":
+        s = s[:-1]
+    if s[-1] == s[-2]:
+        s = s[:-1]
+    return s
+
+
+# Sorani Kurdish — analysis/common/.../ckb/SoraniNormalizer.java:40 and
+# SoraniStemmer.java:27
+_CKB_DIACRITICS = set("ـًٌٍَُِّْ")
+
+
+def sorani_normalize(word: str) -> str:
+    """Arabic-script variants onto the Sorani forms: yeh -> farsi yeh,
+    kaf -> keheh, final/ZWNJ-joined heh -> ae, heh doachashmee -> heh,
+    initial reh -> rreh, tatweel/harakat deleted."""
+    out: list[str] = []
+    for i, ch in enumerate(word):
+        if ch in "يى":  # yeh / dotless yeh
+            out.append("ی")
+        elif ch == "ك":  # kaf
+            out.append("ک")
+        elif ch == "‌":  # ZWNJ: heh before it becomes ae
+            if out and out[-1] == "ه":
+                out[-1] = "ە"
+            continue
+        elif ch == "ه":  # heh: word-final becomes ae
+            out.append("ە" if i == len(word) - 1 else "ه")
+        elif ch == "ة":  # teh marbuta
+            out.append("ە")
+        elif ch == "ھ":  # heh doachashmee
+            out.append("ه")
+        elif ch == "ر":  # reh: initial becomes rreh
+            out.append("ڕ" if i == 0 else "ر")
+        elif ch == "ڒ":  # rreh above
+            out.append("ڕ")
+        elif ch in _CKB_DIACRITICS:
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def sorani_stem(word: str) -> str:
+    """Postposition, possessive pronoun, then ONE of the ezafe/definite/
+    plural/demonstrative endings (the reference's else-if chain)."""
+    s = word
+    # postposition
+    if len(s) > 5 and s.endswith("دا"):
+        s = s[:-2]
+    elif len(s) > 4 and s.endswith("نا"):
+        s = s[:-1]
+    elif len(s) > 6 and s.endswith("ەوە"):
+        s = s[:-3]
+    # possessive pronoun
+    if len(s) > 6 and s[-3:] in ("مان", "یان", "تان"):
+        s = s[:-3]
+    n = len(s)
+    if n > 6 and s.endswith("ێکی"):  # indefinite singular ezafe
+        return s[:-3]
+    if n > 7 and s.endswith("یەکی"):
+        return s[:-4]
+    if n > 5 and s.endswith("ێک"):  # indefinite singular
+        return s[:-2]
+    if n > 6 and s.endswith("یەک"):
+        return s[:-3]
+    if n > 6 and s.endswith("ەکە"):  # definite singular
+        return s[:-3]
+    if n > 5 and s.endswith("کە"):
+        return s[:-2]
+    if n > 7 and s.endswith("ەکان"):  # definite plural
+        return s[:-4]
+    if n > 6 and s.endswith("کان"):
+        return s[:-3]
+    if n > 7 and s.endswith("یانی"):  # indefinite plural ezafe
+        return s[:-4]
+    if n > 6 and s.endswith("انی"):
+        return s[:-3]
+    if n > 6 and s.endswith("یان"):  # indefinite plural
+        return s[:-3]
+    if n > 5 and s.endswith("ان"):
+        return s[:-2]
+    if n > 7 and s.endswith("یانە"):  # demonstrative plural
+        return s[:-4]
+    if n > 6 and s.endswith("انە"):
+        return s[:-3]
+    if n > 5 and (s.endswith("ایە") or s.endswith("ەیە")):  # dem. singular
+        return s[:-2]
+    if n > 4 and s.endswith("ە"):
+        return s[:-1]
+    if n > 4 and s.endswith("ی"):  # absolute singular ezafe
+        return s[:-1]
     return s

@@ -812,6 +812,32 @@ def test_light_stemmers_full_reference_vocabularies():
         assert total > 20000, (path, total)  # the files are large on purpose
         grand_total += total
 
+    # the minimal (plural-only) stemmers ride the same vocabulary format
+    for path, fn in (
+        ("de/deminimaltestdata.zip", st.german_minimal_stem),
+        ("fr/frminimaltestdata.zip", st.french_minimal_stem),
+    ):
+        z = zipfile.ZipFile(f"{_REF_ANALYSIS_TEST}/{path}")
+        for ln in z.read(z.namelist()[0]).decode("utf-8").splitlines():
+            if ln.strip() and "\t" in ln:
+                word, want = ln.split("\t")
+                assert fn(word) == want, (path, word, fn(word), want)
+                grand_total += 1
+
+    # Sorani: normalize+stem chain; the data embeds bidi-override controls
+    # that the tokenizer never emits (ZWNJ stays — the normalizer consumes
+    # it in the heh->ae rule)
+    bidi = set("\u202a\u202b\u202c\u202d\u202e\u200e\u200f")
+    z = zipfile.ZipFile(f"{_REF_ANALYSIS_TEST}/ckb/ckbtestdata.zip")
+    for ln in z.read("testdata.txt").decode("utf-8").splitlines():
+        if ln.strip() and "\t" in ln:
+            word, want = ln.split("\t")
+            word = "".join(c for c in word if c not in bidi)
+            want = "".join(c for c in want if c not in bidi)
+            got = st.sorani_stem(st.sorani_normalize(word))
+            assert got == want, (word, got, want)
+            grand_total += 1
+
     z = zipfile.ZipFile(f"{_REF_ANALYSIS_TEST}/en/porterTestData.zip")
     voc = z.read("voc.txt").decode("utf-8").splitlines()
     out = z.read("output.txt").decode("utf-8").splitlines()
@@ -820,4 +846,4 @@ def test_light_stemmers_full_reference_vocabularies():
         if word:
             assert porter_stem(word) == want, (word, porter_stem(word), want)
             grand_total += 1
-    assert grand_total > 330000
+    assert grand_total > 395000
