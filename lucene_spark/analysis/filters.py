@@ -626,7 +626,7 @@ def make_filter(spec):
         return porter_stem
     if spec == "cjk_width":
         return cjk_width
-    if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_", "persian_", "hindi_", "minimal_", "sorani_")):
+    if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_", "persian_", "hindi_", "minimal_", "sorani_", "plural_")):
         from lucene_spark.analysis import stemmers
 
         by_lang = {
@@ -652,6 +652,7 @@ def make_filter(spec):
             "minimal_fr": stemmers.french_minimal_stem,
             "sorani_normalization": stemmers.sorani_normalize,
             "light_ckb": stemmers.sorani_stem,
+            "plural_es": stemmers.spanish_plural_stem,
             "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:

@@ -24,6 +24,7 @@ and the CLEF experiment reports — as per-token callables that plug into
 - Indonesian — analysis/common/.../id/IndonesianStemmer.java:27
 - German/French minimal — de/GermanMinimalStemmer.java:44, fr/FrenchMinimalStemmer.java:44
 - Sorani Kurdish — ckb/SoraniStemmer.java:27 (+ normalizer :40)
+- Spanish plural-only — es/SpanishPluralStemmer.java:37
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -59,6 +60,7 @@ __all__ = [
     "french_minimal_stem",
     "sorani_normalize",
     "sorani_stem",
+    "spanish_plural_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -1092,5 +1094,67 @@ def sorani_stem(word: str) -> str:
     if n > 4 and s.endswith("ە"):
         return s[:-1]
     if n > 4 and s.endswith("ی"):  # absolute singular ezafe
+        return s[:-1]
+    return s
+
+
+# Spanish plural-only — analysis/common/.../es/SpanishPluralStemmer.java:37
+_ES_INVARIANTS = frozenset("""abrebotellas abrecartas abrelatas afueras
+albatros albricias aledaños alexis alicates analisis andurriales antitesis
+añicos apendicitis apocalipsis arcoiris aries bilis boletus boris brindis
+cactus canutas caries cascanueces cascarrabias ciempies cifosis cortaplumas
+corpus cosmos cosquillas creces crisis cuatrocientas cuatrocientos
+cuelgacapas cuentacuentos cuentapasos cumpleaños doscientas doscientos dosis
+enseres entonces esponsales estatus exequias fauces forceps fotosintesis
+gafas gafotas gargaras gris honorarios ictus jueves lapsus lavacoches
+lavaplatos limpiabotas lunes maitines martes mondadientes novecientas
+novecientos nupcias ochocientas ochocientos pais paris parabrisas paracaidas
+parachoques paraguas pararrayos pisapapeles piscis portaaviones portamaletas
+portamantas quinientas quinientos quitamanchas recogepelotas rictus
+rompeolas sacacorchos sacapuntas saltamontes salvavidas seis seiscientas
+seiscientos setecientas setecientos sintesis tenis tifus trabalenguas
+vacaciones venus versus viacrucis virus viveres volandas""".split())
+_ES_SPECIAL = frozenset(
+    "yoes noes sies clubes faralaes albalaes itemes albumes sandwiches "
+    "relojes bojes contrarreloj carcajes".split()
+)
+
+
+def spanish_plural_stem(word: str) -> str:
+    """Plural-only Spanish stemming with invariant/special word lists and
+    the qu/gu, -Vres/-Vdes, -ues/-ies, -ces -> -z rules. NOTE: the
+    reference's qu/gu condition short-circuits on 'q' alone (operator
+    precedence in the Java source) — mirrored faithfully."""
+    if len(word) < 4:
+        return word
+    s = word.translate(_ROMANCE_FOLD)
+    if s in _ES_INVARIANTS:
+        return s
+    if s in _ES_SPECIAL:
+        return s[:-2]
+    if s[-1] != "s":
+        return s
+    v = _ID_VOWELS  # a e i o u
+    if s[-2] not in v:
+        return s[:-1]
+    if s[-4] == "q" or (s[-4] == "g" and s[-3] == "u" and s[-2] in "ie"):
+        return s[:-1]
+    if s[-4] in v and s[-3] == "r" and s[-2] == "e":
+        return s[:-2]
+    if s[-4] in v and s[-3] in "dlnx" and s[-2] == "e":
+        return s[:-2]
+    if s[-3] in "yu" and s[-2] == "e":
+        return s[:-2]
+    if s[-4] in "ulrtn" and s[-3] == "i" and s[-2] == "e":
+        return s[:-2]
+    if s[-3] == "s" and s[-2] == "e":
+        return s[:-2]
+    if s[-3] in v and s[-2] == "i":
+        return s[:-2] + "y"
+    if s[-3] == "d" and s[-2] == "i":
+        return s[:-2] + "y"
+    if s[-3] == "c" and s[-2] == "e":
+        return s[:-3] + "z"
+    if s[-2] in v:
         return s[:-1]
     return s

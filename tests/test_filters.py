@@ -816,6 +816,7 @@ def test_light_stemmers_full_reference_vocabularies():
     for path, fn in (
         ("de/deminimaltestdata.zip", st.german_minimal_stem),
         ("fr/frminimaltestdata.zip", st.french_minimal_stem),
+        ("es/espluraltestdata.zip", st.spanish_plural_stem),
     ):
         z = zipfile.ZipFile(f"{_REF_ANALYSIS_TEST}/{path}")
         for ln in z.read(z.namelist()[0]).decode("utf-8").splitlines():
@@ -846,4 +847,4 @@ def test_light_stemmers_full_reference_vocabularies():
         if word:
             assert porter_stem(word) == want, (word, porter_stem(word), want)
             grand_total += 1
-    assert grand_total > 395000
+    assert grand_total > 425000
