@@ -653,6 +653,7 @@ def make_filter(spec):
             "sorani_normalization": stemmers.sorani_normalize,
             "light_ckb": stemmers.sorani_stem,
             "plural_es": stemmers.spanish_plural_stem,
+            "light_lv": stemmers.latvian_stem,
             "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:

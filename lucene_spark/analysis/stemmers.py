@@ -25,6 +25,7 @@ and the CLEF experiment reports — as per-token callables that plug into
 - German/French minimal — de/GermanMinimalStemmer.java:44, fr/FrenchMinimalStemmer.java:44
 - Sorani Kurdish — ckb/SoraniStemmer.java:27 (+ normalizer :40)
 - Spanish plural-only — es/SpanishPluralStemmer.java:37
+- Latvian — lv/LatvianStemmer.java:30
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -61,6 +62,7 @@ __all__ = [
     "sorani_normalize",
     "sorani_stem",
     "spanish_plural_stem",
+    "latvian_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -1158,3 +1160,52 @@ def spanish_plural_stem(word: str) -> str:
     if s[-2] in v:
         return s[:-1]
     return s
+
+
+# Latvian — analysis/common/.../lv/LatvianStemmer.java:30 (light stemmer
+# per Karlis Kreslins: one affix strip gated on remaining vowel count,
+# then palatalization undoing)
+_LV_AFFIXES = (
+    ("ajiem", 3, False), ("ajai", 3, False), ("ajam", 2, False),
+    ("ajām", 2, False), ("ajos", 2, False), ("ajās", 2, False),
+    ("iem", 2, True), ("ajā", 2, False), ("ais", 2, False), ("ai", 2, False),
+    ("ei", 2, False), ("ām", 1, False), ("am", 1, False), ("ēm", 1, False),
+    ("īm", 1, False), ("im", 1, False), ("um", 1, False), ("us", 1, True),
+    ("as", 1, False), ("ās", 1, False), ("es", 1, False), ("os", 1, True),
+    ("ij", 1, False), ("īs", 1, False), ("ēs", 1, False), ("is", 1, False),
+    ("ie", 1, False), ("u", 1, True), ("a", 1, True), ("i", 1, True),
+    ("e", 1, False), ("ā", 1, False), ("ē", 1, False), ("ī", 1, False),
+    ("ū", 1, False), ("o", 1, False), ("s", 0, False), ("š", 0, False),
+)
+_LV_VOWELS = set("aeiouāīēū")
+
+
+def _lv_unpalatalize(s: str, removed_first: str) -> str:
+    if removed_first == "u":
+        if s.endswith("kš"):
+            return s[:-1] + "st"  # kš -> kst (2nd/5th/6th decl. gen. pl.)
+        if s.endswith("ņņ"):
+            return s[:-2] + "nn"
+    if s.endswith(("pj", "bj", "mj", "vj")):  # labial consonant
+        return s[:-1]
+    for pal, plain in (
+        ("šņ", "sn"), ("žņ", "zn"), ("šļ", "sl"), ("žļ", "zl"),
+        ("ļņ", "ln"), ("ļļ", "ll"),
+    ):
+        if s.endswith(pal):
+            return s[:-2] + plain
+    if s and s[-1] in "čļņ":
+        return s[:-1] + {"č": "c", "ļ": "l", "ņ": "n"}[s[-1]]
+    return s
+
+
+def latvian_stem(word: str) -> str:
+    """One affix from the ordered table, only when the remainder keeps
+    more vowels than the affix consumed and at least 3 characters;
+    palatalized declensions un-palatalize."""
+    nv = sum(1 for c in word if c in _LV_VOWELS)
+    for affix, vc, palatalizes in _LV_AFFIXES:
+        if nv > vc and len(word) >= len(affix) + 3 and word.endswith(affix):
+            s = word[: -len(affix)]
+            return _lv_unpalatalize(s, affix[0]) if palatalizes else s
+    return word

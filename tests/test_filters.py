@@ -848,3 +848,26 @@ def test_light_stemmers_full_reference_vocabularies():
             assert porter_stem(word) == want, (word, porter_stem(word), want)
             grand_total += 1
     assert grand_total > 425000
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_ANALYSIS_TEST),
+    reason="reference test data not present",
+)
+def test_latvian_stemmer_reference_fixtures():
+    """Replays every checkOneTerm fixture in TestLatvianStemmer.java
+    (fixture strings whitespace-stripped — two carry a stray trailing
+    space the tokenizer would trim)."""
+    import re
+
+    from lucene_spark.analysis.stemmers import latvian_stem
+
+    src = open(
+        f"{_REF_ANALYSIS_TEST}/lv/TestLatvianStemmer.java", encoding="utf-8"
+    ).read()
+    pairs = re.findall(r'checkOneTerm\(a,\s*"([^"]+)",\s*"([^"]+)"\)', src)
+    assert len(pairs) > 150
+    for word, want in pairs:
+        word, want = word.strip(), want.strip()
+        got = latvian_stem(word)
+        assert got == want, (word, got, want)
