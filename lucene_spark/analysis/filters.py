@@ -654,6 +654,7 @@ def make_filter(spec):
             "light_ckb": stemmers.sorani_stem,
             "plural_es": stemmers.spanish_plural_stem,
             "light_lv": stemmers.latvian_stem,
+            "minimal_no": stemmers.norwegian_minimal_stem,
             "german_normalization": stemmers.german_normalize,
         }
         if spec in by_lang:

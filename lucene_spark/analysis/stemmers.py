@@ -26,6 +26,7 @@ and the CLEF experiment reports — as per-token callables that plug into
 - Sorani Kurdish — ckb/SoraniStemmer.java:27 (+ normalizer :40)
 - Spanish plural-only — es/SpanishPluralStemmer.java:37
 - Latvian — lv/LatvianStemmer.java:30
+- Norwegian minimal — no/NorwegianMinimalStemmer.java:44
 
 Light stemmers only conflate plural/gender/derivational endings (no
 measure conditions like Porter's), so they are tiny rule cascades: each
@@ -63,6 +64,7 @@ __all__ = [
     "sorani_stem",
     "spanish_plural_stem",
     "latvian_stem",
+    "norwegian_minimal_stem",
 ]
 
 # shared accent-folding maps (each language folds a slightly different set)
@@ -1209,3 +1211,19 @@ def latvian_stem(word: str) -> str:
             s = word[: -len(affix)]
             return _lv_unpalatalize(s, affix[0]) if palatalizes else s
     return word
+
+
+def norwegian_minimal_stem(word: str) -> str:
+    """no/NorwegianMinimalStemmer.java:44 (Bokmål flag): genitive -s,
+    definite plural -ene, -er/-en/-et, final -a/-e only."""
+    s = word
+    if len(s) > 4 and s[-1] == "s":
+        s = s[:-1]
+    n = len(s)
+    if n > 5 and s.endswith("ene"):
+        return s[:-3]
+    if n > 4 and s[-2:] in ("er", "en", "et"):
+        return s[:-2]
+    if n > 3 and s[-1] in "ae":
+        return s[:-1]
+    return s

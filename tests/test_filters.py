@@ -871,3 +871,32 @@ def test_latvian_stemmer_reference_fixtures():
         word, want = word.strip(), want.strip()
         got = latvian_stem(word)
         assert got == want, (word, got, want)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_ANALYSIS_TEST),
+    reason="reference test data not present",
+)
+def test_norwegian_vocabularies():
+    """nb_light.txt (123 pairs) against the Bokmål light stemmer and
+    nb_minimal.txt (82 pairs) against the minimal stemmer — the
+    reference's own vocabulary files, every pair exact."""
+    from lucene_spark.analysis.stemmers import (
+        norwegian_light_stem,
+        norwegian_minimal_stem,
+    )
+
+    for fname, fn, min_pairs in (
+        ("no/nb_light.txt", norwegian_light_stem, 100),
+        ("no/nb_minimal.txt", norwegian_minimal_stem, 70),
+    ):
+        total = 0
+        for ln in open(
+            f"{_REF_ANALYSIS_TEST}/{fname}", encoding="utf-8"
+        ).read().splitlines():
+            if not ln.strip() or ln.startswith("#") or "\t" not in ln:
+                continue
+            word, want = ln.split("\t")
+            assert fn(word) == want, (fname, word, fn(word), want)
+            total += 1
+        assert total >= min_pairs, (fname, total)
