@@ -900,3 +900,31 @@ def test_norwegian_vocabularies():
             assert fn(word) == want, (fname, word, fn(word), want)
             total += 1
         assert total >= min_pairs, (fname, total)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_ANALYSIS_TEST),
+    reason="reference test data not present",
+)
+def test_czech_bulgarian_reference_fixtures():
+    """Replays every assertAnalyzesTo fixture in TestCzechStemmer.java
+    (143) and TestBulgarianStemmer.java (101) — the stemmers run after
+    lowercasing in the reference chains."""
+    import re
+
+    from lucene_spark.analysis import stemmers as st
+
+    pat = re.compile(
+        r'assertAnalyzesTo\(\w+,\s*"([^"]*)",\s*new String\[\]\s*\{"([^"]*)"\}\)',
+        re.S,
+    )
+    for path, fn, min_pairs in (
+        ("cz/TestCzechStemmer.java", st.czech_light_stem, 120),
+        ("bg/TestBulgarianStemmer.java", st.bulgarian_stem, 90),
+    ):
+        src = open(f"{_REF_ANALYSIS_TEST}/{path}", encoding="utf-8").read()
+        pairs = pat.findall(src)
+        assert len(pairs) >= min_pairs, (path, len(pairs))
+        for word, want in pairs:
+            got = fn(word.lower())
+            assert got == want, (path, word, got, want)
