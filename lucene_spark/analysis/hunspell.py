@@ -33,6 +33,7 @@ from typing import Iterable
 __all__ = [
     "HunspellDictionary",
     "Hunspell",
+    "HunspellStemFilter",
     "unmunch",
 ]
 
@@ -1349,6 +1350,24 @@ class Hunspell:
             and self.spell(word[:pos])
             and self.spell(word[pos + len(br) :])
         )
+
+
+class HunspellStemFilter:
+    """1:1 token filter for the analyzer chain
+    (``hunspell/HunspellStemFilter.java:62`` with longestOnly): the
+    longest unique stem (ties: lexicographically smallest — our
+    deterministic tie rule), or the original token when the dictionary
+    yields no stems. Plain-Python callable, cloudpickles into the
+    executor-side invert closure like every other filter."""
+
+    def __init__(self, hunspell: Hunspell):
+        self.h = hunspell
+
+    def __call__(self, term: str) -> str:
+        stems = self.h.unique_stems(term)
+        if not stems:
+            return term
+        return min(stems, key=lambda s: (-len(s), s))
 
 
 def _is_number(s: str) -> bool:

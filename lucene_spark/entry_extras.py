@@ -1580,3 +1580,122 @@ def surround_query(spark, sf_dir):
 
     _, s = get_searcher(spark, sf_dir)
     return surround.execute(s, "key 3W value", k=10)
+
+
+# ---- Hunspell dictionary stemming (hunspell/Hunspell.java:48) --------------
+
+# A deterministic in-code dictionary over the corpus vocabulary: suffix
+# rule E appends 'e' (so surface 'table'/'line'/'value'/'merge' strip to
+# the roots below), prefix rule P prepends 's' ('scan' strips to 'can').
+_HS_AFF = """SET UTF-8
+
+PFX P Y 1
+PFX P 0 s .
+
+SFX E Y 1
+SFX E 0 e .
+"""
+_HS_DIC = """6
+tabl/E
+lin/E
+valu/E
+merg/E
+can/P
+stream
+"""
+
+_HS_CACHE: dict = {}
+
+
+def _hunspell_filter():
+    from lucene_spark.analysis.hunspell import (
+        Hunspell,
+        HunspellDictionary,
+        HunspellStemFilter,
+    )
+
+    if "filter" not in _HS_CACHE:
+        _HS_CACHE["filter"] = HunspellStemFilter(
+            Hunspell(HunspellDictionary.parse(_HS_AFF, _HS_DIC))
+        )
+    return _HS_CACHE["filter"]
+
+
+def _hunspell_oracle_tok() -> str:
+    """Tokenization CTE with the surface->stem map derived by `unmunch`
+    (generation direction — independent of the engine's affix
+    stripping); unmapped tokens pass through unchanged, mirroring
+    HunspellStemFilter's keep-original rule."""
+    from lucene_spark.analysis.hunspell import HunspellDictionary, unmunch
+    from lucene_spark.entry_impl import TOKEN_SQL
+
+    d = HunspellDictionary.parse(_HS_AFF, _HS_DIC)
+    pairs = []
+    for form, roots in sorted(unmunch(d).items()):
+        stem = min(roots, key=lambda s: (-len(s), s))
+        if stem != form:
+            pairs.append(f"('{form}', '{stem}')")
+    values = ", ".join(pairs)
+    return f"""
+  SELECT t.doc_id, coalesce(m.stem, t.term) AS term, t.pos
+  FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_SQL}')) AS term,
+           unnest(generate_series(1, len(regexp_extract_all(text, '{TOKEN_SQL}')))) - 1 AS pos
+    FROM documents) t
+  LEFT JOIN (VALUES {values}) m(form, stem) ON t.term = m.form
+""".strip()
+
+
+def _get_hunspell_searcher(spark, sf_dir):
+    if ("searcher", sf_dir) not in _HS_CACHE:
+        from lucene_spark.analysis.filters import FilteredAnalyzer
+        from lucene_spark.entry_impl import _docs
+        from lucene_spark.index.build import IndexConfig, build_index
+        from lucene_spark.search.searcher import IndexSearcher
+
+        cfg = IndexConfig(
+            text_col="text",
+            field_name="text",
+            doc_id_col="doc_id",
+            docs_per_segment=1024,
+            analyzer=FilteredAnalyzer(filters=(_hunspell_filter(),)),
+        )
+        _HS_CACHE[("searcher", sf_dir)] = IndexSearcher(
+            build_index(spark, _docs(spark, sf_dir, "documents"), cfg)
+        )
+    return _HS_CACHE[("searcher", sf_dir)]
+
+
+def _register_hunspell() -> None:
+    from lucene_spark.entry_impl import _bm25_ctes
+
+    tok = _hunspell_oracle_tok()
+
+    @register(
+        "hunspell_stem_query",
+        f"""WITH {_bm25_ctes(tok)},
+{_term_scores_cte('s1', 'tabl')},
+{_term_scores_cte('s2', 'can')},
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM u GROUP BY doc_id
+)
+{_topk_sql('sc')}""",
+    )
+    def hunspell_stem_query(spark, sf_dir):
+        """BM25 over a hunspell-stemmed field (HunspellStemFilter.java:62
+        longest-stem mode over an .aff/.dic dictionary): 'table' strips
+        its E-suffix to root 'tabl', 'scan' strips its P-prefix to root
+        'can', so the stem disjunction (tabl OR can) matches every doc
+        whose surface says 'table' or 'scan'. The oracle re-derives the
+        stems via the unmunch generation twin and sums BM25 float32-
+        exactly."""
+        s = _get_hunspell_searcher(spark, sf_dir)
+        q = Q.BooleanQuery.of(
+            should=[Q.TermQuery("text", "tabl"), Q.TermQuery("text", "can")]
+        )
+        return s.search(q, k=10).select("doc_id", "score")
+
+
+_register_hunspell()

@@ -1055,7 +1055,7 @@ def _register_all() -> None:
 #: covered by the local oracle replica (tests/test_entry.py).
 _PRIORITY = [
     "term_query",
-    "term_query_pruned",
+    "hunspell_stem_query",
     "boolean_or",
     "boolean_or_pruned",
     "boolean_and",
