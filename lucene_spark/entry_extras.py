@@ -1699,3 +1699,38 @@ sc AS (
 
 
 _register_hunspell()
+
+
+# ---- DateTools (document/DateTools.java:54) --------------------------------
+
+
+@register(
+    "date_tools_range",
+    """
+SELECT strftime(ts, '%Y%m%d') AS day,
+       count(*)::BIGINT AS cnt
+FROM events
+WHERE strftime(ts, '%Y%m%d') >= '20240105'
+  AND strftime(ts, '%Y%m%d') <= '20240112'
+GROUP BY day ORDER BY day ASC
+""".strip(),
+)
+def date_tools_range(spark, sf_dir):
+    """Date-range filtering over DateTools index strings
+    (document/DateTools.java:54 + TermRangeQuery over the encoded
+    field): events.ts encodes at DAY resolution with one codegen
+    date_format; the [20240105, 20240112] range is a plain string
+    comparison that pushes to the parquet scan, then a per-day count.
+    The oracle recomputes the encoding with DuckDB strftime."""
+    from lucene_spark.analysis.datetools import Resolution, encode_col
+    from lucene_spark.entry_impl import _docs
+
+    ev = _docs(spark, sf_dir, "events")
+    enc = encode_col(F.col("ts"), Resolution.DAY)
+    return (
+        ev.select(enc.alias("day"))
+        .filter((F.col("day") >= "20240105") & (F.col("day") <= "20240112"))
+        .groupBy("day")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.asc("day"))
+    )
