@@ -626,6 +626,14 @@ def make_filter(spec):
         return porter_stem
     if spec == "cjk_width":
         return cjk_width
+    if spec == "icu_folding":
+        from lucene_spark.analysis.icu import icu_fold
+
+        return icu_fold
+    if spec == "icu_normalize":
+        from lucene_spark.analysis.icu import icu_normalize
+
+        return icu_normalize
     if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_", "persian_", "hindi_", "minimal_", "sorani_", "plural_")):
         from lucene_spark.analysis import stemmers
 
