@@ -259,6 +259,10 @@ def run_pipeline_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     )
     g.unpersist()
     q("quality_score", lambda: textops.quality_scores(docs, text_col="text"))
+
+    from lucene_spark.pipeline.curate import curate_corpus
+
+    q("curation_pipeline", lambda: curate_corpus(docs, text_col="text"))
     return timings
 
 

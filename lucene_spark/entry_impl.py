@@ -1093,7 +1093,7 @@ _PRIORITY = [
     "ann_lsh_bucketed_topk",
     "classify_knn",
     "dedup_exact",
-    "dedup_minhash_lsh_pairs",
+    "curation_pipeline",
     "dedup_duplicate_clusters",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",

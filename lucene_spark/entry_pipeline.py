@@ -776,3 +776,74 @@ def multimodal_frame_sample(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = multimodal.attach_payload(docs, text_col="text")
     return multimodal.sample_frames(media, stride=2)
+
+
+# ---- composed curation pipeline --------------------------------------------
+
+
+@register(
+    "curation_pipeline",
+    f"""WITH RECURSIVE {_LSH_CTES},
+cp_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM lsh_pairs
+),
+cp_reach(node, lab) AS (
+  SELECT src, src FROM cp_edges
+  UNION
+  SELECT e.dst, r.lab FROM cp_reach r JOIN cp_edges e ON e.src = r.node
+),
+cp_cc AS (SELECT node AS doc_id, min(lab)::BIGINT AS cluster_id FROM cp_reach GROUP BY node),
+cp_qb AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[a-z0-9_]+'))::BIGINT AS n_tokens,
+         coalesce(list_sum(list_transform(regexp_extract_all(text, '[a-z0-9_]+'),
+                           t -> length(t))), 0)::BIGINT AS tok_chars,
+         len(list_filter(regexp_extract_all(text, '[a-z0-9_]+'),
+             t -> t IN ('the','a','of','to','in','and','is','it')))::BIGINT AS n_stop
+  FROM documents
+),
+cp_q AS (
+  SELECT doc_id,
+         0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       + 0.3 * greatest(0.0, 1.0 - abs(
+           (CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) - 5.0) / 10.0)
+       + 0.3 * (1.0 - abs(
+           (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END) - 0.2)) AS quality
+  FROM cp_qb
+),
+cp_ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(coalesce(text, ''))),
+cp_prof(lang, tok) AS (VALUES {_LANG_VALUES}),
+cp_toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9_]+')) AS tok FROM documents
+),
+cp_hits AS (
+  SELECT t.doc_id, p.lang, count(*)::BIGINT AS hits
+  FROM cp_toks t JOIN cp_prof p USING (tok) GROUP BY t.doc_id, p.lang
+),
+cp_best AS (
+  SELECT h.doc_id, min(h.lang) AS pred_lang
+  FROM (SELECT doc_id, max(hits) AS best_hits FROM cp_hits GROUP BY doc_id) m
+  JOIN cp_hits h ON h.doc_id = m.doc_id AND h.hits = m.best_hits
+  GROUP BY h.doc_id
+)
+SELECT d.doc_id, coalesce(b.pred_lang, 'und') AS pred_lang, q.quality
+FROM documents d
+JOIN cp_q q USING (doc_id)
+JOIN cp_ex e ON e.doc_id = d.doc_id
+LEFT JOIN cp_cc c ON c.doc_id = d.doc_id
+LEFT JOIN cp_best b ON b.doc_id = d.doc_id
+WHERE q.quality >= 0.7 AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)
+ORDER BY d.doc_id""",
+)
+def curation_pipeline(spark, sf_dir):
+    """The composed training-data curation flow (pipeline/curate.py):
+    quality gate >= 0.7, exact dedup keep-min, MinHash-LSH near-dup
+    cluster keep-min, language tag — one declarative plan; the oracle
+    recomputes all four corpus-global keep rules in SQL and intersects
+    them."""
+    from lucene_spark.pipeline.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return curate_corpus(docs, text_col="text", quality_threshold=0.7)
