@@ -157,13 +157,20 @@ class IndexSearcher:
         index: InvertedIndex,
         similarity: object | None = None,
         prune_min_df: int | None = None,
+        query_cache=None,
     ):
         """``similarity`` is any object with the Similarity surface
         (idf/avgdl/norm_inv_cache/weight/score/score_max/score_col):
         :class:`BM25Similarity` (default), :class:`ClassicSimilarity`
         (TF-IDF), :class:`BooleanSimilarity` — the reference's pluggable
-        ``IndexSearcher.setSimilarity`` extension point."""
+        ``IndexSearcher.setSimilarity`` extension point.
+
+        ``query_cache`` is an optional
+        :class:`~lucene_spark.search.querycache.LRUQueryCache`
+        (IndexSearcher.setQueryCache role): filter-context ``matches()``
+        sets of policy-admitted queries are kept persisted and reused."""
         self.index = index
+        self.query_cache = query_cache
         self.sim = similarity or BM25Similarity()
         self.prune_min_df = (
             self.PRUNE_MIN_DF if prune_min_df is None else int(prune_min_df)
@@ -471,7 +478,18 @@ class IndexSearcher:
         return self._live(self._scored(query, F32(1.0), ctx))
 
     def matches(self, query: Q.Query) -> DataFrame:
-        """(doc_id) match set — ScoreMode.COMPLETE_NO_SCORES context."""
+        """(doc_id) match set — ScoreMode.COMPLETE_NO_SCORES context.
+        Routed through the LRU query cache when one is set; live-docs
+        filtering applies AFTER the cache, so cached sets stay valid
+        across delete epochs (the reference's per-core DocIdSet +
+        read-time deletes split, LRUQueryCache.java:79)."""
+        if self.query_cache is not None:
+            raw = self.query_cache.get_or_compute(
+                query,
+                lambda: self._matches(query, self._resolve_stats(query)),
+                defer_unpersist=self._deferred_unpersist.append,
+            )
+            return self._live(raw)
         return self._live(self._matches(query, self._resolve_stats(query)))
 
     def count(self, query: Q.Query) -> int:
