@@ -56,8 +56,14 @@ _COMPOUND_CONTEXTS = {COMPOUND_BEGIN, COMPOUND_MIDDLE, COMPOUND_END, COMPOUND_RU
 def _char_case(ch: str) -> str:
     if ch.isupper():
         return "U"
+    # lowercase only when a CHAR-level uppercase exists (WordCase.charCase:
+    # Character.toUpperCase('ß') == 'ß', so sharp-s and other chars whose
+    # uppercase expands are case-NEUTRAL)
     if ch.islower():
-        return "L"
+        up = ch.upper()
+        if len(up) == 1 and up != ch:
+            return "L"
+        return "N"
     return "N"
 
 
@@ -189,6 +195,42 @@ def _compile_condition(is_prefix: bool, strip: str, condition: str):
     return lambda stem, rx=rx, m=m: len(stem) >= m and rx.fullmatch(stem[-m:]) is not None
 
 
+class RepEntry:
+    """One REP table row (RepEntry.java:20): optional ^/$ anchors, '_' in
+    the replacement means a space."""
+
+    __slots__ = ("pattern", "replacement", "must_start", "must_end")
+
+    def __init__(self, raw_pattern: str, raw_replacement: str):
+        self.must_start = raw_pattern.startswith("^")
+        self.must_end = raw_pattern.endswith("$")
+        self.pattern = raw_pattern[
+            1 if self.must_start else 0 : len(raw_pattern) - (1 if self.must_end else 0)
+        ]
+        self.replacement = raw_replacement.replace("_", " ")
+
+    def is_middle(self) -> bool:
+        return not self.must_start and not self.must_end
+
+    def substitute(self, word: str) -> list[str]:
+        p = self.pattern
+        if self.must_start:
+            ok = word == p if self.must_end else word.startswith(p)
+            return [self.replacement + word[len(p):]] if ok else []
+        if self.must_end:
+            return (
+                [word[: len(word) - len(p)] + self.replacement]
+                if word.endswith(p)
+                else []
+            )
+        out = []
+        pos = word.find(p)
+        while pos >= 0:
+            out.append(word[:pos] + self.replacement + word[pos + len(p):])
+            pos = word.find(p, pos + 1)
+        return out
+
+
 def _apply_conversions(text: str, table: list[tuple[str, str]]) -> str:
     """ICONV/OCONV longest-match-at-position replacement
     (ConvTable.java applyMappings)."""
@@ -262,10 +304,19 @@ class HunspellDictionary:
         self.check_compound_triple = False
         self.simplified_triple = False
         self.check_compound_patterns: list[tuple] = []
-        self.rep_table: list[tuple[str, str]] = []
+        self.rep_table: list[RepEntry] = []
         self.second_stage_pfx: set = set()
         self.second_stage_sfx: set = set()
         self.wordpairs: set[str] = set()  # "word word" .dic entries (space kept)
+        # suggestion-affecting directives (Dictionary.java:159-165 defaults)
+        self.try_chars = ""
+        self.neighbor_key_groups: tuple = ("qwertyuiop", "asdfghjkl", "zxcvbnm")
+        self.enable_split_suggestions = True
+        self.map_table: list[list[str]] = []
+        self.max_ngram_suggestions = 4
+        self.max_diff = 5
+        self.only_max_diff = False
+        self.language = ""
 
     # -- flag parsing ------------------------------------------------------
 
@@ -393,7 +444,35 @@ class HunspellDictionary:
                 else:
                     self.oconv = table
             elif head == "LANG":
-                self.alternate_casing = arg(line).split("_")[0].lower() in ("tr", "az")
+                self.language = arg(line).split("_")[0].lower()
+                self.alternate_casing = self.language in ("tr", "az")
+            elif head == "TRY":
+                self.try_chars = arg(line)
+            elif head == "KEY":
+                self.neighbor_key_groups = tuple(arg(line).split("|"))
+            elif head == "NOSPLITSUGS":
+                self.enable_split_suggestions = False
+            elif head == "MAXNGRAMSUGS":
+                self.max_ngram_suggestions = int(arg(line))
+            elif head == "MAXDIFF":
+                self.max_diff = int(arg(line))
+            elif head == "ONLYMAXDIFF":
+                self.only_max_diff = True
+            elif head == "MAP":
+                n = int(arg(line))
+                for _ in range(n):
+                    raw = lines[i].split()[1]
+                    i += 1
+                    entry, j = [], 0
+                    while j < len(raw):
+                        if raw[j] == "(":
+                            close = raw.index(")", j)
+                            entry.append(raw[j + 1 : close])
+                            j = close + 1
+                        else:
+                            entry.append(raw[j])
+                            j += 1
+                    self.map_table.append(entry)
             elif head == "BREAK":
                 n = int(arg(line))
                 starting, ending, middle = [], [], []
@@ -452,9 +531,9 @@ class HunspellDictionary:
                         p = lines[i].split()
                         i += 1
                         if len(p) >= 3:
-                            self.rep_table.append((p[1], p[2]))
+                            self.rep_table.append(RepEntry(p[1], p[2]))
                 elif len(parts) >= 3:
-                    self.rep_table.append((parts[1], parts[2]))
+                    self.rep_table.append(RepEntry(parts[1], parts[2]))
             # SET/TRY/WORDCHARS/MAP/KEY/NOSPLITSUGS/MAXNGRAMSUGS/MAXDIFF/
             # ONLYMAXDIFF/MAXCPDSUGS/SYLLABLENUM/COMPOUNDSYLLABLE/WARN/AM/...:
             # suggestion- or morphology-only; parsed over (no state needed)
@@ -560,6 +639,35 @@ class HunspellDictionary:
             word = self._fold(word)
         return word
 
+    def _fold_all(self, word: str) -> str:
+        """toLowerCase: fold every char."""
+        return self._fold(word)
+
+    def _title_case(self, word: str) -> str:
+        """toTitleCase: upper first char, fold the rest."""
+        if not word:
+            return word
+        up = word[0].upper()
+        return (up if len(up) == 1 else word[0]) + self._fold(word[1:])
+
+    def _add_phonetic_rep(self, word: str, ph: str) -> None:
+        """dic 'ph:' morph field -> REP entries
+        (Dictionary.java addPhoneticRepEntries incl. the trailing-* strip
+        and the title-case expansions)."""
+        arrow = ph.find("->")
+        if arrow > 0:
+            pattern, replacement = ph[:arrow], ph[arrow + 2 :]
+        else:
+            pattern, replacement = ph, word
+        if pattern.endswith("*") and len(pattern) > 2 and len(replacement) > 1:
+            pattern = pattern[:-2]
+            replacement = replacement[:-1]
+        if _word_case(word) == _TITLE and _word_case(pattern) == _LOWER:
+            if self.language in ("de", "hu"):
+                self.rep_table.append(RepEntry(pattern, self._fold_all(replacement)))
+            self.rep_table.append(RepEntry(self._title_case(pattern), replacement))
+        self.rep_table.append(RepEntry(pattern, replacement))
+
     def _read_dic(self, text: str) -> None:
         lines = text.lstrip("﻿").splitlines()
         if not lines:
@@ -596,6 +704,12 @@ class HunspellDictionary:
             flags = frozenset(self._parse_flags(self._alias(flag_part.strip())))
         else:
             flags = frozenset()
+        if morph:
+            # a morph field needs content past the 'xx:' marker
+            # (Dictionary.splitMorphData requires length > 3)
+            for datum in morph.split():
+                if datum.startswith("ph:") and len(datum) > 3:
+                    self._add_phonetic_rep(word, datum[3:])
         self.words.setdefault(word, []).append((flags, morph))
         if " " in word:
             self.wordpairs.add(word)
@@ -982,8 +1096,15 @@ class Hunspell:
                 if _HIDDEN in r.entry[0]:
                     continue
                 return None, False
-            return r, False
+            if self._accepts_stem_entry(r.entry):
+                return r, False
+            return None, False
         return None, False
+
+    def _accepts_stem_entry(self, entry) -> bool:
+        """Hook for the suggestion speller (Hunspell.java acceptsStem):
+        the base speller accepts every case-accepted root."""
+        return True
 
     def stems(self, word: str) -> list[str]:
         """All stems of the word incl. case variants (Stemmer.stem +
@@ -1193,16 +1314,13 @@ class Hunspell:
     def _misspelled_by_rep(self, word: str, original_case) -> bool:
         """A middle REP substitution turning the concatenation into a
         dictionary word marks the compound as a misspelling."""
-        for src, dst in self.d.rep_table:
-            if src.startswith("^") or src.endswith("$"):
+        for entry in self.d.rep_table:
+            if not entry.is_middle():
                 continue
-            idx = word.find(src)
-            while idx >= 0:
-                cand = word[:idx] + dst + word[idx + len(src) :]
+            for cand in entry.substitute(word):
                 r, _ = self._find_stem(cand, original_case, SIMPLE_WORD)
                 if r is not None:
                     return True
-                idx = word.find(src, idx + 1)
         return False
 
     def _pattern_prohibits(self, pat, word, break_pos, root_before, root_after) -> bool:

@@ -233,7 +233,45 @@ def test_fixture_count_is_complete():
     assert len(_fixture_names()) == 43
 
 
-# --- 3. generation-direction cross-check ------------------------------------
+# --- 3. suggestion replay (.sug fixtures) ------------------------------------
+
+
+def _sug_fixture_names():
+    names = []
+    for sug in sorted(glob.glob(BASE + "*.sug")):
+        name = os.path.basename(sug)[:-4]
+        if all(
+            os.path.exists(BASE + name + ext) for ext in (".aff", ".dic", ".wrong")
+        ):
+            names.append(name)
+    return names
+
+
+@pytest.mark.parametrize("name", _sug_fixture_names())
+def test_suggestions_fixture(name):
+    """Exact suggestion lists, in order, for every .wrong word — the
+    TestSpellChecking.java suggest() convention (lines of ', '-joined
+    suggestions, empty lines dropped)."""
+    from lucene_spark.analysis.hunspell_suggest import Suggester
+
+    d = HunspellDictionary.load(BASE + name + ".aff", BASE + name + ".dic")
+    sg = Suggester(d)
+    lines = []
+    for w in open(BASE + name + ".wrong", encoding="utf-8").read().splitlines():
+        w = w.strip()
+        if w:
+            joined = ", ".join(sg.suggest(w))
+            if joined:
+                lines.append(joined)
+    want = open(BASE + name + ".sug", encoding="utf-8").read().strip()
+    assert "\n".join(lines) == want
+
+
+def test_sug_fixture_count_is_complete():
+    assert len(_sug_fixture_names()) == 23
+
+
+# --- 4. generation-direction cross-check ------------------------------------
 
 
 @pytest.mark.parametrize(
