@@ -34,7 +34,41 @@ from lucene_spark.analysis.hunspell import (
     _word_case,
 )
 
-__all__ = ["Suggester"]
+__all__ = ["Suggester", "suggest_batch"]
+
+
+def suggest_batch(
+    words_df,
+    dictionary: HunspellDictionary,
+    word_col: str = "word",
+    max_suggestions: int = 5,
+):
+    """Distributed did-you-mean over a COLUMN of words (e.g. a query log):
+    the parsed dictionary broadcasts inside a ``mapInPandas`` closure and
+    each executor runs the full two-phase suggester locally — the Spark
+    shape for batch-correcting millions of misspellings, no driver loop.
+
+    Returns (word, is_correct, suggestions array<string>).
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        sg = Suggester(dictionary)  # one per task, cloudpickled dictionary
+        for pdf in batches:
+            words = pdf[word_col].astype(str)
+            correct = [sg.speller.spell(w) for w in words]
+            sugs = [
+                [] if ok else sg.suggest(w)[:max_suggestions]
+                for w, ok in zip(words, correct)
+            ]
+            yield pd.DataFrame(
+                {"word": words, "is_correct": correct, "suggestions": sugs}
+            )
+
+    return words_df.mapInPandas(
+        run, "word string, is_correct boolean, suggestions array<string>"
+    )
 
 _MAX_CHAR_DISTANCE = 4
 _MAX_ROOTS = 100

@@ -294,3 +294,22 @@ def test_unmunch_round_trip(files):
         assert h.spell(form), f"generated form not accepted: {form}"
         stems = set(h.stems(form))
         assert stems & roots, f"{form}: stems {stems} miss roots {roots}"
+
+
+# --- 5. distributed batch suggest -------------------------------------------
+
+
+def test_suggest_batch_distributed(spark):
+    """mapInPandas batch did-you-mean equals the driver-side suggester."""
+    from lucene_spark.analysis.hunspell_suggest import Suggester, suggest_batch
+
+    d = HunspellDictionary.load(BASE + "base.aff", BASE + "base.dic")
+    sg = Suggester(d)
+    words = ["created", "createdd", "rided", "sckool"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r.word: (r.is_correct, list(r.suggestions))
+           for r in suggest_batch(df, d).collect()}
+    for w in words:
+        ok = sg.speller.spell(w)
+        want = [] if ok else sg.suggest(w)[:5]
+        assert got[w] == (ok, want), w
