@@ -272,6 +272,8 @@ class HunspellDictionary:
         self.flag_mode = "single"
         self.aliases: list[str] = []
         self._saw_af_count = False
+        self.morph_aliases: list[str] = []
+        self._saw_am_count = False
         self.keepcase = None
         self.needaffix = None
         self.forbiddenword = None
@@ -405,6 +407,12 @@ class HunspellDictionary:
                     self._saw_af_count = True
                 elif len(parts) > 1:
                     self.aliases.append(parts[1])
+            elif head == "AM":
+                # morph-data aliases, same first-line-is-count convention
+                if len(parts) > 1 and not (self._saw_am_count or self.morph_aliases):
+                    self._saw_am_count = True
+                elif len(parts) > 1:
+                    self.morph_aliases.append(line.split(None, 1)[1])
             elif head in ("PFX", "SFX"):
                 i = self._read_affix_block(lines, i - 1)
             elif head == "COMPLEXPREFIXES":
@@ -704,6 +712,9 @@ class HunspellDictionary:
             flags = frozenset(self._parse_flags(self._alias(flag_part.strip())))
         else:
             flags = frozenset()
+        if morph and self.morph_aliases and morph.strip().isdigit():
+            # AM alias reference (Dictionary.splitMorphData alias branch)
+            morph = self.morph_aliases[int(morph.strip()) - 1]
         if morph:
             # a morph field needs content past the 'xx:' marker
             # (Dictionary.splitMorphData requires length > 3)

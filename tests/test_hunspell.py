@@ -161,6 +161,26 @@ FEATURE_STEMS = {
         "//": [],
     },
     ("homonyms.aff", "homonyms.dic"): {"works": ["work", "work"]},
+    ("morphalias.aff", "morphalias.dic"): {
+        "feet": ["foot"],
+        "feetscratcher": ["foot"],
+        "work": ["workverb", "worknoun"],
+        "works": ["workverb", "worknoun"],
+        "notspecial": ["notspecial"],
+        "simplenoun": ["simplenoun"],
+        "simplenouns": ["simplenoun"],
+        "simplenounscratcher": [],
+    },
+    ("morphdata.aff", "morphdata.dic"): {
+        "feet": ["foot"],
+        "feetscratcher": ["foot"],
+        "work": ["workverb", "worknoun"],
+        "works": ["workverb", "worknoun"],
+        "notspecial": ["notspecial"],
+        "simplenoun": ["simplenoun"],
+        "simplenouns": ["simplenoun"],
+        "simplenounscratcher": [],
+    },
     ("optional-condition.aff", "condition.dic"): {
         "hello": ["hello"],
         "try": ["try"],
