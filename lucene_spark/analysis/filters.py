@@ -634,6 +634,22 @@ def make_filter(spec):
         from lucene_spark.analysis.icu import icu_normalize
 
         return icu_normalize
+    if isinstance(spec, str) and spec.startswith("phonetic_"):
+        from lucene_spark.analysis import phonetic as ph
+
+        encoders = {
+            "phonetic_soundex": ph.soundex,
+            "phonetic_refined_soundex": ph.refined_soundex,
+            "phonetic_metaphone": ph.metaphone,
+            "phonetic_double_metaphone": ph.double_metaphone,
+            "phonetic_caverphone2": ph.caverphone2,
+            "phonetic_nysiis": ph.nysiis,
+            "phonetic_cologne": ph.cologne_phonetic,
+        }
+        if spec in encoders:
+            # PhoneticFilter(inject=false) semantics: replace the token
+            # with its code; empty/equal/raising encodes pass through
+            return ph.phonetic_replace(encoders[spec])
     if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_", "persian_", "hindi_", "minimal_", "sorani_", "plural_")):
         from lucene_spark.analysis import stemmers
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from lucene_spark.entry_impl import (
     BASE_CTES,
+    TOKEN_SQL as _TOKEN_SQL,
     _INV_EXPR,
     _PH_W,
     _fc,
@@ -1734,3 +1735,90 @@ def date_tools_range(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.asc("day"))
     )
+
+
+# ---- PhoneticFilter field (analysis/phonetic/PhoneticFilter.java:27) ------
+
+def _soundex_sql_expr() -> str:
+    """DuckDB twin of the engine's American Soundex: strip non-letters,
+    delete medial H/W (the census H/W rule: same-code consonants joined by
+    h/w code once), map a-z to codes, collapse equal-code runs (RE2 has no
+    backrefs, so one pass per digit), drop vowel zeros, pad to 3 digits.
+    The delete-h/w formulation and the engine's one-letter-lookback loop
+    (commons-codec semantics) agree except on degenerate ``[hw]{2,}`` runs
+    directly followed by a consonant, which the corpus tokenizer never
+    produces (pinned by this entry's hash match over the whole corpus)."""
+    mapped = (
+        "translate(substr(lt, 1, 1) || "
+        "regexp_replace(substr(lt, 2), '[hw]', '', 'g'), "
+        "'abcdefghijklmnopqrstuvwxyz', '01230120022455012623010202')"
+    )
+    collapsed = mapped
+    for d in "0123456":
+        collapsed = f"regexp_replace({collapsed}, '{d}+', '{d}', 'g')"
+    digits = f"replace(substr({collapsed}, 2), '0', '')"
+    return (
+        f"upper(substr(lt, 1, 1)) || substr({digits} || '000', 1, 3)"
+    )
+
+
+_PHONETIC_TOK = f"""
+  SELECT doc_id,
+         CASE WHEN lt = '' THEN t ELSE {_soundex_sql_expr()} END AS term,
+         pos
+  FROM (
+    SELECT doc_id, t, pos, regexp_replace(t, '[^a-z]', '', 'g') AS lt
+    FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '{_TOKEN_SQL}')) AS t,
+             unnest(generate_series(1, len(regexp_extract_all(text, '{_TOKEN_SQL}')))) - 1 AS pos
+      FROM documents)
+  )
+""".strip()
+
+_PHONETIC_CACHE: dict = {}
+
+
+def _get_phonetic_searcher(spark, sf_dir):
+    if sf_dir not in _PHONETIC_CACHE:
+        from lucene_spark.analysis.filters import FilteredAnalyzer
+        from lucene_spark.entry_impl import _docs
+        from lucene_spark.index.build import IndexConfig, build_index
+        from lucene_spark.search.searcher import IndexSearcher
+
+        cfg = IndexConfig(
+            text_col="text",
+            field_name="text",
+            doc_id_col="doc_id",
+            docs_per_segment=1024,
+            analyzer=FilteredAnalyzer(filters=("phonetic_soundex",)),
+        )
+        _PHONETIC_CACHE[sf_dir] = IndexSearcher(
+            build_index(spark, _docs(spark, sf_dir, "documents"), cfg)
+        )
+    return _PHONETIC_CACHE[sf_dir]
+
+
+def _register_phonetic() -> None:
+    from lucene_spark.entry_impl import _bm25_ctes
+
+    @register(
+        "phonetic_query",
+        f"WITH {_bm25_ctes(_PHONETIC_TOK)},\n"
+        f"{_term_scores_cte('sc', 'T140')}\n{_topk_sql('sc')}",
+    )
+    def phonetic_query(spark, sf_dir):
+        """BM25 over a Soundex-encoded field (PhoneticFilter.java:27 with
+        inject=false, commons-codec American Soundex incl. the H/W rule):
+        the misspelling 'tabel' and the surface form 'table' both encode
+        to T140, so a phonetic term query matches either spelling. The
+        oracle re-derives every token's code with a pure-SQL soundex twin
+        and replays the same BM25."""
+        from lucene_spark.analysis.phonetic import soundex
+
+        s = _get_phonetic_searcher(spark, sf_dir)
+        code = soundex("tabel")  # == soundex("table") == "T140"
+        return s.search(Q.TermQuery("text", code), k=10).select("doc_id", "score")
+
+
+_register_phonetic()

@@ -1100,7 +1100,7 @@ _PRIORITY = [
     "text_token_stats",
     "text_quality_scores",
     "text_language_id",
-    "text_fingerprints",
+    "phonetic_query",
     "multimodal_image_meta",
     "multimodal_frame_sample",
     "multimodal_audio_meta",
