@@ -1822,3 +1822,36 @@ def _register_phonetic() -> None:
 
 
 _register_phonetic()
+
+
+# ---- CommonTermsQuery (queries/CommonTermsQuery.java:55) -------------------
+
+
+@register(
+    "common_terms_query",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('lo', 'dup')},
+{_term_scores_cte('h1', 'table')},
+{_term_scores_cte('h2', 'merge')},
+hi AS (
+  SELECT doc_id, CAST(sum(score::DOUBLE) AS FLOAT) AS score
+  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2) GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(lo.score::DOUBLE + COALESCE(hi.score::DOUBLE, 0) AS FLOAT) AS score
+FROM lo LEFT JOIN hi USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def common_terms_query(spark, sf_dir):
+    """CommonTermsQuery (queries/CommonTermsQuery.java:55) over
+    ('dup','table','merge') with maxTermFrequency=0.5: 'dup' (df 25 at
+    sf0.01) stays below ceil(0.5*maxDoc) and forms the required
+    low-frequency group; 'table'/'merge' (df ~390) exceed it and join as
+    the optional high-frequency SHOULD group. The oracle replays the
+    nested rewrite: required 'dup' score + the float32-rounded sum of the
+    matched high-frequency group."""
+    _, s = get_searcher(spark, sf_dir)
+    q = Q.CommonTermsQuery(
+        "text", ("dup", "table", "merge"), max_term_frequency=0.5
+    )
+    return s.search(q, k=10).select("doc_id", "score")

@@ -203,6 +203,29 @@ class BlendedTermQuery(Query):
 
 
 @dataclass(frozen=True)
+class CommonTermsQuery(Query):
+    """High/low document-frequency term split
+    (``queries/CommonTermsQuery.java:55``): terms whose df exceeds the
+    cutoff — ``max_term_frequency`` itself when >= 1, else
+    ``ceil(max_term_frequency * maxDoc)`` — form the (cheap, optional)
+    high-frequency group; the rest are the required low-frequency group.
+    Rewrites to a nested BooleanQuery at search time exactly as
+    ``buildQuery`` does (CommonTermsQuery.java:214): the low group joins
+    the outer query as MUST, the high group as SHOULD, and when no
+    low-frequency term exists the high group is upgraded to a
+    conjunction (unless a high minimum-should-match is set)."""
+
+    field: str
+    terms: tuple[str, ...]
+    max_term_frequency: float = 0.01
+    high_freq_occur: Occur = Occur.SHOULD
+    low_freq_occur: Occur = Occur.MUST
+    low_freq_min_should_match: int = 0
+    high_freq_min_should_match: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DisjunctionMaxQuery(Query):
     """score = max(clauses) + tie_breaker * sum(others)
     (``search/DisjunctionMaxQuery.java:44``)."""

@@ -516,6 +516,8 @@ class IndexSearcher:
             out.update((q.field, t) for t in q.terms)
         elif isinstance(q, Q.MultiPhraseQuery):
             out.update((q.field, t) for s in q.slots for t in s)
+        elif isinstance(q, Q.CommonTermsQuery):
+            out.update((q.field, t) for t in q.terms)
         elif isinstance(q, Q.BooleanQuery):
             for c in q.clauses:
                 self._collect_terms(c.query, out)
@@ -686,6 +688,8 @@ class IndexSearcher:
             return self._scored_phrase(q, boost, ctx)
         if isinstance(q, Q.BooleanQuery):
             return self._scored_boolean(q, boost, ctx)
+        if isinstance(q, Q.CommonTermsQuery):
+            return self._scored(self._rewrite_common_terms(q, ctx), boost, ctx)
         if isinstance(q, Q.DisjunctionMaxQuery):
             return self._scored_dismax(q, boost, ctx)
         if isinstance(q, Q.BoostQuery):
@@ -714,6 +718,46 @@ class IndexSearcher:
             qboost = getattr(q, "boost", 1.0)
             return self._const_scored(self._matches(q, ctx), F32(boost * F32(qboost)))
         raise NotImplementedError(f"unsupported query {type(q).__name__}")
+
+    def _rewrite_common_terms(self, q: Q.CommonTermsQuery, ctx: _Ctx) -> Q.Query:
+        """CommonTermsQuery.buildQuery (queries/CommonTermsQuery.java:214):
+        split terms on the df cutoff, group into two inner BooleanQueries,
+        attach the low group as MUST and the high group as SHOULD; with no
+        low-frequency term the high group upgrades to a conjunction unless
+        a high minimum-should-match was configured. Absent terms (df 0 —
+        the reference's null TermStates) stay in the low group."""
+        import math
+
+        fs = self.index.fieldstats[q.field]
+        mtf = q.max_term_frequency
+        cutoff = int(math.ceil(mtf * float(fs.max_doc)))
+        low: list[Q.Query] = []
+        high: list[Q.Query] = []
+        for t in q.terms:
+            df, _ = ctx.term_stats.get((q.field, t), (0, 0))
+            if (mtf >= 1.0 and df > mtf) or df > cutoff:
+                high.append(Q.TermQuery(q.field, t))
+            else:
+                low.append(Q.TermQuery(q.field, t))
+        low_occur, high_occur = q.low_freq_occur, q.high_freq_occur
+        low_msm = q.low_freq_min_should_match if low_occur is Q.Occur.SHOULD else 0
+        high_msm = (
+            q.high_freq_min_should_match if high_occur is Q.Occur.SHOULD else 0
+        )
+        if not low and high_msm == 0 and high_occur is not Q.Occur.MUST:
+            high_occur = Q.Occur.MUST  # conjunction guard against slow queries
+        outer: list[Q.BooleanClause] = []
+        if low:
+            inner = Q.BooleanQuery(
+                tuple(Q.BooleanClause(sub, low_occur) for sub in low), low_msm
+            )
+            outer.append(Q.BooleanClause(inner, Q.Occur.MUST))
+        if high:
+            inner = Q.BooleanQuery(
+                tuple(Q.BooleanClause(sub, high_occur) for sub in high), high_msm
+            )
+            outer.append(Q.BooleanClause(inner, Q.Occur.SHOULD))
+        return Q.BooleanQuery(tuple(outer), 0)
 
     def _scored_boolean(self, q: Q.BooleanQuery, boost: np.float32, ctx: _Ctx) -> DataFrame:
         must = [c.query for c in q.clauses if c.occur is Q.Occur.MUST]

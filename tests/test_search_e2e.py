@@ -644,3 +644,72 @@ def test_free_text_suggester(spark):
     assert word == "quick" and abs(score - 0.4 * 3 / 12) < 1e-12
     # bare prefix: unigram model, no backoff
     assert s.lookup("q") == [("quick", 3 / 12)]
+
+
+def test_common_terms_query_rewrite(built):
+    """CommonTermsQuery (queries/CommonTermsQuery.java:214 buildQuery):
+    the rewrite must equal the explicit nested boolean, the low-empty
+    case must upgrade the high group to a conjunction, and an absent
+    term (null TermStates) must land in the required low group."""
+    from pyspark.sql import functions as F
+
+    _, searcher, _ = built
+    field = "content"
+    stats = {
+        r["term"]: int(r["df"])
+        for r in searcher.index.termstats.filter(
+            F.col("term").isin(["the", "if", "return"])
+        ).collect()
+    }
+    max_doc = searcher.index.fieldstats[field].max_doc
+    # pick a cutoff splitting the three terms into both groups
+    dfs = sorted(stats.values())
+    mtf = (dfs[0] + 0.5) / max_doc  # lowest-df term low, others high
+    low = [t for t, d in stats.items() if d <= dfs[0]]
+    high = [t for t, d in stats.items() if d > dfs[0]]
+    assert low and high
+    q = Q.CommonTermsQuery(field, ("the", "if", "return"), mtf)
+    nested = Q.BooleanQuery(
+        (
+            Q.BooleanClause(
+                Q.BooleanQuery.of(must=[Q.TermQuery(field, t) for t in low]),
+                Q.Occur.MUST,
+            ),
+            Q.BooleanClause(
+                Q.BooleanQuery.of(should=[Q.TermQuery(field, t) for t in high]),
+                Q.Occur.SHOULD,
+            ),
+        ),
+        0,
+    )
+    got = [(r["doc_id"], r["score"]) for r in searcher.search(q, k=10).collect()]
+    want = [
+        (r["doc_id"], r["score"]) for r in searcher.search(nested, k=10).collect()
+    ]
+    assert got == want
+
+    # all-high -> conjunction upgrade (slow-query guard)
+    q_high = Q.CommonTermsQuery(field, ("the", "if"), 1.0)
+    n_and = searcher.search(
+        Q.BooleanQuery.of(
+            must=[Q.TermQuery(field, "the"), Q.TermQuery(field, "if")]
+        ),
+        k=N_DOCS,
+    ).count()
+    assert searcher.search(q_high, k=N_DOCS).count() == n_and
+
+    # ...unless a high minimum-should-match is configured
+    q_msm = Q.CommonTermsQuery(
+        field, ("the", "if"), 1.0, high_freq_min_should_match=1
+    )
+    n_or = searcher.search(
+        Q.BooleanQuery.of(
+            should=[Q.TermQuery(field, "the"), Q.TermQuery(field, "if")]
+        ),
+        k=N_DOCS,
+    ).count()
+    assert searcher.search(q_msm, k=N_DOCS).count() == n_or
+
+    # absent term joins the low group: conjunction can never match
+    q_absent = Q.CommonTermsQuery(field, ("the", "nosuchterm"), 1.0)
+    assert searcher.search(q_absent, k=10).count() == 0
