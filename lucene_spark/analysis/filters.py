@@ -634,6 +634,10 @@ def make_filter(spec):
         from lucene_spark.analysis.icu import icu_normalize
 
         return icu_normalize
+    if spec == "snowball_en":
+        from lucene_spark.analysis.snowball import english_snowball_stem
+
+        return english_snowball_stem
     if isinstance(spec, str) and spec.startswith("phonetic_"):
         from lucene_spark.analysis import phonetic as ph
 
