@@ -1855,3 +1855,42 @@ def common_terms_query(spark, sf_dir):
         "text", ("dup", "table", "merge"), max_term_frequency=0.5
     )
     return s.search(q, k=10).select("doc_id", "score")
+
+
+# ---- ComplexPhraseQueryParser (complexPhrase/ComplexPhraseQueryParser.java:61)
+
+
+@register(
+    "complex_phrase_query",
+    f"""WITH {BASE_CTES},
+cpa AS (SELECT doc_id, pos FROM tok WHERE term LIKE 's%'),
+cpb AS (SELECT doc_id, pos FROM tok WHERE term = 'join'),
+cpc AS (
+  SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
+  FROM cpa a JOIN cpb b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY a.doc_id, a.pos
+),
+cpm AS (
+  SELECT * FROM cpc d WHERE NOT EXISTS (
+    SELECT 1 FROM cpc d2
+    WHERE d2.doc_id = d.doc_id AND d2.s > d.s AND d2.e <= d.e)
+),
+cpg AS (
+  SELECT doc_id, count(*)::DOUBLE AS score
+  FROM cpm WHERE e - s - 1 <= 1 GROUP BY doc_id
+)
+SELECT doc_id, score FROM cpg
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def complex_phrase_query(spark, sf_dir):
+    """ComplexPhraseQueryParser: '"s* join"~1' — a wildcard INSIDE a
+    quoted phrase (ComplexPhraseQueryParser.java:61). The s* slot expands
+    against the term dictionary into a SpanOr, the phrase becomes an
+    ordered span-near with <=1 gap, and docs rank by minimal-span count
+    (the module's surround-style scoring convention). The oracle
+    recomputes the minimal ordered intervals with an OR'd first slot in
+    SQL."""
+    from lucene_spark.search import complexphrase as CP
+
+    _, s = get_searcher(spark, sf_dir)
+    return CP.execute(s, '"s* join"~1', k=10)

@@ -130,6 +130,16 @@ class Or(IntervalsSource):
         object.__setattr__(self, "sources", tuple(sources))
 
 
+@dataclass(frozen=True)
+class NonOverlapping(IntervalsSource):
+    """Minuend intervals that overlap NO subtrahend interval
+    (``Intervals.nonOverlapping``; the relation SpanNotQuery with
+    pre/post = 0 computes, ``queries/spans/SpanNotQuery.java:38``)."""
+
+    minuend: IntervalsSource
+    subtrahend: IntervalsSource
+
+
 def _minimalize(df: DataFrame) -> DataFrame:
     """Drop intervals properly containing another interval of the set.
 
@@ -332,6 +342,19 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
         for p in parts[1:]:
             out = out.unionByName(p)
         return _minimalize(out)
+    if isinstance(src, NonOverlapping):
+        minu = _build(searcher, src.minuend)
+        sub = _build(searcher, src.subtrahend).select(
+            "doc_id", F.col("start").alias("xs"), F.col("end").alias("xe")
+        )
+        # anti-join on overlap: [start,end] ∩ [xs,xe] ≠ ∅
+        return minu.join(
+            sub,
+            (minu["doc_id"] == sub["doc_id"])
+            & (F.col("xs") <= minu["end"])
+            & (F.col("xe") >= minu["start"]),
+            "left_anti",
+        )
     raise NotImplementedError(type(src).__name__)
 
 

@@ -152,6 +152,18 @@ class QueryParser:
             toks,
         )
 
+    def _field_query(self, field: str, body: str, slop: int) -> Q.Query:
+        """Quoted-text factory (the reference's overridable
+        ``QueryParser.getFieldQuery(String, String, int)`` — the
+        ComplexPhraseQueryParser hook, ComplexPhraseQueryParser.java:85).
+        Default: analyze to a PhraseQuery."""
+        terms = tuple(self.analyzer.terms(body))
+        if not terms:
+            return Q.MatchNoDocsQuery()
+        if len(terms) == 1:
+            return Q.TermQuery(field, terms[0])
+        return Q.PhraseQuery(field, terms, slop=slop)
+
     def _parse_clause(self, toks: list[_Tok]):
         field = self.field
         t = toks[0]
@@ -174,13 +186,7 @@ class QueryParser:
         elif t.kind == "quoted":
             body = t.m.group("qbody")
             slop = int(t.m.group("qslop") or 0)
-            terms = tuple(self.analyzer.terms(body))
-            if not terms:
-                node = Q.MatchNoDocsQuery()
-            elif len(terms) == 1:
-                node = Q.TermQuery(field, terms[0])
-            else:
-                node = Q.PhraseQuery(field, terms, slop=slop)
+            node = self._field_query(field, body, slop)
             toks = toks[1:]
         elif t.kind == "regex":
             node, toks = Q.RegexpQuery(field, t.m.group("rbody")), toks[1:]

@@ -12,6 +12,7 @@ classic span surface mapped onto ``search/intervals.py`` sources:
 - ``SpanFirstQuery(match, end)``  -> intervals with end < `end`
                                                            (SpanFirstQuery.java)
 - ``SpanOrQuery(clauses)``        -> Or(...)               (SpanOrQuery.java)
+- ``SpanNotQuery(incl, excl)``    -> NonOverlapping         (SpanNotQuery.java)
 - ``SpanContainingQuery(big, little)`` -> Containing       (SpanContainingQuery.java)
 - ``SpanWithinQuery(big, little)``     -> ContainedBy      (SpanWithinQuery.java)
 
@@ -33,6 +34,7 @@ __all__ = [
     "SpanNearQuery",
     "SpanFirstQuery",
     "SpanOrQuery",
+    "SpanNotQuery",
     "SpanContainingQuery",
     "SpanWithinQuery",
     "span_matches",
@@ -68,6 +70,15 @@ class SpanOrQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class SpanNotQuery(SpanQuery):
+    """Spans of ``include`` overlapping no span of ``exclude``
+    (``SpanNotQuery.java:38`` with pre/post = 0)."""
+
+    include: SpanQuery
+    exclude: SpanQuery
+
+
+@dataclass(frozen=True)
 class SpanContainingQuery(SpanQuery):
     big: SpanQuery
     little: SpanQuery
@@ -88,6 +99,10 @@ def _to_intervals(q: SpanQuery) -> IV.IntervalsSource:
         return IV.MaxGaps(q.slop, inner)
     if isinstance(q, SpanOrQuery):
         return IV.Or(*[_to_intervals(c) for c in q.clauses])
+    if isinstance(q, SpanNotQuery):
+        return IV.NonOverlapping(
+            _to_intervals(q.include), _to_intervals(q.exclude)
+        )
     if isinstance(q, SpanContainingQuery):
         return IV.Containing(_to_intervals(q.big), _to_intervals(q.little))
     if isinstance(q, SpanWithinQuery):
