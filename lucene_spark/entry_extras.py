@@ -1894,3 +1894,44 @@ def complex_phrase_query(spark, sf_dir):
 
     _, s = get_searcher(spark, sf_dir)
     return CP.execute(s, '"s* join"~1', k=10)
+
+
+# ---- XML CoreParser (queryparser/xml/CoreParser.java:46) -------------------
+
+
+@register(
+    "xml_query",
+    f"""WITH {BASE_CTES},
+xqa AS (SELECT doc_id, pos FROM tok WHERE term IN ('sort', 'scan')),
+xqb AS (SELECT doc_id, pos FROM tok WHERE term = 'join'),
+xqc AS (
+  SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
+  FROM xqa a JOIN xqb b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY a.doc_id, a.pos
+),
+xqm AS (
+  SELECT * FROM xqc d WHERE NOT EXISTS (
+    SELECT 1 FROM xqc d2
+    WHERE d2.doc_id = d.doc_id AND d2.s > d.s AND d2.e <= d.e)
+),
+xqg AS (
+  SELECT doc_id, count(*)::DOUBLE AS score
+  FROM xqm WHERE e - s - 1 <= 1 GROUP BY doc_id
+)
+SELECT doc_id, score FROM xqg
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def xml_query(spark, sf_dir):
+    """XML query DSL (queryparser/xml/CoreParser.java:46): a SpanNear
+    element with a SpanOrTerms first slot, executed through the spans
+    layer — ranking by minimal-span count. The oracle recomputes the
+    ordered minimal intervals with the OR'd slot in SQL."""
+    from lucene_spark.search import xmlparser as XP
+
+    _, s = get_searcher(spark, sf_dir)
+    xml = (
+        '<SpanNear fieldName="text" slop="1" inOrder="true">'
+        "<SpanOrTerms>sort scan</SpanOrTerms><SpanTerm>join</SpanTerm>"
+        "</SpanNear>"
+    )
+    return XP.execute(s, xml, k=10)

@@ -111,6 +111,17 @@ class MaxEnd(IntervalsSource):
 
 
 @dataclass(frozen=True)
+class PositionRange(IntervalsSource):
+    """Intervals lying fully inside [start, end) — the
+    SpanPositionRangeQuery gate (``SpanPositionRangeQuery.java:28``:
+    span.start >= start and span.end < end, composable like MaxEnd)."""
+
+    start: int
+    end: int
+    source: IntervalsSource
+
+
+@dataclass(frozen=True)
 class Containing(IntervalsSource):
     big: IntervalsSource
     small: IntervalsSource
@@ -310,6 +321,11 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
     if isinstance(src, MaxEnd):
         inner = _build(searcher, src.source)
         return inner.filter(F.col("end") < src.end)
+    if isinstance(src, PositionRange):
+        inner = _build(searcher, src.source)
+        return inner.filter(
+            (F.col("start") >= src.start) & (F.col("end") < src.end)
+        )
     if isinstance(src, Containing):
         big = _build(searcher, src.big)
         small = _build(searcher, src.small).select(

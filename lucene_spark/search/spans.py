@@ -35,6 +35,7 @@ __all__ = [
     "SpanFirstQuery",
     "SpanOrQuery",
     "SpanNotQuery",
+    "SpanPositionRangeQuery",
     "SpanContainingQuery",
     "SpanWithinQuery",
     "span_matches",
@@ -62,6 +63,15 @@ class SpanNearQuery(SpanQuery):
 class SpanFirstQuery(SpanQuery):
     match: SpanQuery
     end: int
+
+
+@dataclass(frozen=True)
+class SpanPositionRangeQuery(SpanQuery):
+    """Spans fully inside [start, end) (``SpanPositionRangeQuery.java:28``)."""
+
+    match: SpanQuery
+    start: int = 0
+    end: int = 2**31 - 1
 
 
 @dataclass(frozen=True)
@@ -107,6 +117,8 @@ def _to_intervals(q: SpanQuery) -> IV.IntervalsSource:
         return IV.Containing(_to_intervals(q.big), _to_intervals(q.little))
     if isinstance(q, SpanWithinQuery):
         return IV.ContainedBy(_to_intervals(q.little), _to_intervals(q.big))
+    if isinstance(q, SpanPositionRangeQuery):
+        return IV.PositionRange(q.start, q.end, _to_intervals(q.match))
     if isinstance(q, SpanFirstQuery):
         # SpanPositionRangeQuery position gate — composable, so nested
         # SpanFirst inside near/or/containing works too

@@ -1,0 +1,354 @@
+"""XML query parser — the reference's ``queryparser/xml/CoreParser.java:46``
+element DSL compiled onto the engine's Query / Span ASTs.
+
+Element coverage (one builder per reference
+``queryparser/xml/builders/*.java``):
+
+- ``<TermQuery fieldName=..>text</TermQuery>``        TermQueryBuilder
+- ``<TermsQuery>``  analyzed text -> SHOULD boolean   TermsQueryBuilder
+- ``<BooleanQuery>`` + ``<Clause occurs=should|must|mustnot|filter>``
+  with ``minimumNumberShouldMatch``                   BooleanQueryBuilder
+- ``<RangeQuery lowerTerm/upperTerm includeLower/Upper>``
+                                                      RangeQueryBuilder
+- ``<PointRangeQuery lowerTerm/upperTerm type=int|long|float|double>``
+                                                      PointRangeQueryBuilder
+- ``<DisjunctionMaxQuery tieBreaker=..>``             DisjunctionMaxQueryBuilder
+- ``<ConstantScoreQuery>``                            ConstantScoreQueryBuilder
+- ``<MatchAllDocsQuery/>``                            MatchAllDocsQueryBuilder
+- ``<UserQuery>`` classic-syntax text                 UserInputQueryBuilder
+- ``<BoostingTermQuery>`` scored term (usable in span context)
+                                                      BoostingTermBuilder
+- span family: ``SpanTerm``, ``SpanOrTerms`` (analyzed), ``SpanOr``,
+  ``SpanNear slop inOrder``, ``SpanNot`` (Include/Exclude),
+  ``SpanFirst end``, ``SpanPositionRange start end``  Span*Builder
+
+Every element honors the optional ``boost`` attribute (wrapped as
+BoostQuery; span-level boosts only affect ranking, which this module's
+executor — the surround/complexphrase span-count convention — does not
+weight, documented simplification). ``fieldName`` inherits downward like
+the reference's shared field state. A ``SpanNear`` without ``slop``
+raises, as the reference's NumberFormatException does; DOCTYPE/ENTITY
+declarations are rejected (External-Entity resolving unsupported,
+CoreParser's DisallowDoctypeDecl handler) — ``xml.etree`` refuses entity
+expansion by design and we reject ``<!DOCTYPE`` explicitly.
+
+Out of scope (the CorePlus*Parser extras, documented fence):
+BoostingQuery, FuzzyLikeThisQuery, LikeThisQuery — their roles exist as
+``extras.more_like_this`` and the fuzzy/boolean surfaces.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame, functions as F
+
+from lucene_spark.search import query as Q
+from lucene_spark.search import spans as SP
+
+__all__ = ["XmlParseError", "parse", "parse_span", "execute"]
+
+
+class XmlParseError(ValueError):
+    pass
+
+
+def _field(el: ET.Element, inherited: str | None) -> str:
+    f = el.get("fieldName") or inherited
+    if not f:
+        raise XmlParseError(f"<{el.tag}> needs fieldName")
+    return f
+
+
+def _boost(el: ET.Element, q: Q.Query) -> Q.Query:
+    b = el.get("boost")
+    return Q.BoostQuery(q, float(b)) if b else q
+
+
+def _text(el: ET.Element) -> str:
+    return (el.text or "").strip()
+
+
+def _children(el: ET.Element) -> list[ET.Element]:
+    return [c for c in el if isinstance(c.tag, str)]
+
+
+_OCCURS = {
+    "should": Q.Occur.SHOULD,
+    "must": Q.Occur.MUST,
+    "mustnot": Q.Occur.MUST_NOT,
+    "filter": Q.Occur.FILTER,
+}
+
+
+def _analyzer(analyzer):
+    if analyzer is None:
+        from lucene_spark.analysis.tokenizer import StandardAnalyzer
+
+        analyzer = StandardAnalyzer()
+    return analyzer
+
+
+def _build_query(el: ET.Element, field: str | None, analyzer) -> Q.Query:
+    tag = el.tag
+    if tag == "TermQuery":
+        return _boost(el, Q.TermQuery(_field(el, field), _text(el).lower()))
+    if tag == "BoostingTermQuery":
+        # scored-by-payload term (payloads/PayloadScoreQuery surface);
+        # as a plain query it matches like a TermQuery
+        return _boost(el, Q.TermQuery(_field(el, field), _text(el).lower()))
+    if tag == "TermsQuery":
+        f = _field(el, field)
+        terms = _analyzer(analyzer).terms(_text(el))
+        return _boost(
+            el,
+            Q.BooleanQuery.of(should=[Q.TermQuery(f, t) for t in terms])
+            if terms
+            else Q.MatchNoDocsQuery(),
+        )
+    if tag == "BooleanQuery":
+        f = el.get("fieldName") or field
+        clauses = []
+        for c in _children(el):
+            if c.tag != "Clause":
+                raise XmlParseError(f"BooleanQuery child <{c.tag}> != Clause")
+            occ = _OCCURS.get(c.get("occurs", "should"))
+            if occ is None:
+                raise XmlParseError(f"bad occurs={c.get('occurs')!r}")
+            subs = _children(c)
+            if len(subs) != 1:
+                raise XmlParseError("Clause needs exactly one child query")
+            clauses.append(
+                Q.BooleanClause(_build_query(subs[0], f, analyzer), occ)
+            )
+        msm = int(el.get("minimumNumberShouldMatch", "0"))
+        return _boost(el, Q.BooleanQuery(tuple(clauses), msm))
+    if tag == "RangeQuery":
+        return _boost(
+            el,
+            Q.TermRangeQuery(
+                _field(el, field),
+                el.get("lowerTerm"),
+                el.get("upperTerm"),
+                include_lower=el.get("includeLower", "true") == "true",
+                include_upper=el.get("includeUpper", "true") == "true",
+            ),
+        )
+    if tag == "PointRangeQuery":
+        typ = el.get("type", "int")
+        conv = float if typ in ("float", "double") else int
+        lo, hi = el.get("lowerTerm"), el.get("upperTerm")
+        return _boost(
+            el,
+            Q.PointRangeQuery(
+                _field(el, field),
+                conv(lo) if lo is not None else None,
+                conv(hi) if hi is not None else None,
+            ),
+        )
+    if tag == "DisjunctionMaxQuery":
+        subs = [_build_query(c, el.get("fieldName") or field, analyzer)
+                for c in _children(el)]
+        return _boost(
+            el,
+            Q.DisjunctionMaxQuery(
+                tuple(subs), tie_breaker=float(el.get("tieBreaker", "0.0"))
+            ),
+        )
+    if tag == "ConstantScoreQuery":
+        subs = _children(el)
+        if len(subs) != 1:
+            raise XmlParseError("ConstantScoreQuery needs one child")
+        return _boost(
+            el,
+            Q.ConstantScoreQuery(
+                _build_query(subs[0], el.get("fieldName") or field, analyzer)
+            ),
+        )
+    if tag == "MatchAllDocsQuery":
+        return _boost(el, Q.MatchAllDocsQuery())
+    if tag == "UserQuery":
+        from lucene_spark.search.queryparser import QueryParser
+
+        f = el.get("fieldName") or field
+        if not f:
+            raise XmlParseError("<UserQuery> needs a field")
+        return _boost(el, QueryParser(f, analyzer).parse(_text(el)))
+    if tag in _SPAN_TAGS:
+        # span query used in scoring position -> execute() handles it
+        return _SpanWrapper(
+            _field(el, field), _build_span(el, analyzer)
+        )
+    raise XmlParseError(f"unknown element <{tag}>")
+
+
+class _SpanWrapper(Q.Query):
+    """A span tree appearing where a Query is expected (the reference's
+    SpanQuery IS-A Query; here the executor unwraps it)."""
+
+    def __init__(self, field: str, span: SP.SpanQuery):
+        self.field = field
+        self.span = span
+
+
+_SPAN_TAGS = {
+    "SpanTerm", "SpanOrTerms", "SpanOr", "SpanNear", "SpanNot",
+    "SpanFirst", "SpanPositionRange", "BoostingTermQuery",
+}
+
+
+def _build_span(el: ET.Element, analyzer) -> SP.SpanQuery:
+    tag = el.tag
+    if tag in ("SpanTerm", "BoostingTermQuery"):
+        return SP.SpanTermQuery(_text(el).lower())
+    if tag == "SpanOrTerms":
+        terms = _analyzer(analyzer).terms(_text(el))
+        if not terms:
+            return SP.SpanTermQuery("\x00no-terms")
+        if len(terms) == 1:
+            return SP.SpanTermQuery(terms[0])
+        return SP.SpanOrQuery(tuple(SP.SpanTermQuery(t) for t in terms))
+    if tag == "SpanOr":
+        return SP.SpanOrQuery(
+            tuple(_build_span(c, analyzer) for c in _children(el))
+        )
+    if tag == "SpanNear":
+        slop = el.get("slop")
+        if slop is None:
+            raise XmlParseError("SpanNear requires slop")  # NumberFormatException analog
+        return SP.SpanNearQuery(
+            tuple(_build_span(c, analyzer) for c in _children(el)),
+            slop=int(slop),
+            in_order=el.get("inOrder", "true") == "true",
+        )
+    if tag == "SpanNot":
+        incl = excl = None
+        for c in _children(el):
+            inner = _children(c)
+            if c.tag == "Include":
+                incl = _build_span(inner[0], analyzer)
+            elif c.tag == "Exclude":
+                excl = _build_span(inner[0], analyzer)
+        if incl is None or excl is None:
+            raise XmlParseError("SpanNot needs Include and Exclude")
+        return SP.SpanNotQuery(incl, excl)
+    if tag == "SpanFirst":
+        inner = _children(el)
+        return SP.SpanFirstQuery(
+            _build_span(inner[0], analyzer), end=int(el.get("end"))
+        )
+    if tag == "SpanPositionRange":
+        inner = _children(el)
+        return SP.SpanPositionRangeQuery(
+            _build_span(inner[0], analyzer),
+            start=int(el.get("start", "0")),
+            end=int(el.get("end")),
+        )
+    raise XmlParseError(f"unknown span element <{tag}>")
+
+
+def _root(xml_text: str) -> ET.Element:
+    if "<!DOCTYPE" in xml_text or "<!ENTITY" in xml_text:
+        raise XmlParseError("External Entity resolving unsupported")
+    try:
+        return ET.fromstring(xml_text)
+    except ET.ParseError as e:
+        raise XmlParseError(str(e)) from e
+
+
+def parse(xml_text: str, default_field: str | None = None, analyzer=None):
+    """XML -> Query AST (span roots wrap into a query-position node)."""
+    return _build_query(_root(xml_text), default_field, analyzer)
+
+
+def parse_span(xml_text: str, default_field: str | None = None, analyzer=None):
+    """XML -> SpanQuery (the reference CoreParser.parseAsSpanQuery)."""
+    el = _root(xml_text)
+    if el.tag not in _SPAN_TAGS:
+        raise XmlParseError(f"<{el.tag}> is not a span element")
+    return _build_span(el, analyzer)
+
+
+# ---- execution (match sets + surround-style span-count ranking) ------------
+
+
+def _exec(searchers, q: Q.Query, default_field: str | None) -> DataFrame:
+    if isinstance(q, _SpanWrapper):
+        s = _searcher_for(searchers, q.field)
+        return SP.span_count(s, q.span).select(
+            "doc_id", F.col("n_spans").cast("double").alias("score")
+        )
+    if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+        b = float(getattr(q, "boost", 1.0))
+        inner = _exec(searchers, q.query, default_field)
+        return inner.select(
+            "doc_id", (F.col("score") * F.lit(b)).alias("score")
+        )
+    if isinstance(q, Q.BooleanQuery):
+        required, optional, negated = [], [], []
+        for c in q.clauses:
+            part = _exec(searchers, c.query, default_field)
+            if c.occur is Q.Occur.MUST_NOT:
+                negated.append(part)
+            elif c.occur in (Q.Occur.MUST, Q.Occur.FILTER):
+                required.append(part)
+            else:
+                optional.append(part)
+        if required:
+            out = required[0]
+            for p in required[1:]:
+                out = (
+                    out.alias("l").join(p.alias("r"), "doc_id")
+                    .select("doc_id",
+                            (F.col("l.score") + F.col("r.score")).alias("score"))
+                )
+            for p in optional:
+                out = (
+                    out.alias("l").join(p.alias("r"), "doc_id", "left_outer")
+                    .select("doc_id",
+                            (F.col("l.score")
+                             + F.coalesce(F.col("r.score"), F.lit(0.0))
+                             ).alias("score"))
+                )
+        elif optional:
+            u = optional[0]
+            for p in optional[1:]:
+                u = u.unionByName(p)
+            out = u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            if q.minimum_should_match > 1:
+                cnt = u.groupBy("doc_id").agg(F.count("*").alias("n"))
+                out = out.join(
+                    cnt.filter(F.col("n") >= q.minimum_should_match)
+                    .select("doc_id"),
+                    "doc_id",
+                )
+        else:
+            raise XmlParseError("pure-negative boolean matches nothing")
+        for p in negated:
+            out = out.join(p.select("doc_id"), "doc_id", "left_anti")
+        return out
+    # plain leaf
+    field = getattr(q, "field", None) or getattr(q, "column", None)
+    s = _searcher_for(searchers, field or default_field)
+    return s.matches(q).select("doc_id", F.lit(1.0).alias("score"))
+
+
+def _searcher_for(searchers, field):
+    if isinstance(searchers, dict):
+        if field not in searchers:
+            raise XmlParseError(f"no index for field {field!r}")
+        return searchers[field]
+    return searchers
+
+
+def execute(searchers, xml_text: str, k: int = 10,
+            default_field: str | None = None, analyzer=None) -> DataFrame:
+    """Parse + run an XML query -> top-k (doc_id, score)."""
+    if default_field is None and not isinstance(searchers, dict):
+        default_field = searchers.index.config.field_name
+    ast = parse(xml_text, default_field, analyzer)
+    return (
+        _exec(searchers, ast, default_field)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
