@@ -1935,3 +1935,53 @@ def xml_query(spark, sf_dir):
         "</SpanNear>"
     )
     return XP.execute(s, xml, k=10)
+
+
+# ---- Intervals.atLeast (MinimumShouldMatchIntervalsSource) -----------------
+
+
+def _alw_pair(name: str, ta: str, tb: str) -> str:
+    """Minimal unordered windows of (ta, tb) — the ic_* oracle pattern."""
+    return f"""
+{name}_c AS (
+  SELECT a.doc_id, least(a.pos, b.pos) AS s, greatest(a.pos, b.pos) AS e
+  FROM (SELECT doc_id, pos FROM tok WHERE term = '{ta}') a
+  JOIN (SELECT doc_id, pos FROM tok WHERE term = '{tb}') b
+    ON b.doc_id = a.doc_id
+),
+{name}_d AS (SELECT doc_id, s, min(e) AS e FROM {name}_c GROUP BY doc_id, s),
+{name} AS (
+  SELECT * FROM {name}_d d WHERE NOT EXISTS (
+    SELECT 1 FROM {name}_d d2
+    WHERE d2.doc_id = d.doc_id AND d2.s > d.s AND d2.e <= d.e)
+)""".strip()
+
+
+@register(
+    "intervals_at_least",
+    f"""WITH {BASE_CTES},
+{_alw_pair('al1', 'key', 'value')},
+{_alw_pair('al2', 'key', 'data')},
+{_alw_pair('al3', 'value', 'data')},
+alu AS (
+  SELECT * FROM al1 UNION ALL SELECT * FROM al2 UNION ALL SELECT * FROM al3
+),
+ald AS (SELECT doc_id, s, min(e) AS e FROM alu GROUP BY doc_id, s),
+alm AS (
+  SELECT * FROM ald d WHERE NOT EXISTS (
+    SELECT 1 FROM ald d2
+    WHERE d2.doc_id = d.doc_id AND d2.s > d.s AND d2.e <= d.e)
+)
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM alm GROUP BY doc_id ORDER BY doc_id""",
+)
+def intervals_at_least(spark, sf_dir):
+    """Intervals.atLeast(2, key, value, data) — minimal windows holding
+    at least 2 of the 3 terms (MinimumShouldMatchIntervalsSource): the
+    union of the three pairwise unordered window sets, re-minimalized.
+    The oracle replays the same subset algebra in SQL."""
+    _, s = get_searcher(spark, sf_dir)
+    return IV.count_intervals(
+        s,
+        IV.AtLeast(2, IV.Term("key"), IV.Term("value"), IV.Term("data")),
+    )

@@ -151,6 +151,93 @@ class NonOverlapping(IntervalsSource):
     subtrahend: IntervalsSource
 
 
+@dataclass(frozen=True)
+class NotContaining(IntervalsSource):
+    """Minuend intervals containing NO subtrahend interval
+    (``Intervals.notContaining``)."""
+
+    minuend: IntervalsSource
+    subtrahend: IntervalsSource
+
+
+@dataclass(frozen=True)
+class NotContainedBy(IntervalsSource):
+    """Small intervals lying inside NO big interval
+    (``Intervals.notContainedBy``)."""
+
+    small: IntervalsSource
+    big: IntervalsSource
+
+
+@dataclass(frozen=True)
+class Before(IntervalsSource):
+    """Source intervals that end before the start of some reference
+    interval (``Intervals.before``: containedBy the per-reference
+    window [0, ref.start-1], OffsetIntervalsSource)."""
+
+    source: IntervalsSource
+    reference: IntervalsSource
+
+
+@dataclass(frozen=True)
+class After(IntervalsSource):
+    """Source intervals that start after the end of some reference
+    interval (``Intervals.after``)."""
+
+    source: IntervalsSource
+    reference: IntervalsSource
+
+
+@dataclass(frozen=True)
+class Overlapping(IntervalsSource):
+    """Source intervals overlapping at least one reference interval
+    (``Intervals.overlapping``)."""
+
+    source: IntervalsSource
+    reference: IntervalsSource
+
+
+@dataclass(frozen=True)
+class Extend(IntervalsSource):
+    """Each interval padded to [max(0, start-before), end+after]
+    (``Intervals.extend``, ExtendedIntervalsSource — no
+    re-minimalization, like the reference)."""
+
+    source: IntervalsSource
+    before: int
+    after: int
+
+
+@dataclass(frozen=True)
+class AtLeast(IntervalsSource):
+    """Minimal windows containing at least ``min_match`` of the sources
+    (``Intervals.atLeast``, MinimumShouldMatchIntervalsSource): the union
+    of Unordered over every min_match-subset, re-minimalized."""
+
+    min_match: int
+    sources: tuple[IntervalsSource, ...]
+
+    def __init__(self, min_match: int, *sources: IntervalsSource):
+        object.__setattr__(self, "min_match", min_match)
+        object.__setattr__(self, "sources", tuple(sources))
+
+
+@dataclass(frozen=True)
+class Prefix(IntervalsSource):
+    """One-position intervals of every dictionary term with this prefix
+    (``Intervals.prefix``)."""
+
+    prefix: str
+
+
+@dataclass(frozen=True)
+class Wildcard(IntervalsSource):
+    """One-position intervals of every dictionary term matching the
+    ``*``/``?`` pattern (``Intervals.wildcard``)."""
+
+    pattern: str
+
+
 def _minimalize(df: DataFrame) -> DataFrame:
     """Drop intervals properly containing another interval of the set.
 
@@ -188,6 +275,22 @@ def _term_df(searcher, term: str) -> DataFrame:
     field = searcher.index.config.field_name
     return (
         searcher._decoded(field, F.col("term") == term, with_positions=True)
+        .select("doc_id", F.explode("positions").alias("p"))
+        .select(
+            "doc_id",
+            F.col("p").alias("start"),
+            F.col("p").alias("end"),
+            F.lit(1).alias("wmatch"),
+        )
+    )
+
+
+def _multi_term_df(searcher, term_pred) -> DataFrame:
+    """One-position intervals of every dictionary term matching the
+    predicate (the multi-term interval sources)."""
+    field = searcher.index.config.field_name
+    return (
+        searcher._decoded(field, term_pred, with_positions=True)
         .select("doc_id", F.explode("positions").alias("p"))
         .select(
             "doc_id",
@@ -371,6 +474,99 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             & (F.col("xe") >= minu["start"]),
             "left_anti",
         )
+    if isinstance(src, NotContaining):
+        minu = _build(searcher, src.minuend)
+        sub = _build(searcher, src.subtrahend).select(
+            "doc_id", F.col("start").alias("xs"), F.col("end").alias("xe")
+        )
+        return minu.join(
+            sub,
+            (minu["doc_id"] == sub["doc_id"])
+            & (F.col("xs") >= minu["start"])
+            & (F.col("xe") <= minu["end"]),
+            "left_anti",
+        )
+    if isinstance(src, NotContainedBy):
+        small = _build(searcher, src.small)
+        big = _build(searcher, src.big).select(
+            "doc_id", F.col("start").alias("xs"), F.col("end").alias("xe")
+        )
+        return small.join(
+            big,
+            (small["doc_id"] == big["doc_id"])
+            & (small["start"] >= F.col("xs"))
+            & (small["end"] <= F.col("xe")),
+            "left_anti",
+        )
+    if isinstance(src, Before):
+        a = _build(searcher, src.source)
+        ref = _build(searcher, src.reference).select(
+            "doc_id", F.col("start").alias("xs")
+        )
+        return a.join(
+            ref,
+            (a["doc_id"] == ref["doc_id"]) & (F.col("xs") > a["end"]),
+            "left_semi",
+        )
+    if isinstance(src, After):
+        a = _build(searcher, src.source)
+        ref = _build(searcher, src.reference).select(
+            "doc_id", F.col("end").alias("xe")
+        )
+        return a.join(
+            ref,
+            (a["doc_id"] == ref["doc_id"]) & (F.col("xe") < a["start"]),
+            "left_semi",
+        )
+    if isinstance(src, Overlapping):
+        a = _build(searcher, src.source)
+        ref = _build(searcher, src.reference).select(
+            "doc_id", F.col("start").alias("xs"), F.col("end").alias("xe")
+        )
+        return a.join(
+            ref,
+            (a["doc_id"] == ref["doc_id"])
+            & (F.col("xs") <= a["end"])
+            & (F.col("xe") >= a["start"]),
+            "left_semi",
+        )
+    if isinstance(src, Extend):
+        inner = _build(searcher, src.source)
+        return inner.select(
+            "doc_id",
+            F.greatest(F.lit(0), F.col("start") - src.before).alias("start"),
+            (F.col("end") + src.after).alias("end"),
+            "wmatch",
+        )
+    if isinstance(src, AtLeast):
+        from itertools import combinations
+
+        n, subs = src.min_match, src.sources
+        if not (1 <= n <= len(subs)):
+            raise ValueError("atLeast: need 1 <= min_match <= len(sources)")
+        if n == 1:
+            return _build(searcher, Or(*subs))
+        parts = [
+            _build(searcher, Unordered(*combo))
+            for combo in combinations(subs, n)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return _minimalize(out)
+    if isinstance(src, Prefix):
+        return _multi_term_df(
+            searcher, F.col("term").startswith(src.prefix)
+        )
+    if isinstance(src, Wildcard):
+        import re as _re
+
+        rx = (
+            "^"
+            + _re.escape(src.pattern).replace("\\*", ".*").replace("\\?", ".")
+            + "$"
+        )
+        return _multi_term_df(searcher, F.col("term").rlike(rx))
     raise NotImplementedError(type(src).__name__)
 
 
