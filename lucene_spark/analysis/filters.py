@@ -622,6 +622,14 @@ def make_filter(spec):
         return spec
     if spec == "ascii_folding":
         return ascii_fold
+    if spec == "scandinavian_normalization":
+        return scandinavian_normalize
+    if spec == "scandinavian_folding":
+        return scandinavian_fold
+    if spec == "elision_fr":
+        return make_elision()
+    if spec == "reverse_string":
+        return reverse_string
     if spec == "porter":
         return porter_stem
     if spec == "cjk_width":
@@ -710,6 +718,8 @@ class FilteredAnalyzer:
         char_ngram: int = 0,
         cjk_bigrams: CJKBigrams | None = None,
         word_delimiter: WordDelimiterGraph | None = None,
+        common_grams=None,
+        overlay_filters: tuple = (),
     ):
         from lucene_spark.analysis.tokenizer import StandardAnalyzer
 
@@ -727,6 +737,14 @@ class FilteredAnalyzer:
         #: StandardTokenizer -> CJKBigramFilter -> LowerCaseFilter ...;
         #: lowercasing commutes with bigramming on CJK codepoints)
         self.cjk_bigrams = cjk_bigrams
+        #: commongrams/CommonGramsFilter.java:43 — bigram overlays over
+        #: common words (analysis/commongrams.py CommonGrams instance)
+        self.common_grams = common_grams
+        #: generic per-token overlay expanders: each callable maps a term
+        #: to EXTRA terms emitted at the same position (posIncr-0, norms
+        #: discount them) — the KeywordRepeatFilter.java:33 shape (emit
+        #: the original plus its stem) and PhoneticFilter inject=true
+        self.overlay_filters = tuple(overlay_filters)
         self.max_token_length = self.base.max_token_length
         self.stopwords = self.base.stopwords
 
@@ -752,6 +770,13 @@ class FilteredAnalyzer:
         # (CJKAnalyzer: tokenizer -> CJKWidthFilter -> LowerCase ->
         # CJKBigramFilter), so width-folded halfwidth kana join bigrams
         terms = [self._apply(t) for t in terms]
+        if "" in terms:
+            # removal filters (Length/KeepWord/...) emit "" to DROP the
+            # token: positions keep their holes, field length shrinks
+            keep = [i for i, t in enumerate(terms) if t != ""]
+            n -= len(terms) - len(keep)
+            terms = [terms[i] for i in keep]
+            pos = np.asarray([int(pos[i]) for i in keep], dtype=np.int32)
         if self.cjk_bigrams is not None:
             terms, pos = self.cjk_bigrams.apply(terms, pos)
             pos = np.asarray(pos, dtype=np.int32)
@@ -759,10 +784,26 @@ class FilteredAnalyzer:
         phrase_maps = [
             f for f in self.filters if isinstance(f, SynonymMap) and f.phrases
         ]
-        if not self.shingle_size and not self.char_ngram and not phrase_maps:
+        if (
+            not self.shingle_size
+            and not self.char_ngram
+            and not phrase_maps
+            and self.common_grams is None
+            and not self.overlay_filters
+        ):
             return terms, pos, n
         out_t = list(terms)
         out_p = list(pos)
+        if self.common_grams is not None:
+            gt, gp = self.common_grams.grams(terms, pos)
+            out_t.extend(gt)
+            out_p.extend(gp)
+        for ov in self.overlay_filters:
+            for t, p in zip(terms, pos):
+                for extra in ov(t):
+                    if extra and extra != t:
+                        out_t.append(extra)
+                        out_p.append(int(p))
         for m in phrase_maps:
             for p, canon in m.phrase_matches(terms, pos):
                 out_t.append(canon)
@@ -803,15 +844,25 @@ class FilteredAnalyzer:
             or self.char_ngram
             or self.cjk_bigrams is not None
             or self.word_delimiter is not None
+            or self.common_grams is not None
+            or self.overlay_filters
             or any(isinstance(f, SynonymMap) and f.phrases for f in self.filters)
         ):
             raise NotImplementedError(
                 "offsets with expanding filters (shingle/char_ngram/"
-                "cjk_bigrams/word_delimiter/phrase synonyms) are not "
+                "cjk_bigrams/word_delimiter/common_grams/overlays/"
+                "phrase synonyms) are not "
                 "supported — expanded tokens have no single character span"
             )
         terms, pos, offs, n = self.base.term_position_offset_arrays(text)
-        return [self._apply(t) for t in terms], pos, offs, n
+        terms = [self._apply(t) for t in terms]
+        if "" in terms:
+            keep = [i for i, t in enumerate(terms) if t != ""]
+            n -= len(terms) - len(keep)
+            terms = [terms[i] for i in keep]
+            pos = pos[keep]
+            offs = offs[keep]
+        return terms, pos, offs, n
 
     def tokens(self, text: str):
         """Token objects (overlap-emitting expanders raise; CJK bigrams
@@ -820,6 +871,8 @@ class FilteredAnalyzer:
         if (
             self.shingle_size
             or self.char_ngram
+            or self.common_grams is not None
+            or self.overlay_filters
             or any(isinstance(f, SynonymMap) and f.phrases for f in self.filters)
         ):
             raise NotImplementedError("tokens() with expanders; use arrays")
@@ -844,3 +897,150 @@ class FilteredAnalyzer:
             _, _, n = self.term_position_arrays(text)
             return n
         return self.base.emitted_count(text)
+
+
+# ---------------------------------------------------------------------------
+# Scandinavian interchange filters
+# (miscellaneous/ScandinavianNormalizer.java:30 — å/ä→æ/ö→ø plus the
+# aa/ao/ae/oe/oo digraph foldings — and ScandinavianFoldingFilter.java:30,
+# the more aggressive fold-to-ascii variant)
+# ---------------------------------------------------------------------------
+
+
+def scandinavian_normalize(term: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(term)
+    while i < n:
+        ch = term[i]
+        nxt = term[i + 1] if i + 1 < n else ""
+        if ch == "ä":
+            out.append("æ")
+        elif ch == "Ä":
+            out.append("Æ")
+        elif ch == "ö":
+            out.append("ø")
+        elif ch == "Ö":
+            out.append("Ø")
+        elif ch == "a" and nxt in ("a", "A", "o", "O"):
+            out.append("å")
+            i += 1
+        elif ch == "A" and nxt in ("a", "A", "o", "O"):
+            out.append("Å")
+            i += 1
+        elif ch == "a" and nxt in ("e", "E"):
+            out.append("æ")
+            i += 1
+        elif ch == "A" and nxt in ("e", "E"):
+            out.append("Æ")
+            i += 1
+        elif ch == "o" and nxt in ("e", "E", "o", "O"):
+            out.append("ø")
+            i += 1
+        elif ch == "O" and nxt in ("e", "E", "o", "O"):
+            out.append("Ø")
+            i += 1
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def scandinavian_fold(term: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(term)
+    while i < n:
+        ch = term[i]
+        nxt = term[i + 1] if i + 1 < n else ""
+        if ch in "åäæ":
+            out.append("a")
+        elif ch in "ÅÄÆ":
+            out.append("A")
+        elif ch in "øö":
+            out.append("o")
+        elif ch in "ØÖ":
+            out.append("O")
+        elif ch in "aA" and nxt in ("a", "A", "e", "E", "o", "O"):
+            out.append(ch)
+            i += 1
+        elif ch in "oO" and nxt in ("e", "E", "o", "O"):
+            out.append(ch)
+            i += 1
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# ElisionFilter (util/ElisionFilter.java:33) — strip a leading article
+# before an apostrophe: l'avion -> avion. Default article set =
+# FrenchAnalyzer.DEFAULT_ARTICLES.
+# ---------------------------------------------------------------------------
+
+FRENCH_ARTICLES = frozenset(
+    "l m t qu n s j d c jusqu quoiqu lorsqu puisqu".split()
+)
+
+
+def make_elision(articles=FRENCH_ARTICLES):
+    articles = frozenset(a.lower() for a in articles)
+
+    def elide(term: str) -> str:
+        for apo in ("'", "’"):
+            idx = term.find(apo)
+            if idx >= 0:
+                if term[:idx].lower() in articles:
+                    return term[idx + 1 :]
+                return term
+        return term
+
+    return elide
+
+
+# ---------------------------------------------------------------------------
+# Token-removing filters: a chain filter that returns "" DROPS the token
+# (FilteringTokenFilter role — the position hole is kept because our
+# positions are absolute; field length shrinks like the reference's)
+# ---------------------------------------------------------------------------
+
+
+def make_length_filter(min_len: int, max_len: int):
+    """miscellaneous/LengthFilter.java:29 — keep tokens whose char count
+    is within [min_len, max_len]."""
+
+    def f(term: str) -> str:
+        return term if min_len <= len(term) <= max_len else ""
+
+    return f
+
+
+def make_codepoint_count_filter(min_cp: int, max_cp: int):
+    """miscellaneous/CodepointCountFilter.java:29 — like LengthFilter but
+    counting codepoints (identical in Python, where len() is codepoints;
+    kept as its own factory for parity)."""
+    return make_length_filter(min_cp, max_cp)
+
+
+def make_keep_word_filter(words):
+    """miscellaneous/KeepWordFilter.java:27 — keep ONLY the listed words."""
+    keep = frozenset(words)
+
+    def f(term: str) -> str:
+        return term if term in keep else ""
+
+    return f
+
+
+def make_truncate_filter(length: int):
+    """miscellaneous/TruncateTokenFilter.java:27 — cap every token at
+    `length` chars."""
+
+    def f(term: str) -> str:
+        return term[:length]
+
+    return f
+
+
+def reverse_string(term: str) -> str:
+    """reverse/ReverseStringFilter.java:38 — the leading-wildcard trick."""
+    return term[::-1]
