@@ -1985,3 +1985,29 @@ def intervals_at_least(spark, sf_dir):
         s,
         IV.AtLeast(2, IV.Term("key"), IV.Term("value"), IV.Term("data")),
     )
+
+
+# ---- FunctionRangeQuery / FunctionMatchQuery (queries/function) -------------
+
+
+@register(
+    "function_range_query",
+    """SELECT doc_id,
+       CAST(ln(1.0 + n_chars) * 2.0 AS DOUBLE) AS score
+FROM documents
+WHERE ln(1.0 + n_chars) * 2.0 >= 12.0 AND ln(1.0 + n_chars) * 2.0 < 13.5
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def function_range_query(spark, sf_dir):
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:40):
+    docs whose compiled value source ln(1+n_chars)*2 falls in
+    [12.0, 13.5); the score is the value itself (ValueSourceScorer). The
+    oracle recomputes the expression and range in SQL."""
+    from lucene_spark.search.extras import function_range_query as frq
+
+    _, s = get_searcher(spark, sf_dir)
+    out = frq(
+        s, "ln(1 + n_chars) * 2", lower=12.0, upper=13.5,
+        include_upper=False,
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)

@@ -739,3 +739,46 @@ def interval_within(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_windows"))
     )
+
+
+def function_range_query(
+    searcher: IndexSearcher,
+    expr: str,
+    lower: float | None = None,
+    upper: float | None = None,
+    include_lower: bool = True,
+    include_upper: bool = True,
+) -> DataFrame:
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:40):
+    match docs whose computed value source lies inside the range; the
+    score IS the value (ValueSourceScorer semantics). The value source is
+    a compiled JS-grammar expression over docs-table columns."""
+    from lucene_spark.search.expressions import compile_expression
+
+    val = compile_expression(expr, {}).cast("double")
+    out = searcher.index.docs.select("doc_id", val.alias("score"))
+    if lower is not None:
+        out = out.filter(
+            F.col("score") >= lower if include_lower else F.col("score") > lower
+        )
+    if upper is not None:
+        out = out.filter(
+            F.col("score") <= upper if include_upper else F.col("score") < upper
+        )
+    return searcher._live(out)
+
+
+def function_match_query(searcher: IndexSearcher, predicate_expr: str) -> DataFrame:
+    """FunctionMatchQuery (document/FunctionMatchQuery.java:38): match
+    docs where the predicate over a value source holds — here the
+    DoublePredicate is itself a compiled boolean expression (non-zero =
+    match); constant score 1.0 like the reference's iterator-backed
+    scorer."""
+    from lucene_spark.search.expressions import compile_expression
+
+    pred = compile_expression(predicate_expr, {}).cast("double")
+    return searcher._live(
+        searcher.index.docs.filter(pred != 0.0).select(
+            "doc_id", F.lit(1.0).cast("float").alias("score")
+        )
+    )

@@ -713,3 +713,21 @@ def test_common_terms_query_rewrite(built):
     # absent term joins the low group: conjunction can never match
     q_absent = Q.CommonTermsQuery(field, ("the", "nosuchterm"), 1.0)
     assert searcher.search(q_absent, k=10).count() == 0
+
+
+def test_function_match_query(built):
+    """FunctionMatchQuery (document/FunctionMatchQuery.java:38): predicate
+    over a value source; constant score 1."""
+    from lucene_spark.search.extras import function_match_query, function_range_query
+
+    _, searcher, _ = built
+    docs = searcher.index.docs
+    n_match = docs.filter("doc_id > 150").count()
+    got = function_match_query(searcher, "doc_id > 150")
+    assert got.count() == n_match
+    assert {r["score"] for r in got.limit(3).collect()} <= {1.0}
+    # range query scores ARE the value source
+    rng = function_range_query(searcher, "doc_id * 2.0", lower=100.0, upper=200.0)
+    rows = rng.collect()
+    assert all(100.0 <= r["score"] <= 200.0 for r in rows)
+    assert len(rows) == docs.filter("doc_id >= 50 and doc_id <= 100").count()
