@@ -2011,3 +2011,60 @@ def function_range_query(spark, sf_dir):
         include_upper=False,
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# ---- misc collectors (DiversifiedTopDocs, DocValuesStats) -------------------
+
+
+@register(
+    "diversified_topk",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('dsc', 'table')},
+dkey AS (
+  SELECT s.doc_id, s.score, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rk
+  FROM dsc s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, score, lang FROM dkey WHERE rk <= 2
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def diversified_topk(spark, sf_dir):
+    """DiversifiedTopDocsCollector (misc/search/DiversifiedTopDocsCollector
+    .java:44): top-10 for 'table' with at most 2 hits per lang. The
+    oracle replays the same per-key window ranking in SQL."""
+    from lucene_spark.search.extras import diversified_topk as dtk
+
+    _, s = get_searcher(spark, sf_dir)
+    return dtk(s, Q.TermQuery("text", "table"), "lang", max_hits_per_key=2, k=10)
+
+
+@register(
+    "doc_values_stats",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('dvq', 'table')},
+dvd AS (SELECT d.* FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM dvq)),
+dva AS (
+  SELECT count(n_chars)::BIGINT AS cnt,
+         sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT AS missing,
+         min(n_chars)::BIGINT AS min_v, max(n_chars)::BIGINT AS max_v,
+         sum(n_chars)::BIGINT AS s1, sum(n_chars * n_chars)::BIGINT AS s2
+  FROM dvd
+)
+SELECT cnt, missing, min_v, max_v,
+       s1::DOUBLE / cnt::DOUBLE AS mean,
+       s2::DOUBLE / cnt::DOUBLE
+         - (s1::DOUBLE / cnt::DOUBLE) * (s1::DOUBLE / cnt::DOUBLE) AS variance,
+       sqrt(s2::DOUBLE / cnt::DOUBLE
+         - (s1::DOUBLE / cnt::DOUBLE) * (s1::DOUBLE / cnt::DOUBLE)) AS stdev
+FROM dva""",
+)
+def doc_values_stats(spark, sf_dir):
+    """DocValuesStats (misc/search/DocValuesStats.java:29): count/missing/
+    min/max/mean/variance/stdev of n_chars over the docs matching
+    'table' — derived from exact integer sums so the double math is
+    order-independent; the oracle applies the identical formulas."""
+    from lucene_spark.search.extras import doc_values_stats as dvs
+
+    _, s = get_searcher(spark, sf_dir)
+    return dvs(s, Q.TermQuery("text", "table"), "n_chars")

@@ -782,3 +782,62 @@ def function_match_query(searcher: IndexSearcher, predicate_expr: str) -> DataFr
             "doc_id", F.lit(1.0).cast("float").alias("score")
         )
     )
+
+
+def diversified_topk(
+    searcher: IndexSearcher,
+    query: Q.Query,
+    key_col: str,
+    max_hits_per_key: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """DiversifiedTopDocsCollector (misc/search/DiversifiedTopDocsCollector
+    .java:44): standard relevance top-k but with at most
+    ``max_hits_per_key`` docs per key (the de-duplicating "one per artist"
+    collector). One window pass ranks hits within each key by (score desc,
+    doc asc); survivors take the global top-k."""
+    from pyspark.sql import Window
+
+    scored = searcher.scored(query)
+    keyed = scored.join(
+        searcher.index.docs.select("doc_id", key_col), "doc_id"
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_hits_per_key)
+        .select("doc_id", "score", key_col)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def doc_values_stats(
+    searcher: IndexSearcher, query: Q.Query, value_col: str
+) -> DataFrame:
+    """DocValuesStats over a numeric column for a query's match set
+    (misc/search/DocValuesStats.java:29 LongDocValuesStats: count,
+    missing, min, max, mean, variance, stdev). Derived from EXACT integer
+    sums so the double math is order-independent (population variance =
+    E[x^2] - E[x]^2, the reference's accumulated formula)."""
+    m = searcher.matches(query)
+    docs = searcher.index.docs.join(m, "doc_id", "semi")
+    v = F.col(value_col).cast("long")
+    agg = docs.agg(
+        F.count(v).alias("cnt"),
+        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).alias("missing"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+    )
+    cnt = F.col("cnt").cast("double")
+    mean = F.col("s1").cast("double") / cnt
+    variance = F.col("s2").cast("double") / cnt - mean * mean
+    return agg.select(
+        "cnt", "missing", "min_v", "max_v",
+        mean.alias("mean"), variance.alias("variance"),
+        F.sqrt(variance).alias("stdev"),
+    )
