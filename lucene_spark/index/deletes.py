@@ -132,3 +132,81 @@ def purge_merge(
         "overwrite"
     ).parquet(_deletes_dir(index_dir))
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Numeric doc-values updates — IndexWriter.updateNumericDocValue(Term,
+# field, value) (index/IndexWriter.java:1333): change a per-doc numeric
+# column WITHOUT reindexing the document. Stored as an `_dv_updates`
+# parquet log of (doc_id, field, value, epoch); the read side overlays
+# last-epoch-wins values onto the docs table (the reference's
+# per-segment DocValuesFieldUpdates files replayed at reader-open).
+# ---------------------------------------------------------------------------
+
+
+def _dv_updates_dir(index_dir: str) -> str:
+    return f"{index_dir}/_dv_updates"
+
+
+def update_numeric_doc_values(
+    spark: SparkSession,
+    index_dir: str,
+    index: InvertedIndex,
+    query: Q.Query,
+    field: str,
+    value: int,
+) -> int:
+    """Record field=value for every LIVE doc matching `query` (the
+    reference's term-addressed variant is `query=Q.TermQuery(...)`).
+    Returns the number of docs updated. Visible after `apply_dv_updates`
+    on a (re)loaded index — the openIfChanged analog."""
+    from lucene_spark.search.searcher import IndexSearcher
+
+    matched = IndexSearcher(index).matches(query).select("doc_id").distinct()
+    matched.persist()
+    n = matched.count()
+    if n:
+        (
+            matched.withColumn("field", F.lit(field))
+            .withColumn("value", F.lit(int(value)).cast("long"))
+            .withColumn("epoch", F.lit(_next_update_epoch()))
+            .write.mode("append")
+            .parquet(_dv_updates_dir(index_dir))
+        )
+    matched.unpersist()
+    return n
+
+
+def read_dv_updates(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(_dv_updates_dir(index_dir))
+    except Exception:
+        return None
+
+
+def apply_dv_updates(index: InvertedIndex, updates: DataFrame | None) -> InvertedIndex:
+    """Overlay last-epoch-wins updated values onto the docs table: for
+    each updated field, matched docs read the new value, everything else
+    keeps the stored column. Returns a shallow index copy with the
+    patched docs frame (postings/norms untouched — doc values are not
+    scoring state here, exactly like the reference's separation)."""
+    import copy
+
+    if updates is None:
+        return index
+    fields = [r["field"] for r in updates.select("field").distinct().collect()]
+    docs = index.docs
+    for fld in fields:
+        last = (
+            updates.filter(F.col("field") == fld)
+            .groupBy("doc_id")
+            .agg(F.max(F.struct("epoch", "value")).alias("_u"))
+            .select("doc_id", F.col("_u.value").alias("_new_" + fld))
+        )
+        docs = docs.join(F.broadcast(last), "doc_id", "left_outer").withColumn(
+            fld,
+            F.coalesce(F.col("_new_" + fld), F.col(fld).cast("long")),
+        ).drop("_new_" + fld)
+    patched = copy.copy(index)
+    patched.docs = docs
+    return patched

@@ -84,3 +84,56 @@ def test_purge_merge_reclaims(spark, idx_dir):
         idx3.termstats.filter(F.col("term") == "vector").count() == 0
         or idx3.termstats.filter(F.col("term") == "vector").collect()[0]["df"] == 0
     )
+
+def test_numeric_doc_values_update(spark, idx_dir):
+    """IndexWriter.updateNumericDocValue (index/IndexWriter.java:1333):
+    change a numeric per-doc column without reindexing; last-epoch wins;
+    non-matching docs keep stored values; visible on overlay after
+    reload; scoring state untouched."""
+    from lucene_spark.index.deletes import (
+        apply_dv_updates,
+        read_dv_updates,
+        update_numeric_doc_values,
+    )
+
+    idx = load_segments(spark, idx_dir, CFG)
+    q = Q.TermQuery("text", "dup")
+    n_dup = IndexSearcher(idx).matches(q).count()
+    assert n_dup > 0
+    n = update_numeric_doc_values(spark, idx_dir, idx, q, "n_chars", 777)
+    assert n == n_dup
+    # second update to a subset: last-epoch wins
+    n2 = update_numeric_doc_values(
+        spark, idx_dir, idx,
+        Q.BooleanQuery.of(must=[Q.TermQuery("text", "dup"),
+                                Q.TermQuery("text", "table")]),
+        "n_chars", 999,
+    )
+    assert 0 < n2 <= n
+    idx2 = apply_dv_updates(
+        load_segments(spark, idx_dir, CFG), read_dv_updates(spark, idx_dir)
+    )
+    s2 = IndexSearcher(idx2)
+    matched = {r["doc_id"] for r in IndexSearcher(idx).matches(q).collect()}
+    subset = {
+        r["doc_id"]
+        for r in IndexSearcher(idx)
+        .matches(Q.BooleanQuery.of(must=[Q.TermQuery("text", "dup"),
+                                         Q.TermQuery("text", "table")]))
+        .collect()
+    }
+    rows = {r["doc_id"]: r["n_chars"] for r in idx2.docs.collect()}
+    orig = {r["doc_id"]: r["n_chars"] for r in idx.docs.collect()}
+    for d, v in rows.items():
+        if d in subset:
+            assert v == 999
+        elif d in matched:
+            assert v == 777
+        else:
+            assert v == orig[d]
+    # scoring unaffected (doc values are not scoring state)
+    a = IndexSearcher(idx).search(q, k=5).collect()
+    b = s2.search(q, k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
