@@ -1056,7 +1056,7 @@ def _register_all() -> None:
 _PRIORITY = [
     "term_query",
     "hunspell_stem_query",
-    "boolean_or",
+    "text_fingerprints",
     "boolean_or_pruned",
     "boolean_and",
     "simple_parser_query",
