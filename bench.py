@@ -121,6 +121,24 @@ def run_bench(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     )
     q("prefix_query", lambda: searcher.scored(Q.PrefixQuery("text", "sc")))
 
+    # round 3: the positional-dialect parsers ride the intervals plans —
+    # a wildcard-slot phrase through ComplexPhraseQueryParser and the
+    # same span-near shape through the XML DSL
+    from lucene_spark.search import complexphrase as CP
+    from lucene_spark.search import xmlparser as XP
+
+    q("complex_phrase", lambda: CP.execute(searcher, '"s* join"~1', k=10))
+    q(
+        "xml_span_query",
+        lambda: XP.execute(
+            searcher,
+            '<SpanNear fieldName="text" slop="1" inOrder="true">'
+            "<SpanOrTerms>sort scan</SpanOrTerms><SpanTerm>join</SpanTerm>"
+            "</SpanNear>",
+            k=10,
+        ),
+    )
+
     # batched serving: the same term/boolean workload as ONE Spark job
     # (amortizes per-query driver scheduling — the single-node QPS lever)
     batch = {
