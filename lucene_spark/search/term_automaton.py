@@ -215,3 +215,49 @@ def automaton_count(searcher, auto: TermAutomaton) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_matches"))
     )
+
+
+def from_token_stream(tokens) -> TermAutomaton:
+    """TokenStreamToTermAutomatonQuery.java:38 — build the automaton from
+    an analyzed token stream with position overlaps: state i = "about to
+    consume position i" (positions renumbered densely), each token adds a
+    transition state[pos] -> state[pos + pos_length] labelled with its
+    term, and a position HOLE (stopword gap) adds an ANY transition. The
+    last position's state accepts.
+
+    `tokens` is an iterable of (term, position) pairs or objects with
+    .term/.position (the FilteredAnalyzer Token shape); overlapping
+    tokens (posIncr 0 — synonyms, WDGF variants) become parallel
+    transitions, which is exactly the graph-query role the reference
+    converter serves."""
+    pairs = []
+    for t in tokens:
+        if isinstance(t, tuple):
+            term, pos = t
+        else:
+            term, pos = t.term, t.position
+        pairs.append((str(term), int(pos)))
+    if not pairs:
+        raise ValueError("empty token stream")
+    positions = sorted({p for _, p in pairs})
+    # dense state numbering over OCCUPIED positions; a gap between
+    # consecutive occupied positions inserts ANY transitions (the
+    # reference maps posIncr>1 holes to setAccept-less ANY states)
+    state_of = {}
+    state = 0
+    transitions: list[tuple[int, int, str | None]] = []
+    prev = None
+    for p in positions:
+        if prev is not None:
+            for _ in range(p - prev - 1):
+                transitions.append((state, state + 1, ANY))
+                state += 1
+        state_of[p] = state
+        state += 1
+        prev = p
+    final = state
+    for term, p in pairs:
+        s = state_of[p]
+        nxt = final if p == positions[-1] else s + 1
+        transitions.append((s, nxt, term))
+    return TermAutomaton(tuple(transitions), frozenset({final}))

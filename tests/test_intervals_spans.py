@@ -363,3 +363,42 @@ def test_surround_parser_grammar(spark):
         surround.parse("index AND")  # dangling operator
     with pytest.raises(surround.SurroundParseError):
         surround.parse("(index AND spark) W merge")  # AND is no DistanceSubQuery
+
+
+def test_token_stream_to_term_automaton(s, spark):
+    """TokenStreamToTermAutomatonQuery.java:38: an analyzed stream with
+    posIncr-0 overlaps (synonym variants) becomes parallel transitions;
+    position holes become ANY transitions; matching accepts either
+    variant aligned over consecutive positions."""
+    from lucene_spark.search.term_automaton import (
+        automaton_matches,
+        from_token_stream,
+    )
+
+    # synonym overlay: 'x' OR 'b' at position 0, then 'y' — matches
+    # doc0 "a x b y a b c": window [2,3] via b,y and [1,?] x..y? x at 1,
+    # y at 3 NOT consecutive -> only the b-variant aligns
+    auto = from_token_stream([("x", 0), ("b", 0), ("y", 1)])
+    got = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in automaton_matches(s, auto).collect()
+    }
+    assert got == {(0, 2, 3)}
+
+    # hole between tokens -> ANY transition: a <any> b
+    auto2 = from_token_stream([("a", 0), ("b", 2)])
+    got2 = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in automaton_matches(s, auto2).collect()
+    }
+    direct = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in automaton_matches(
+            s,
+            __import__("lucene_spark.search.term_automaton",
+                       fromlist=["TermAutomaton"]).TermAutomaton(
+                ((0, 1, "a"), (1, 2, None), (2, 3, "b")), frozenset({3})
+            ),
+        ).collect()
+    }
+    assert got2 == direct and got2
