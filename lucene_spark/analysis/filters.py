@@ -720,6 +720,7 @@ class FilteredAnalyzer:
         word_delimiter: WordDelimiterGraph | None = None,
         common_grams=None,
         overlay_filters: tuple = (),
+        char_filters: tuple = (),
     ):
         from lucene_spark.analysis.tokenizer import StandardAnalyzer
 
@@ -745,6 +746,10 @@ class FilteredAnalyzer:
         #: discount them) — the KeywordRepeatFilter.java:33 shape (emit
         #: the original plus its stem) and PhoneticFilter inject=true
         self.overlay_filters = tuple(overlay_filters)
+        #: text->text transforms applied BEFORE tokenization (the
+        #: charfilter package: html_strip / mapping / pattern replace);
+        #: offsets are uncorrected, so offset paths raise with these
+        self.char_filters = tuple(char_filters)
         self.max_token_length = self.base.max_token_length
         self.stopwords = self.base.stopwords
 
@@ -753,8 +758,15 @@ class FilteredAnalyzer:
             term = f(term)
         return term
 
+    def _chars(self, text: str) -> str:
+        for cf in self.char_filters:
+            text = cf(text)
+        return text
+
     def term_position_arrays(self, text: str):
         import numpy as np
+
+        text = self._chars(text)
 
         if self.word_delimiter is not None:
             from lucene_spark.analysis.tokenizer import java_lower
@@ -832,6 +844,9 @@ class FilteredAnalyzer:
     def term_position_offset_arrays(self, text: str):
         """Offsets variant for ``IndexConfig(with_offsets=True)``.
 
+        Char filters raise here — they shift character offsets and this
+        engine does not carry the reference's offset-correction map.
+
         1:1 term filters rewrite the term text but keep each token's
         character span in the ORIGINAL text (OffsetAttribute is untouched
         by TokenFilters like LowerCaseFilter/PorterStemFilter in the
@@ -846,6 +861,7 @@ class FilteredAnalyzer:
             or self.word_delimiter is not None
             or self.common_grams is not None
             or self.overlay_filters
+            or self.char_filters
             or any(isinstance(f, SynonymMap) and f.phrases for f in self.filters)
         ):
             raise NotImplementedError(
@@ -878,7 +894,11 @@ class FilteredAnalyzer:
             raise NotImplementedError("tokens() with expanders; use arrays")
         from lucene_spark.analysis.tokenizer import Token
 
-        if self.cjk_bigrams is not None or self.word_delimiter is not None:
+        if (
+            self.cjk_bigrams is not None
+            or self.word_delimiter is not None
+            or self.char_filters
+        ):
             terms, pos, _ = self.term_position_arrays(text)
             return [Token(t, int(p), -1, -1) for t, p in zip(terms, pos)]
         return [
@@ -891,7 +911,15 @@ class FilteredAnalyzer:
         return t
 
     def emitted_count(self, text: str) -> int:
-        if self.cjk_bigrams is not None or self.word_delimiter is not None:
+        if (
+            self.cjk_bigrams is not None
+            or self.word_delimiter is not None
+            or self.char_filters
+            # removal filters shrink the field length; factories mark
+            # themselves with `removes_tokens = True` (custom removing
+            # callables must set the same attribute)
+            or any(getattr(f, "removes_tokens", False) for f in self.filters)
+        ):
             # bigramming changes the emitted-token count (n chars -> n-1
             # bigrams per run); norms must see the post-filter count
             _, _, n = self.term_position_arrays(text)
@@ -1011,6 +1039,7 @@ def make_length_filter(min_len: int, max_len: int):
     def f(term: str) -> str:
         return term if min_len <= len(term) <= max_len else ""
 
+    f.removes_tokens = True
     return f
 
 
@@ -1028,6 +1057,7 @@ def make_keep_word_filter(words):
     def f(term: str) -> str:
         return term if term in keep else ""
 
+    f.removes_tokens = True
     return f
 
 
