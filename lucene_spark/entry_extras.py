@@ -2068,3 +2068,32 @@ def doc_values_stats(spark, sf_dir):
 
     _, s = get_searcher(spark, sf_dir)
     return dvs(s, Q.TermQuery("text", "table"), "n_chars")
+
+
+# ---- IntervalQuery scoring (queries/intervals/IntervalQuery.java:51) -------
+
+
+@register(
+    "interval_score_query",
+    f"""WITH {BASE_CTES},
+isa AS (SELECT doc_id, pos FROM tok WHERE term = 'key'),
+isb AS (SELECT doc_id, pos FROM tok WHERE term = 'value'),
+isp AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM isa a JOIN isb b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+)
+SELECT doc_id,
+       CAST(CAST(1.0 AS DOUBLE) * (freq::DOUBLE / (freq::DOUBLE + 1.0)) AS FLOAT) AS score
+FROM isp ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def interval_score_query(spark, sf_dir):
+    """IntervalQuery with the saturation score function
+    (IntervalQuery.java:51, IntervalScoreFunction.java:26): the phrase
+    source 'key value' has constant extent, so every interval contributes
+    exactly 1 and freq is the integer phrase count — score =
+    freq/(freq+pivot), pivot=1. The oracle counts adjacent pairs and
+    applies the identical formula."""
+    _, s = get_searcher(spark, sf_dir)
+    out = IV.interval_query(s, IV.Phrase("key", "value"), pivot=1.0)
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)

@@ -583,3 +583,83 @@ def count_intervals(searcher, source: IntervalsSource) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_intervals"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IntervalQuery — intervals as a SCORED query
+# (queries/intervals/IntervalQuery.java:51 + IntervalScorer.java:66 +
+# IntervalScoreFunction.java:26)
+# ---------------------------------------------------------------------------
+
+
+def min_extent(src: IntervalsSource) -> int:
+    """The source's minimum possible interval width (IntervalsSource
+    .minExtent()) — the unit the scorer's width discount is relative to."""
+    if isinstance(src, (Term, Prefix, Wildcard)):
+        return 1
+    if isinstance(src, Phrase):
+        return len(src.terms)
+    if isinstance(src, (Ordered, Unordered)):
+        return sum(min_extent(s) for s in src.sources)
+    if isinstance(src, Or):
+        return min(min_extent(s) for s in src.sources)
+    if isinstance(src, AtLeast):
+        from itertools import combinations
+
+        return min(
+            sum(min_extent(s) for s in combo)
+            for combo in combinations(src.sources, src.min_match)
+        )
+    if isinstance(src, (MaxGaps, MaxWidth, MaxEnd)):
+        return min_extent(src.source)
+    if isinstance(src, PositionRange):
+        return min_extent(src.source)
+    if isinstance(src, Extend):
+        return min_extent(src.source) + src.before + src.after
+    if isinstance(src, (NonOverlapping, NotContaining)):
+        return min_extent(src.minuend)
+    if isinstance(src, NotContainedBy):
+        return min_extent(src.small)
+    if isinstance(src, Containing):
+        return min_extent(src.big)
+    if isinstance(src, ContainedBy):
+        return min_extent(src.small)
+    if isinstance(src, (Before, After, Overlapping)):
+        return min_extent(src.source)
+    raise NotImplementedError(type(src).__name__)
+
+
+def interval_query(
+    searcher,
+    source: IntervalsSource,
+    pivot: float = 1.0,
+    weight: float = 1.0,
+    mode: str = "saturation",
+    exp: float = 1.0,
+) -> DataFrame:
+    """Score docs by interval frequency: each interval contributes
+    1 / max(width - minExtent + 1, 1) (IntervalScorer.java:66 — wider
+    matches count less), folded through the saturation
+    (weight * freq / (freq + pivot)) or sigmoid
+    (weight * freq^exp / (freq^exp + pivot^exp)) score function
+    (IntervalScoreFunction.java:26-40). The per-doc freq accumulates in
+    double (the reference accumulates float32 in iteration order; exact-
+    extent sources like Phrase produce integer freqs where the two agree
+    bit-for-bit — the driver entry uses one)."""
+    if pivot <= 0 or exp <= 0:
+        raise ValueError("pivot and exp must be > 0")
+    me = min_extent(source)
+    m = matches(searcher, source)
+    contrib = 1.0 / F.greatest(
+        (F.col("end") - F.col("start") + 1 - me + 1).cast("double"), F.lit(1.0)
+    )
+    freq = m.groupBy("doc_id").agg(F.sum(contrib).alias("freq"))
+    f = F.col("freq")
+    if mode == "saturation":
+        score = F.lit(float(weight)) * (f / (f + float(pivot)))
+    elif mode == "sigmoid":
+        fp = F.pow(f, float(exp))
+        score = F.lit(float(weight)) * (fp / (fp + float(pivot) ** float(exp)))
+    else:
+        raise ValueError(f"unknown score function {mode!r}")
+    return freq.select("doc_id", score.cast("float").alias("score"))

@@ -170,3 +170,39 @@ def test_not_contained_by_and_non_overlapping(s1):
     allv = _got(s1, srcq)
     for d, spans in allv.items():
         assert ov.get(d, set()) | nov.get(d, set()) == spans
+
+
+def test_interval_query_scoring(s1):
+    """IntervalScorer.java:66 width discount + the two score functions:
+    wider matches contribute 1/(width - minExtent + 1); saturation and
+    sigmoid(exp=1) agree at pivot; sigmoid grows with exp."""
+    import math
+
+    src = IV.MaxGaps(2, IV.Ordered(IV.Term("pease"), IV.Term("cold")))
+    rows = {
+        r["doc_id"]: (r["start"], r["end"])
+        for r in IV.matches(s1, src).collect()
+    }
+    got = {
+        r["doc_id"]: r["score"]
+        for r in IV.interval_query(s1, src, pivot=2.0).collect()
+    }
+    assert set(got) == set(rows)
+    me = IV.min_extent(src)
+    assert me == 2
+    # recompute one doc by hand
+    per_doc = {}
+    for r in IV.matches(s1, src).collect():
+        w = r["end"] - r["start"] + 1
+        per_doc.setdefault(r["doc_id"], 0.0)
+        per_doc[r["doc_id"]] += 1.0 / max(w - me + 1, 1)
+    for d, f in per_doc.items():
+        want = f / (f + 2.0)
+        assert math.isclose(got[d], want, rel_tol=1e-6)
+    # sigmoid with exp=1 equals saturation; larger exp sharpens
+    sat = {
+        r["doc_id"]: r["score"]
+        for r in IV.interval_query(s1, src, pivot=2.0, mode="sigmoid", exp=1.0).collect()
+    }
+    for d in got:
+        assert math.isclose(sat[d], got[d], rel_tol=1e-6)
