@@ -2097,3 +2097,71 @@ def interval_score_query(spark, sf_dir):
     _, s = get_searcher(spark, sf_dir)
     out = IV.interval_query(s, IV.Phrase("key", "value"), pivot=1.0)
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# ---- the other two block-join directions (lucene/join) ---------------------
+
+
+@register(
+    "to_child_block_join",
+    """WITH par AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       CAST(p.o_totalprice AS DOUBLE) AS score
+FROM lineitem l JOIN par p ON p.o_orderkey = l.l_orderkey
+ORDER BY score DESC, l.l_orderkey ASC, l.l_linenumber ASC LIMIT 10""",
+)
+def to_child_block_join(spark, sf_dir):
+    """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java:41): a
+    parent-side query pushed down to the children — every child of a
+    matching parent is a hit carrying its PARENT's score (here the
+    parent's function score o_totalprice)."""
+    from lucene_spark.entry_impl import _docs
+
+    o = _docs(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    l = _docs(spark, sf_dir, "lineitem")
+    return (
+        l.join(
+            F.broadcast(
+                o.select("o_orderkey", F.col("o_totalprice").cast("double").alias("score"))
+            ),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_linenumber", "score")
+        .orderBy(F.desc("score"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(10)
+    )
+
+
+@register(
+    "parent_children_block_join",
+    """WITH top_parent AS (
+  SELECT o_orderkey FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+FROM lineitem l JOIN top_parent p ON p.o_orderkey = l.l_orderkey
+WHERE l.l_quantity >= 10
+ORDER BY l.l_linenumber ASC""",
+)
+def parent_children_block_join(spark, sf_dir):
+    """ParentChildrenBlockJoinQuery (join/ParentChildrenBlockJoinQuery
+    .java:45): expand ONE parent hit into its matching children — the
+    top-totalprice order's lineitems with quantity >= 10 (the "show me
+    this result's children" drill-in)."""
+    from lucene_spark.entry_impl import _docs
+
+    o = _docs(spark, sf_dir, "orders")
+    top = (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(1)
+        .select("o_orderkey")
+    )
+    l = _docs(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(top), l.l_orderkey == F.col("o_orderkey"), "semi")
+        .filter(F.col("l_quantity") >= 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy(F.asc("l_linenumber"))
+    )
