@@ -1074,3 +1074,29 @@ def make_truncate_filter(length: int):
 def reverse_string(term: str) -> str:
     """reverse/ReverseStringFilter.java:38 — the leading-wildcard trick."""
     return term[::-1]
+
+
+def make_keyword_marker(protected, stemmer):
+    """KeywordMarkerFilter + a downstream stemmer
+    (miscellaneous/SetKeywordMarkerFilter.java:28): tokens in the
+    protected set skip stemming (the KeywordAttribute contract every
+    stemmer in the reference honors)."""
+    protected = frozenset(protected)
+
+    def f(term: str) -> str:
+        return term if term in protected else stemmer(term)
+
+    return f
+
+
+def make_stemmer_override(overrides, stemmer):
+    """StemmerOverrideFilter (miscellaneous/StemmerOverrideFilter.java:36):
+    dictionary-forced stems win over the algorithmic stemmer (and mark
+    the token as keyword, so the stemmer never touches it)."""
+    table = dict(overrides)
+
+    def f(term: str) -> str:
+        forced = table.get(term)
+        return forced if forced is not None else stemmer(term)
+
+    return f

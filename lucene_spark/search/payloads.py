@@ -163,3 +163,56 @@ def payload_score_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+_OPS = {
+    "eq": lambda c, v: c == v,
+    "lt": lambda c, v: c < v,
+    "lte": lambda c, v: c <= v,
+    "gt": lambda c, v: c > v,
+    "gte": lambda c, v: c >= v,
+}
+
+
+def span_payload_check(
+    payloads: DataFrame,
+    terms: tuple,
+    checks: tuple,
+    op: str = "eq",
+) -> DataFrame:
+    """SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheckQuery
+    .java:54): exact-phrase spans survive only when every position's
+    payload satisfies the per-slot check under the MatchOperation
+    (EQ/LT/LTE/GT/GTE); a ``None`` check slot is unconstrained (the
+    reference's wildcard payload). Returns (doc_id, n_spans) over the
+    payload side table — the span join is the same k-way position join
+    PayloadScoreQuery uses."""
+    if len(checks) != len(terms):
+        raise ValueError("one check per term slot (None = unconstrained)")
+    cmp = _OPS.get(op)
+    if cmp is None:
+        raise ValueError(f"unknown MatchOperation {op!r}")
+    slots = [
+        payloads.filter(F.col("term") == t).select(
+            F.col("doc_id"),
+            F.col("pos").alias(f"p{i}"),
+            F.col("payload").alias(f"v{i}"),
+        )
+        for i, t in enumerate(terms)
+    ]
+    spans = slots[0]
+    for i in range(1, len(slots)):
+        spans = spans.join(
+            slots[i],
+            (spans["doc_id"] == slots[i]["doc_id"])
+            & (slots[i][f"p{i}"] == F.col("p0") + i),
+        ).drop(slots[i]["doc_id"])
+    pred = F.lit(True)
+    for i, chk in enumerate(checks):
+        if chk is not None:
+            pred = pred & cmp(F.col(f"v{i}"), F.lit(chk))
+    return (
+        spans.filter(pred)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"))
+    )

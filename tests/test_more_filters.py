@@ -96,3 +96,20 @@ def test_truncate_and_reverse():
     # reverse round-trips through the chain (leading-wildcard layout)
     a = FilteredAnalyzer(filters=("reverse_string",))
     assert a.terms("fox dog") == ["xof", "god"]
+
+
+def test_keyword_marker_and_stemmer_override():
+    from lucene_spark.analysis.filters import (
+        make_keyword_marker,
+        make_stemmer_override,
+        porter_stem,
+    )
+
+    km = make_keyword_marker({"running"}, porter_stem)
+    assert km("running") == "running"  # protected: stemmer skipped
+    assert km("jumping") == "jump"
+    so = make_stemmer_override({"mice": "mouse"}, porter_stem)
+    assert so("mice") == "mouse"  # forced stem wins
+    assert so("running") == "run"  # others fall through to the stemmer
+    a = FilteredAnalyzer(filters=(make_keyword_marker({"indexing"}, porter_stem),))
+    assert a.terms("indexing searching") == ["indexing", "search"]
