@@ -231,3 +231,53 @@ class QueryParser:
             node = Q.BoostQuery(node, boost)
             toks = toks[1:]
         return node, toks
+
+
+class MultiFieldQueryParser(QueryParser):
+    """classic/MultiFieldQueryParser.java:33 — clauses with no explicit
+    ``field:`` prefix expand into a SHOULD-boolean over every configured
+    field (per-field boosts applied as BoostQuery, :83-104); explicitly
+    fielded clauses stay single-field. The expansion applies to every
+    leaf type (term/prefix/wildcard/fuzzy/range/phrase), exactly the set
+    of getXQuery overrides the reference carries."""
+
+    _SENTINEL = "\x00__multi_field__"
+
+    def __init__(self, fields, analyzer=None, boosts=None,
+                 default_operator: str = "OR"):
+        super().__init__(self._SENTINEL, analyzer, default_operator)
+        self.fields = tuple(fields)
+        self.boosts = dict(boosts or {})
+
+    def _expand(self, q: Q.Query) -> Q.Query:
+        import dataclasses
+
+        if isinstance(q, Q.BooleanQuery):
+            return Q.BooleanQuery(
+                tuple(
+                    Q.BooleanClause(self._expand(c.query), c.occur)
+                    for c in q.clauses
+                ),
+                q.minimum_should_match,
+            )
+        if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
+            return dataclasses.replace(q, query=self._expand(q.query))
+        if isinstance(q, Q.DisjunctionMaxQuery):
+            return dataclasses.replace(
+                q, queries=tuple(self._expand(s) for s in q.queries)
+            )
+        if getattr(q, "field", None) == self._SENTINEL:
+            per_field = []
+            for f in self.fields:
+                import dataclasses as _dc
+
+                sub = _dc.replace(q, field=f)
+                b = self.boosts.get(f)
+                per_field.append(Q.BoostQuery(sub, float(b)) if b else sub)
+            if len(per_field) == 1:
+                return per_field[0]
+            return Q.BooleanQuery.of(should=per_field)
+        return q
+
+    def parse(self, text: str) -> Q.Query:
+        return self._expand(super().parse(text))

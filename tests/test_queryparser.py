@@ -105,3 +105,34 @@ def test_parse_then_search_end_to_end(spark):
         k=10,
     ).collect()
     assert [tuple(r) for r in parsed] == [tuple(r) for r in built]
+
+
+def test_multi_field_query_parser():
+    """classic/MultiFieldQueryParser.java:33: unfielded clauses expand to
+    a SHOULD over all fields with per-field boosts; explicit field:
+    prefixes stay single-field."""
+    from lucene_spark.search.queryparser import MultiFieldQueryParser
+
+    qp = MultiFieldQueryParser(["title", "body"], boosts={"title": 2.0})
+    q = qp.parse("fox +body:dog")
+    assert isinstance(q, Q.BooleanQuery)
+    [fox_clause] = [c for c in q.clauses if c.occur is Q.Occur.SHOULD]
+    [dog_clause] = [c for c in q.clauses if c.occur is Q.Occur.MUST]
+    fox = fox_clause.query
+    assert isinstance(fox, Q.BooleanQuery)
+    kinds = sorted(
+        (type(c.query).__name__,
+         getattr(c.query, "field", None)
+         or getattr(getattr(c.query, "query", None), "field", None))
+        for c in fox.clauses
+    )
+    assert kinds == [("BoostQuery", "title"), ("TermQuery", "body")]
+    boosted = [c.query for c in fox.clauses if isinstance(c.query, Q.BoostQuery)][0]
+    assert boosted.boost == 2.0 and boosted.query.field == "title"
+    assert dog_clause.occur is Q.Occur.MUST
+    assert dog_clause.query.field == "body"  # explicit prefix untouched
+    # multi-term + phrase expansion
+    q2 = MultiFieldQueryParser(["a", "b"]).parse('"quick fox"')
+    assert isinstance(q2, Q.BooleanQuery)
+    assert {c.query.field for c in q2.clauses} == {"a", "b"}
+    assert all(isinstance(c.query, Q.PhraseQuery) for c in q2.clauses)
