@@ -721,6 +721,8 @@ class FilteredAnalyzer:
         common_grams=None,
         overlay_filters: tuple = (),
         char_filters: tuple = (),
+        shingle_min_size: int = 0,
+        shingle_filler: str | None = None,
     ):
         from lucene_spark.analysis.tokenizer import StandardAnalyzer
 
@@ -732,6 +734,10 @@ class FilteredAnalyzer:
         self.word_delimiter = word_delimiter
         self.filters = tuple(make_filter(f) for f in filters)
         self.shingle_size = shingle_size
+        #: faithful ShingleFilter mode: set a filler (e.g. "_") to bridge
+        #: stopword holes and optionally a min size for [min, max] ranges
+        self.shingle_min_size = shingle_min_size
+        self.shingle_filler = shingle_filler
         self.char_ngram = char_ngram
         #: applied right after the tokenizer, before 1:1 filters and
         #: expanders — the reference chain order (CJKAnalyzer:
@@ -820,11 +826,26 @@ class FilteredAnalyzer:
             for p, canon in m.phrase_matches(terms, pos):
                 out_t.append(canon)
                 out_p.append(p)
-        if self.shingle_size >= 2:
+        if self.shingle_filler is not None and self.shingle_size >= 2:
+            # FULL ShingleFilter semantics: windows bridge stopword holes
+            # with the filler token (unigrams are the base tokens already
+            # in the stream; the index layer has no end-state attribute,
+            # so trailing holes do not extend the window space)
+            st, sp = shingle_stream(
+                terms,
+                [int(x) for x in pos],
+                min_size=self.shingle_min_size or self.shingle_size,
+                max_size=self.shingle_size,
+                filler=self.shingle_filler,
+                output_unigrams=False,
+            )
+            out_t.extend(st)
+            out_p.extend(sp)
+        elif self.shingle_size >= 2:
             s = self.shingle_size
             for i in range(len(terms) - s + 1):
                 # contiguous-position check: shingles never bridge gaps
-                # left by skipped over-long tokens
+                # left by skipped over-long tokens (the no-filler fast path)
                 if pos[i + s - 1] - pos[i] == s - 1:
                     out_t.append(" ".join(terms[i : i + s]))
                     out_p.append(pos[i])
@@ -1100,3 +1121,52 @@ def make_stemmer_override(overrides, stemmer):
         return forced if forced is not None else stemmer(term)
 
     return f
+
+
+def shingle_stream(
+    terms,
+    positions,
+    min_size: int = 2,
+    max_size: int = 2,
+    separator: str = " ",
+    filler: str = "_",
+    output_unigrams: bool = True,
+    trailing_holes: int = 0,
+):
+    """The FULL ShingleFilter semantics (shingle/ShingleFilter.java:72)
+    over a (terms, positions) stream with stopword holes:
+
+    - windows of every size in [min_size, max_size] start at EVERY
+      position (holes included), substituting ``filler`` for positions
+      with no token; windows containing no real token are dropped, and a
+      window never extends past the last position (+ the stream-end
+      ``trailing_holes``, the reference's end-state posIncr);
+    - unigrams are emitted for real tokens when ``output_unigrams``;
+    - emission order per position: unigram, then sizes ascending — the
+      reference fixture order, replayed exactly for the bigram/trigram,
+      internal-hole and trailing-hole tables of TestShingleFilter in
+      ``tests/test_shingles.py``.
+
+    Returns (out_terms, out_positions); shingles sit at their window's
+    start position (posIncr-0 overlays after a unigram, fresh positions
+    at holes, matching the reference's increments)."""
+    occupied = {int(p): t for t, p in zip(terms, positions)}
+    if not occupied:
+        return [], []
+    max_pos = max(occupied) + int(trailing_holes)
+    out_t: list[str] = []
+    out_p: list[int] = []
+    for p in range(0, max_pos + 1):
+        tok = occupied.get(p)
+        if tok is not None and output_unigrams:
+            out_t.append(tok)
+            out_p.append(p)
+        for s in range(min_size, max_size + 1):
+            if p + s - 1 > max_pos:
+                break
+            if not any(i in occupied for i in range(p, p + s)):
+                continue  # all-filler windows never emit
+            window = [occupied.get(i, filler) for i in range(p, p + s)]
+            out_t.append(separator.join(window))
+            out_p.append(p)
+    return out_t, out_p
