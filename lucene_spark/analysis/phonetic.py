@@ -920,13 +920,14 @@ def nysiis(value: str, strict: bool = True) -> str:
         if chars[i] != chars[i - 1]:
             key.append(chars[i])
 
-    if len(key) > 1:
-        if key[-1] == "S":
-            key.pop()
-        if len(key) > 2 and key[-2] == "A" and key[-1] == "Y":
-            del key[-2]
-        if key and key[-1] == "A":
-            key.pop()
+    # each trailing rule re-checks the length guard independently, like the
+    # wrapped codec (a 2-letter name like "AZ" -> "AS" -> "A", never empty)
+    if len(key) > 1 and key[-1] == "S":
+        key.pop()
+    if len(key) > 2 and key[-2] == "A" and key[-1] == "Y":
+        del key[-2]
+    if len(key) > 1 and key[-1] == "A":
+        key.pop()
     out = "".join(key)
     return out[:6] if strict else out
 
