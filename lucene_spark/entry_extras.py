@@ -1117,6 +1117,168 @@ sc AS (
 _register_similarities()
 
 
+# ---- SimilarityBase family (search/similarities/SimilarityBase.java) -------
+# LM Dirichlet / Jelinek-Mercer / Indri, DFR, IB, DFI, Axiomatic: every model
+# computes its score entirely in double with ONE final float32 cast
+# (BasicSimScorer.score:185-187), so the oracles are plain double SQL with a
+# single CAST(... AS FLOAT). docLen is the byte4-decoded length stored in the
+# norm (b4.floor_len == SimilarityBase.LENGTH_TABLE[norm]).
+
+
+def _register_similarity_base():
+    import numpy as _np
+
+    from lucene_spark.search import similarities as SB
+
+    F32 = _np.float32
+    # shared CTE: per-doc decoded length (double) from the norm byte
+    dlen = (
+        "dlen AS (SELECT n.doc_id, CAST(t.floor_len AS DOUBLE) AS dl "
+        "FROM norms n JOIN b4 t ON t.nb = n.nb)"
+    )
+    # collection stats as doubles (BasicStats: avgFieldLength = sumTTF/(double)docCount)
+    n_docs = "(SELECT doc_count FROM fstats)"
+    sum_ttf = "(SELECT sum_ttf FROM fstats)"
+    avg_dl = f"({sum_ttf} / CAST({n_docs} AS DOUBLE))"
+
+    def term_stats(term: str) -> tuple[str, str]:
+        df = f"(SELECT count(*) FROM tf WHERE term = '{term}')"
+        ttf = f"(SELECT coalesce(sum(freq), 0) FROM tf WHERE term = '{term}')"
+        return df, ttf
+
+    def sb_entry(name: str, score_sql: str, term: str, make_sim):
+        @register(
+            name,
+            f"""WITH {BASE_CTES},
+{dlen},
+sc AS (
+  SELECT tf.doc_id, CAST({score_sql} AS FLOAT) AS score
+  FROM tf JOIN dlen d USING (doc_id)
+  WHERE tf.term = '{term}'
+)
+{_topk_sql('sc')}""",
+        )
+        def _entry(spark, sf_dir, _make=make_sim, _term=term):
+            from lucene_spark.search.searcher import IndexSearcher
+
+            idx, _ = get_searcher(spark, sf_dir)
+            s = IndexSearcher(idx, similarity=_make())
+            return s.search(Q.TermQuery("text", _term), k=10).select(
+                "doc_id", "score"
+            )
+
+        _entry.__name__ = name
+        return _entry
+
+    # -- LM Dirichlet (LMDirichletSimilarity.java:86-93), mu=2000 ------------
+    df, ttf = term_stats("table")
+    p = f"(({ttf} + 1.0) / ({sum_ttf} + 1.0))"
+    lmd = (
+        f"greatest(0.0, ln(1.0 + CAST(tf.freq AS DOUBLE) / (2000.0 * {p}))"
+        f" + ln(2000.0 / (d.dl + 2000.0)))"
+    )
+    sb_entry(
+        "lm_dirichlet_query",
+        lmd,
+        "table",
+        lambda: SB.LMDirichletSimilarity(),
+    )
+
+    # -- LM Jelinek-Mercer (LMJelinekMercerSimilarity.java:73-79), λ=0.7 -----
+    # (1 - λ) evaluates in float32 in the reference; λ itself widens to double
+    one_m = float(F32(1.0) - F32(0.7))
+    lam_d = float(F32(0.7))
+    lmjm = (
+        f"ln(1.0 + (({one_m!r} * CAST(tf.freq AS DOUBLE) / d.dl))"
+        f" / ({lam_d!r} * {p}))"
+    )
+    sb_entry(
+        "lm_jelinek_mercer_query",
+        lmjm,
+        "table",
+        lambda: SB.LMJelinekMercerSimilarity(lam=0.7),
+    )
+
+    # -- Indri Dirichlet (IndriDirichletSimilarity.java:63-68) ---------------
+    # p = ttf/sumTTF; score = ln((freq + mu*p)/(dl + mu)) — no boost, no clamp
+    p_indri = f"(CAST({ttf} AS DOUBLE) / {sum_ttf})"
+    indri = f"ln((CAST(tf.freq AS DOUBLE) + 2000.0 * {p_indri}) / (d.dl + 2000.0))"
+    sb_entry(
+        "indri_dirichlet_query",
+        indri,
+        "table",
+        lambda: SB.IndriDirichletSimilarity(),
+    )
+
+    # -- DFR I(ne)-B-H2 (DFRSimilarity.java:127-131 defaults) ----------------
+    # tfn = freq * log2(1 + c*avgdl/dl), c = 1 (NormalizationH2.java:57-59)
+    # ae  = (F+1)/n, F = ttf+1, n = df+1 (AfterEffectB.java:32-36)
+    # ne  = N*(1 - ((N-1)/N)^F); A = log2((N+1)/(ne+0.5)) (BasicModelIne)
+    # score = A * ae * (1 - 1/(1+tfn))
+    tfn = f"(CAST(tf.freq AS DOUBLE) * (ln(1.0 + {avg_dl} / d.dl) / ln(2.0)))"
+    ae = f"((({ttf} + 1) + 1.0) / ({df} + 1))"
+    ne = (
+        f"({n_docs} * (1.0 - pow(CAST({n_docs} - 1 AS DOUBLE) / {n_docs},"
+        f" CAST({ttf} AS DOUBLE))))"
+    )
+    a_ine = f"(ln(({n_docs} + 1) / ({ne} + 0.5)) / ln(2.0))"
+    dfr = f"{a_ine} * {ae} * (1.0 - 1.0 / (1.0 + {tfn}))"
+    sb_entry(
+        "dfr_ineb2_query",
+        dfr,
+        "table",
+        lambda: SB.DFRSimilarity(),
+    )
+
+    # -- IB LL-DF-H2 (IBSimilarity.java:115-118) ------------------------------
+    # lambda = float32((df+1)/(N+1)) (LambdaDF.java:32-40); LL distribution =
+    # -ln(lam/(tfn+lam)) (DistributionLL.java:32-35)
+    lam_f32 = f"CAST(({df} + 1.0) / ({n_docs} + 1.0) AS FLOAT)"
+    ib = f"-ln(CAST({lam_f32} AS DOUBLE) / ({tfn} + {lam_f32}))"
+    sb_entry(
+        "ib_ll_query",
+        ib,
+        "table",
+        lambda: SB.IBSimilarity(distribution=SB.DistributionLL()),
+    )
+
+    # -- DFI ChiSquared (DFISimilarity.java:70-81) ----------------------------
+    expected = f"(({ttf} + 1) * d.dl / ({sum_ttf} + 1))"
+    chi2 = (
+        f"((CAST(tf.freq AS DOUBLE) - {expected}) * (CAST(tf.freq AS DOUBLE) - {expected})"
+        f" / {expected})"
+    )
+    dfi = (
+        f"CASE WHEN CAST(tf.freq AS DOUBLE) <= {expected} THEN 0.0 "
+        f"ELSE ln({chi2} + 1.0) / ln(2.0) END"
+    )
+    sb_entry(
+        "dfi_chi_squared_query",
+        dfi,
+        "table",
+        lambda: SB.DFISimilarity(),
+    )
+
+    # -- Axiomatic F2EXP (AxiomaticF2EXP.java:57-85), s=k=float32(0.35) -------
+    s_f = float(F32(0.35))
+    k_f = float(F32(0.35))
+    tfln = (
+        f"(CAST(tf.freq AS DOUBLE) / (CAST(tf.freq AS DOUBLE) + {s_f!r}"
+        f" + {s_f!r} * d.dl / {avg_dl}))"
+    )
+    idf_exp = f"pow(({n_docs} + 1.0) / {df}, {k_f!r})"
+    axio = f"greatest(0.0, {tfln} * {idf_exp})"
+    sb_entry(
+        "axiomatic_f2exp_query",
+        axio,
+        "table",
+        lambda: SB.AxiomaticF2EXP(),
+    )
+
+
+_register_similarity_base()
+
+
 # ---- PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java:47) --------
 
 

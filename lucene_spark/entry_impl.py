@@ -1098,7 +1098,7 @@ _PRIORITY = [
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "text_token_stats",
-    "text_quality_scores",
+    "lm_dirichlet_query",
     "text_language_id",
     "phonetic_query",
     "multimodal_image_meta",

@@ -73,7 +73,7 @@ def _explain_term(searcher: IndexSearcher, q: Q.TermQuery, doc_id: int) -> dict:
         .collect()
     )
     idf = searcher.sim.idf(df, fs.doc_count)
-    weight = searcher.sim.weight(F32(q.boost), idf)
+    weight = searcher._term_weight(q.field, q.term, F32(q.boost), ctx)
     if not row:
         return {
             "matched": False,
@@ -101,7 +101,10 @@ def _explain_term(searcher: IndexSearcher, q: Q.TermQuery, doc_id: int) -> dict:
         "doc_count": fs.doc_count,
         "idf": float(idf),
         "boost": q.boost,
-        "weight": float(weight),
+        # SimilarityBase-family weights are full-stats objects, not scalars
+        "weight": float(weight)
+        if isinstance(weight, (int, float, np.floating))
+        else repr(weight),
         "freq": freq,
         "norm_byte": norm,
         "decoded_doc_len": byte4_to_int(norm),

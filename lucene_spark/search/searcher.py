@@ -244,8 +244,16 @@ class IndexSearcher:
         """Top-k (doc_id, score), score desc / doc_id asc, searchAfter anchor."""
         self._drain_deferred_unpersist()
         # pruning is unsafe with deletes: a deleted doc could set the
-        # phase-1 bound and prune blocks holding live competitive docs
-        prunable = prune and after is None and self.index.deletes is None
+        # phase-1 bound and prune blocks holding live competitive docs;
+        # the pruned paths also assume float-scalar per-term weights, so
+        # the SimilarityBase family (search/similarities.py) stays on the
+        # plain one-shuffle paths
+        prunable = (
+            prune
+            and after is None
+            and self.index.deletes is None
+            and getattr(self.sim, "scalar_weights", True)
+        )
         if prunable and isinstance(query, Q.TermQuery):
             scored = self._term_topk_pruned(query, k)
         elif prunable and (dis := _as_prunable_disjunction(query)) is not None:
@@ -584,8 +592,12 @@ class IndexSearcher:
         inv = F.element_at(self._cache_col[field], norm_col.cast("int") + F.lit(1))
         if isinstance(weight, Column):
             w = weight.cast("float")
-        else:
+        elif isinstance(weight, (int, float, np.floating)):
             w = F.lit(float(F32(weight))).cast("float")
+        else:
+            # opaque per-term weight (SimilarityBase family) — the
+            # similarity unpacks it; `inv` carries the raw docLen there
+            w = weight
         return self.sim.score_col(freq_col, inv, w)
 
     def _block_ub(self, field: str, weight) -> Column:
@@ -613,6 +625,18 @@ class IndexSearcher:
         df, _ = ctx.term_stats.get((field, term), (0, 0))
         return self.sim.idf(df, fs.doc_count)
 
+    def _term_weight(self, field: str, term: str, boost: np.float32, ctx: _Ctx):
+        """Per-term weight. BM25-family: the float32 ``boost * idf`` scalar.
+        SimilarityBase family: the full-stats opaque weight
+        (``term_weight(boost, fieldStats, df, ttf)`` — the reference's
+        ``Similarity.scorer(boost, collectionStats, termStats)`` shape)."""
+        tw = getattr(self.sim, "term_weight", None)
+        if tw is not None:
+            fs = self.index.fieldstats[field]
+            df, ttf = ctx.term_stats.get((field, term), (0, 0))
+            return tw(boost, fs, df, ttf)
+        return self.sim.weight(boost, self._idf(field, term, ctx))
+
     def _const_scored(self, match_df: DataFrame, boost: np.float32) -> DataFrame:
         return match_df.select(
             "doc_id", F.lit(float(boost)).cast("float").alias("score")
@@ -621,7 +645,7 @@ class IndexSearcher:
     def _scored(self, q: Q.Query, boost: np.float32, ctx: _Ctx) -> DataFrame:
         docs = self.index.docs
         if isinstance(q, Q.TermQuery):
-            w = self.sim.weight(boost * F32(q.boost), self._idf(q.field, q.term, ctx))
+            w = self._term_weight(q.field, q.term, boost * F32(q.boost), ctx)
             d = self._decoded(q.field, F.col("term") == q.term)
             return d.select(
                 "doc_id",
@@ -631,11 +655,24 @@ class IndexSearcher:
             )
         if isinstance(q, Q.SynonymQuery):
             # pseudo-term: df = max over terms, freqs summed, ONE bm25 eval
-            dfs = [ctx.term_stats.get((q.field, t), (0, 0))[0] for t in q.terms]
+            stats = [ctx.term_stats.get((q.field, t), (0, 0)) for t in q.terms]
+            dfs = [s[0] for s in stats]
             fs = self.index.fieldstats[q.field]
-            w = self.sim.weight(
-                boost * F32(q.boost), self.sim.idf(max(dfs, default=0), fs.doc_count)
-            )
+            tw = getattr(self.sim, "term_weight", None)
+            if tw is not None:
+                # pseudo-term statistics: df = max, ttf = sum
+                # (SynonymQuery.java builds one merged TermStatistics)
+                w = tw(
+                    boost * F32(q.boost),
+                    fs,
+                    max(dfs, default=0),
+                    sum(s[1] for s in stats),
+                )
+            else:
+                w = self.sim.weight(
+                    boost * F32(q.boost),
+                    self.sim.idf(max(dfs, default=0), fs.doc_count),
+                )
             d = self._decoded(q.field, F.col("term").isin(list(q.terms)))
             agg = d.groupBy("doc_id").agg(
                 F.sum("freq").alias("freq"), F.min("norm").alias("norm")
@@ -650,12 +687,22 @@ class IndexSearcher:
             # blended statistics (BlendedTermQuery.java:47): every term is
             # weighted as if its df were the blend's max df, then the
             # per-term scores combine dismax-style
-            dfs = [ctx.term_stats.get((q.field, t), (0, 0))[0] for t in q.terms]
-            blended = max(dfs, default=0)
+            stats = [ctx.term_stats.get((q.field, t), (0, 0)) for t in q.terms]
+            blended = max((s[0] for s in stats), default=0)
             fs = self.index.fieldstats[q.field]
-            w = self.sim.weight(
-                boost * F32(q.boost), self.sim.idf(blended, fs.doc_count)
-            )
+            tw = getattr(self.sim, "term_weight", None)
+            if tw is not None:
+                # blended stats: df and ttf lifted to the blend's max
+                w = tw(
+                    boost * F32(q.boost),
+                    fs,
+                    blended,
+                    max((s[1] for s in stats), default=0),
+                )
+            else:
+                w = self.sim.weight(
+                    boost * F32(q.boost), self.sim.idf(blended, fs.doc_count)
+                )
             parts = []
             for t in dict.fromkeys(q.terms):
                 d = self._decoded(q.field, F.col("term") == t)
@@ -850,14 +897,26 @@ class IndexSearcher:
             slots = [(t,) for t in q.terms]
         slop = q.slop
         all_terms = [t for s in slots for t in s]
-        idf_sum = 0.0  # double accumulation of float32 idfs (Lucene op order)
-        for t in all_terms:
-            # df=0 alternatives contribute no stats — the reference only
-            # collects stats for found terms (MultiPhraseQuery.java:227
-            # ``ts.docFreq() > 0``)
-            if ctx.term_stats.get((q.field, t), (0, 0))[0] > 0:
-                idf_sum += float(self._idf(q.field, t, ctx))
-        w = self.sim.weight(boost * F32(q.boost), F32(idf_sum))
+        # df=0 alternatives contribute no stats — the reference only
+        # collects stats for found terms (MultiPhraseQuery.java:227
+        # ``ts.docFreq() > 0``)
+        found = [
+            ctx.term_stats[(q.field, t)]
+            for t in all_terms
+            if ctx.term_stats.get((q.field, t), (0, 0))[0] > 0
+        ]
+        twm = getattr(self.sim, "term_weight_multi", None)
+        if twm is not None:
+            # SimilarityBase family: one BasicStats per found term, scores
+            # summed at the phrase freq (SimilarityBase.scorer:55-67 ->
+            # MultiSimilarity.MultiSimScorer)
+            fs = self.index.fieldstats[q.field]
+            w = twm(boost * F32(q.boost), fs, found or [(0, 0)])
+        else:
+            idf_sum = 0.0  # double accumulation of float32 idfs (Lucene op order)
+            for df, _ttf in found:
+                idf_sum += float(self.sim.idf(df, self.index.fieldstats[q.field].doc_count))
+            w = self.sim.weight(boost * F32(q.boost), F32(idf_sum))
         k = len(slots)
 
         if slop == 0:
@@ -2144,6 +2203,12 @@ class IndexSearcher:
         other query types raise — run those individually.
         """
         self._drain_deferred_unpersist()
+        if not getattr(self.sim, "scalar_weights", True):
+            raise NotImplementedError(
+                "search_many batches per-term weights as one float column; "
+                "the SimilarityBase family needs full-stats weights — run "
+                "these queries individually via search()"
+            )
         field = self.index.config.field_name
         term_like: dict[str, Q.Query] = {}
         phrases: dict[str, Q.PhraseQuery] = {}
