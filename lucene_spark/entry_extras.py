@@ -589,6 +589,94 @@ def term_automaton_query(spark, sf_dir):
     return automaton_count(s, auto)
 
 
+# ---- dynamic range + long-value facets --------------------------------------
+
+
+@register(
+    "dynamic_range_facets",
+    f"""WITH RECURSIVE {BASE_CTES},
+drv AS (
+  SELECT d.n_chars::BIGINT AS v, ((d.doc_id % 7) + 1)::BIGINT AS w
+  FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM tf WHERE term = 'row')
+),
+ordv AS (SELECT v, w, row_number() OVER (ORDER BY v, w) AS rn FROM drv),
+params AS (
+  SELECT count(*)::BIGINT AS len,
+         CAST(sum(w) AS DOUBLE) / least(4, count(*)) AS t
+  FROM ordv
+),
+scan(rn, accu, vsum, cnt, vmin, e_cnt, e_w, e_min, e_max, e_vsum) AS (
+  SELECT 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, NULL::BIGINT,
+         NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+  UNION ALL
+  SELECT x.rn,
+         CASE WHEN x.fire THEN 0 ELSE x.na END,
+         CASE WHEN x.fire THEN 0 ELSE x.nv END,
+         CASE WHEN x.fire THEN 0 ELSE x.nc END,
+         CASE WHEN x.fire THEN NULL ELSE x.nmin END,
+         CASE WHEN x.fire THEN x.nc ELSE NULL END,
+         CASE WHEN x.fire THEN x.na ELSE NULL END,
+         CASE WHEN x.fire THEN x.nmin ELSE NULL END,
+         CASE WHEN x.fire THEN x.v ELSE NULL END,
+         CASE WHEN x.fire THEN x.nv ELSE NULL END
+  FROM (
+    SELECT o.rn, o.v, s.accu + o.w AS na, s.vsum + o.v AS nv,
+           s.cnt + 1 AS nc, coalesce(s.vmin, o.v) AS nmin,
+           CAST(s.accu + o.w AS DOUBLE) >= (SELECT t FROM params) AS fire
+    FROM scan s JOIN ordv o ON o.rn = s.rn + 1
+  ) x
+),
+ranges AS (
+  SELECT e_cnt AS cnt, e_w AS weight, e_min AS vmin, e_max AS vmax,
+         CAST(e_vsum AS DOUBLE) / e_cnt AS centroid
+  FROM scan WHERE e_cnt IS NOT NULL
+  UNION ALL
+  SELECT s.cnt, s.accu, s.vmin,
+         (SELECT v FROM ordv WHERE rn = (SELECT len FROM params)),
+         CAST(s.vsum AS DOUBLE) / s.cnt
+  FROM scan s
+  WHERE s.rn = (SELECT len FROM params) AND s.cnt > 0
+)
+SELECT cnt, weight, vmin, vmax, centroid FROM ranges
+ORDER BY vmin, vmax, cnt""",
+)
+def dynamic_range_facets(spark, sf_dir):
+    """Weight-balanced dynamic numeric ranges over a match set
+    (facet/range/DynamicRangeUtil.java:computeDynamicNumericRanges —
+    sort by (value, weight), emit a range whenever the accumulated weight
+    reaches totalWeight/min(topN, len), trailing partial kept). The Spark
+    side compresses matches to distinct (value, weight) pairs (one
+    semi-join + one groupBy) and runs the greedy scan on the histogram;
+    the DuckDB oracle replays the reference's per-ROW loop as a recursive
+    CTE — two independent formulations of the same segmentation."""
+    _, s = get_searcher(spark, sf_dir)
+    return extras.dynamic_range_facets(
+        s,
+        Q.TermQuery("text", "row"),
+        value_col="n_chars",
+        weight_col=(F.col("doc_id") % 7 + 1),
+        top_n=4,
+    ).orderBy("vmin", "vmax", "cnt")
+
+
+@register(
+    "long_value_facet_counts",
+    f"""WITH {BASE_CTES}
+SELECT (n_chars % 32)::BIGINT AS value, count(*)::BIGINT AS cnt
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = 'data')
+GROUP BY value ORDER BY value""",
+)
+def long_value_facet_counts(spark, sf_dir):
+    """facet/LongValueFacetCounts.java:54 — counts per distinct long value
+    of a numeric source over the match set."""
+    _, s = get_searcher(spark, sf_dir)
+    return extras.long_value_counts(
+        s, Q.TermQuery("text", "data"), F.col("n_chars") % 32
+    ).orderBy("value")
+
+
 # ---- taxonomy facets / fuzzy suggest / index-sort early exit ---------------
 
 

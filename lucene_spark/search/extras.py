@@ -841,3 +841,118 @@ def doc_values_stats(
         mean.alias("mean"), variance.alias("variance"),
         F.sqrt(variance).alias("stdev"),
     )
+
+
+def compute_dynamic_numeric_ranges(
+    pairs: list[tuple[int, int, int]], top_n: int, total_weight: int, total_len: int
+) -> list[tuple[int, int, int, int, float]]:
+    """Exact greedy range segmentation of
+    ``facet/range/DynamicRangeUtil.computeDynamicNumericRanges`` (:222-266):
+    rows sorted by (value, weight), accumulate weight, emit a range whenever
+    the accumulated weight reaches ``totalWeight / min(topN, len)`` (a double
+    target), plus the trailing partial range.
+
+    ``pairs`` are RUN-LENGTH compressed ``(value, weight, multiplicity)``
+    rows in (value, weight) order — the 100-TB shape: the per-row scan the
+    reference runs is O(matches), this is O(distinct pairs) with closed-form
+    in-run emission arithmetic that reproduces the per-row loop exactly
+    (rows inside a run are interchangeable, so "j more rows until the target
+    fires" is ceil((t - accu)/w) clamped to the run).
+
+    Returns ``(count, weight, min, max, centroid)`` rows (DynamicRangeInfo).
+    """
+    import math as _m
+
+    out: list[tuple[int, int, int, int, float]] = []
+    if total_len == 0 or top_n == 0:
+        return out
+    t = float(total_weight) / min(top_n, total_len)
+    accu = 0
+    vsum = 0
+    cnt = 0
+    vmin: int | None = None
+    last_v = pairs[-1][0] if pairs else 0
+    for v, w, m in pairs:
+        while m > 0:
+            if vmin is None:
+                vmin = v
+            if float(accu + m * w) < t:
+                accu += m * w
+                vsum += m * v
+                cnt += m
+                m = 0
+                continue
+            if w == 0:
+                # accu + j*0 >= t already true (the branch above failed)
+                j = 1
+            else:
+                j = max(1, _m.ceil((t - accu) / w))
+                while float(accu + j * w) < t:  # double-rounding safety
+                    j += 1
+                while j > 1 and float(accu + (j - 1) * w) >= t:
+                    j -= 1
+            j = min(j, m)
+            cnt += j
+            vsum += j * v
+            accu += j * w
+            out.append((cnt, accu, vmin, v, vsum / cnt))
+            accu = vsum = cnt = 0
+            vmin = None
+            m -= j
+    if cnt > 0:
+        out.append((cnt, accu, vmin, last_v, vsum / cnt))
+    return out
+
+
+def dynamic_range_facets(
+    searcher: IndexSearcher,
+    query: Q.Query,
+    value_col: str,
+    weight_col,
+    top_n: int = 4,
+) -> DataFrame:
+    """Dynamic (weight-balanced) range facets over a match set
+    (``facet/range/DynamicRangeUtil.java:computeDynamicRanges``): the
+    reference's segment phase (gather per-match (value, weight)) is the
+    Spark aggregation here — one semi-join + one groupBy compressing the
+    match set to distinct (value, weight) pairs with multiplicities — and
+    its single-threaded merge phase is the driver-side greedy scan over
+    that compressed histogram (bounded by distinct pairs, not matches).
+    ``weight_col`` may be a column name or a Column expression."""
+    m = searcher.matches(query)
+    docs = searcher.index.docs.join(m, "doc_id", "semi")
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    agg = (
+        docs.select(
+            F.col(value_col).cast("long").alias("v"), wcol.cast("long").alias("w")
+        )
+        .groupBy("v", "w")
+        .agg(F.count("*").cast("long").alias("m"))
+        .orderBy("v", "w")
+        .collect()
+    )
+    pairs = [(r["v"], r["w"], r["m"]) for r in agg]
+    total_weight = sum(w * mm for _, w, mm in pairs)
+    total_len = sum(mm for _, _, mm in pairs)
+    rows = compute_dynamic_numeric_ranges(pairs, top_n, total_weight, total_len)
+    spark = searcher.index.docs.sparkSession
+    return spark.createDataFrame(
+        rows or [],
+        schema="cnt long, weight long, vmin long, vmax long, centroid double",
+    )
+
+
+def long_value_counts(
+    searcher: IndexSearcher, query: Q.Query, value_col
+) -> DataFrame:
+    """``facet/LongValueFacetCounts.java:54`` — facet counts per distinct
+    long value of a numeric source over the match set (one semi-join + one
+    groupBy; the reference's hash-map accumulation is the shuffle here).
+    ``value_col`` may be a column name or Column expression."""
+    m = searcher.matches(query)
+    vcol = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        searcher.index.docs.join(m, "doc_id", "semi")
+        .groupBy(vcol.cast("long").alias("value"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
