@@ -581,6 +581,160 @@ def ann_graph_topk(spark, sf_dir):
     )
 
 
+# ---- scalar-quantized + byte vectors (Lucene99 quantization role) ----------
+
+# float32(1f - defaultCI(64)) — defaultCI = max(0.9f, 1f - 1f/65f)
+# (Lucene99ScalarQuantizedVectorsFormat.calculateDefaultConfidenceInterval)
+_CI_COMP = "CAST(0.01538461446762085 AS FLOAT)"
+
+_QUANT_CTES = f"""
+ev AS (SELECT vec_id, unnest(embedding) AS v,
+              unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+qn AS (SELECT count(*)::BIGINT AS n FROM ev),
+qsel AS (
+  SELECT CAST(trunc(CAST(CAST(CAST(CAST(n AS FLOAT) * {_CI_COMP} AS FLOAT)
+      / CAST(2.0 AS FLOAT) AS FLOAT) + CAST(0.5 AS FLOAT) AS FLOAT)) AS BIGINT) AS sel
+  FROM qn
+),
+qsorted AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM ev),
+qmm AS (
+  SELECT CAST(min(v) AS FLOAT) AS minq, CAST(max(v) AS FLOAT) AS maxq
+  FROM qsorted, qsel
+  WHERE rn > sel AND rn <= (SELECT n FROM qn) - sel
+),
+qp AS (
+  SELECT minq, maxq,
+         CAST(CAST(127.0 AS FLOAT) / CAST(maxq - minq AS FLOAT) AS FLOAT) AS scale,
+         CAST(CAST(maxq - minq AS FLOAT) / CAST(127.0 AS FLOAT) AS FLOAT) AS alpha
+  FROM qmm
+),
+qcomp AS (
+  SELECT e.vec_id, e.i, e.v,
+         CAST(floor(CAST(CAST(p.scale *
+             CAST(greatest(p.minq, least(p.maxq, e.v)) - p.minq AS FLOAT)
+           AS FLOAT) + CAST(0.5 AS FLOAT) AS FLOAT)) AS BIGINT) AS code,
+         p.minq, p.alpha
+  FROM ev e CROSS JOIN qp p
+),
+qterm AS (
+  SELECT vec_id, i, code,
+         CAST(
+           CAST(minq * CAST(v - CAST(minq / CAST(2.0 AS FLOAT) AS FLOAT) AS FLOAT) AS FLOAT)
+           + CAST(CAST(CAST(v - minq AS FLOAT) - dxq AS FLOAT) * dxq AS FLOAT)
+         AS FLOAT) AS term
+  FROM (SELECT *, CAST(CAST(code AS FLOAT) * alpha AS FLOAT) AS dxq FROM qcomp)
+),
+qvs AS (
+  SELECT vec_id,
+         list_reduce(list(term ORDER BY i), (a, b) -> CAST(a + b AS FLOAT)) AS corr
+  FROM qterm GROUP BY vec_id
+)
+""".strip()
+
+
+@register(
+    "ann_scalar_quantized_topk",
+    f"""WITH {_QUANT_CTES},
+qd AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(q.code * c.code)::BIGINT AS dot
+  FROM qcomp q JOIN qcomp c ON c.i = q.i AND c.vec_id != q.vec_id
+  WHERE q.vec_id < 4
+  GROUP BY 1, 2
+),
+qcm AS (SELECT CAST(alpha * alpha AS FLOAT) AS cm FROM qp),
+qsc AS (
+  SELECT d.query_id, d.neighbor_id,
+         greatest(
+           CAST(CAST(CAST(1.0 AS FLOAT) +
+             CAST(CAST(CAST(CAST(d.dot AS FLOAT) * qcm.cm AS FLOAT)
+                  + qq.corr AS FLOAT) + cc.corr AS FLOAT)
+           AS FLOAT) / CAST(2.0 AS FLOAT) AS FLOAT),
+           CAST(0.0 AS FLOAT)) AS score
+  FROM qd d CROSS JOIN qcm
+  JOIN qvs qq ON qq.vec_id = d.query_id
+  JOIN qvs cc ON cc.vec_id = d.neighbor_id
+),
+qr AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC)::INTEGER AS rank
+  FROM qsc
+)
+SELECT query_id, neighbor_id, score, rank FROM qr WHERE rank <= 5
+ORDER BY query_id, rank""",
+)
+def ann_scalar_quantized_topk(spark, sf_dir):
+    """Scalar-quantized (int7) exact top-k — the Lucene99 quantized-vectors
+    pipeline (ScalarQuantizer quantile fit -> per-vector codes + float32
+    corrective offsets -> integer dot + corrected float32 score,
+    ScalarQuantizedVectorSimilarity.DotProduct) at the codec's default
+    confidence interval max(0.9, 1 - 1/(dim+1)). The oracle re-derives the
+    ENTIRE quantizer in SQL (selector-index quantiles, float32 scale/alpha,
+    Math.round codes, the sequential float32 correction fold) and matches
+    bit-exactly."""
+    from lucene_spark.pipeline import quantization as qz
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf, quant = qz.quantize_embeddings(
+        emb, confidence_interval=qz.default_confidence_interval(64), bits=7
+    )
+    queries = qdf.filter(F.col("vec_id") < 4)
+    return qz.quantized_topk(qdf, queries, quant, k=5)
+
+
+@register(
+    "ann_byte_vector_topk",
+    f"""WITH
+bb AS (SELECT vec_id,
+              list_transform(embedding,
+                             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0) AS BIGINT)) AS bv
+       FROM embeddings),
+be AS (SELECT vec_id, unnest(bv) AS v,
+              unnest(generate_series(1, len(bv))) AS i FROM bb),
+bd AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v)::BIGINT AS dot
+  FROM be q JOIN be c ON c.i = q.i AND c.vec_id != q.vec_id
+  WHERE q.vec_id < 8
+  GROUP BY 1, 2
+),
+bs AS (
+  SELECT query_id, neighbor_id,
+         CAST(CAST(0.5 AS FLOAT) +
+              CAST(CAST(dot AS FLOAT) / CAST(2097152.0 AS FLOAT) AS FLOAT)
+         AS FLOAT) AS score
+  FROM bd
+),
+br AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC)::INTEGER AS rank
+  FROM bs
+)
+SELECT query_id, neighbor_id, score, rank FROM br WHERE rank <= 5
+ORDER BY query_id, rank""",
+)
+def ann_byte_vector_topk(spark, sf_dir):
+    """KnnByteVectorQuery's scoring surface: int8 vectors under the byte
+    DOT_PRODUCT similarity (VectorUtil.dotProductScore:384 —
+    0.5f + dot/(dim * 2^15)); exact top-k, integer dots, one float32
+    normalization. dim = 64 -> denom 2097152."""
+    from lucene_spark.pipeline import quantization as qz
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bv = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(127.0)).cast("int"),
+        ).alias("bvec"),
+    )
+    return qz.byte_vector_topk(
+        bv, bv.filter(F.col("vec_id") < 8), dim=64, k=5,
+        similarity="dot_product",
+    )
+
+
 # ---- text analysis ---------------------------------------------------------
 
 
