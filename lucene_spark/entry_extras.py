@@ -744,6 +744,38 @@ def suggest_fuzzy_entry(spark, sf_dir):
 
 
 @register(
+    "infix_suggest_query",
+    f"""WITH sugg AS (
+  SELECT array_to_string((regexp_extract_all(text, '{_TOKEN_SQL}'))[1:5], ' ') AS s,
+         n_chars::BIGINT AS weight
+  FROM documents
+),
+stok AS (SELECT s, weight, regexp_extract_all(s, '{_TOKEN_SQL}') AS tk FROM sugg),
+im AS (
+  SELECT s AS suggestion, weight FROM stok
+  WHERE list_contains(tk, 'the')
+    AND len(list_filter(tk, x -> starts_with(x, 'tab'))) > 0
+)
+SELECT suggestion, weight FROM im
+ORDER BY weight DESC, suggestion ASC LIMIT 5""",
+)
+def infix_suggest_query(spark, sf_dir):
+    """AnalyzingInfixSuggester lookup('the tab'): 'the' is an exact term
+    clause, the trailing 'tab' a prefix clause matching ANY token of the
+    suggestion (the infix part), ranked by weight
+    (AnalyzingInfixSuggester.java:624-717). Suggestion table = each doc's
+    first five tokens weighted by n_chars."""
+    from lucene_spark.analysis.sql import sql_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sugg = docs.select(
+        F.concat_ws(" ", F.slice(sql_tokens(F.col("text")), 1, 5)).alias("text"),
+        F.col("n_chars").alias("weight"),
+    )
+    return extras.infix_suggest(sugg, "the tab", n=5)
+
+
+@register(
     "sort_by_field_early",
     f"""WITH {BASE_CTES}
 SELECT d.doc_id, d.n_chars

@@ -956,3 +956,64 @@ def long_value_counts(
         .groupBy(vcol.cast("long").alias("value"))
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def infix_suggest(
+    suggestions: DataFrame,
+    key: str,
+    n: int = 5,
+    text_col: str = "text",
+    weight_col: str = "weight",
+    all_terms_required: bool = True,
+) -> DataFrame:
+    """AnalyzingInfixSuggester lookup
+    (``suggest/analyzing/AnalyzingInfixSuggester.java:624-717``): analyze
+    the key; every token but the last becomes an exact term clause, the
+    last becomes a PREFIX clause — unless the key ends with discarded
+    chars (e.g. trailing whitespace), in which case it is exact too
+    (:668-685). ``allTermsRequired`` maps MUST vs SHOULD (:636-641).
+    Results rank by weight desc (the suggester's indexed sort),
+    suggestion-text tiebreak for determinism.
+
+    Plan: one scan of the suggestion table with a tokens-array predicate
+    (JVM ``sql_tokens`` — the analyzed TEXT_FIELD role), no Python in the
+    match path; top-n via TakeOrdered.
+    """
+    from lucene_spark.analysis.sql import sql_tokens
+    from lucene_spark.analysis.tokenizer import StandardAnalyzer
+
+    an = StandardAnalyzer()
+    token_objs = an.tokens(key)
+    toks = [t.term for t in token_objs]
+    if not toks:
+        return suggestions.select(
+            F.col(text_col).alias("suggestion"),
+            F.col(weight_col).cast("long").alias("weight"),
+        ).limit(0)
+    # prefix mode iff the final token reaches the end of the key — no
+    # trailing discarded chars (maxEndOffset == end offset test, :670)
+    last_is_prefix = token_objs[-1].end_offset == len(key)
+    exact = toks[:-1] if last_is_prefix else toks
+    tcol = sql_tokens(F.col(text_col))
+    clauses = [F.array_contains(tcol, t) for t in exact]
+    if last_is_prefix:
+        clauses.append(
+            F.exists(tcol, lambda x: x.startswith(F.lit(toks[-1])))
+        )
+    if all_terms_required:
+        cond = clauses[0]
+        for c in clauses[1:]:
+            cond = cond & c
+    else:
+        cond = clauses[0]
+        for c in clauses[1:]:
+            cond = cond | c
+    return (
+        suggestions.filter(cond)
+        .select(
+            F.col(text_col).alias("suggestion"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+        .orderBy(F.desc("weight"), F.asc("suggestion"))
+        .limit(n)
+    )

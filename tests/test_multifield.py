@@ -90,3 +90,44 @@ def test_suggest_family_filters_to_one_field(midx):
     assert [r["term"] for r in by_field] == ["spark"]
     assert extras.suggest(searcher, "orac", n=10).count() == 1
     assert extras.suggest_fuzzy(searcher, "spalk", n=10).count() == 1
+
+
+def test_analyzing_infix_suggester(spark):
+    """Full AnalyzingInfixSuggester lookup semantics
+    (suggest/analyzing/AnalyzingInfixSuggester.java:624-717): all tokens
+    but the last are exact clauses, the last is a prefix clause matched
+    against ANY token (the infix part); a trailing space makes the final
+    token exact; allTermsRequired toggles MUST vs SHOULD; rank by weight."""
+    from lucene_spark.search.extras import infix_suggest
+
+    sugg = spark.createDataFrame(
+        [
+            Row(text="a day at the beach", weight=10),
+            Row(text="the big bear", weight=30),
+            Row(text="the beagle barks", weight=20),
+            Row(text="beachfront property", weight=40),
+        ]
+    )
+    # 'the bea' -> exact 'the' AND prefix 'bea' on any token
+    rows = infix_suggest(sugg, "the bea", n=5).collect()
+    assert [r.suggestion for r in rows] == [
+        "the big bear",
+        "the beagle barks",
+        "a day at the beach",
+    ]
+    assert [r.weight for r in rows] == [30, 20, 10]
+    # trailing space: final token is EXACT (maxEndOffset rule :670)
+    rows = infix_suggest(sugg, "the bea ", n=5).collect()
+    assert rows == []
+    rows = infix_suggest(sugg, "the beach ", n=5).collect()
+    assert [r.suggestion for r in rows] == ["a day at the beach"]
+    # allTermsRequired=False: SHOULD semantics — any clause hit qualifies
+    rows = infix_suggest(sugg, "the beach", n=5, all_terms_required=False).collect()
+    assert [r.suggestion for r in rows] == [
+        "beachfront property",
+        "the big bear",
+        "the beagle barks",
+        "a day at the beach",
+    ]
+    # empty key -> no suggestions
+    assert infix_suggest(sugg, "   ", n=5).count() == 0
