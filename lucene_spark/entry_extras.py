@@ -60,6 +60,28 @@ def multi_phrase_query(spark, sf_dir):
     return s.search(q, k=10).select("doc_id", "score")
 
 
+# ---- Bloom fast-fail term lookup (codecs/bloom, FuzzySet.java) -------------
+
+
+@register(
+    "bloom_term_lookup",
+    f"WITH {BASE_CTES},\n{_term_scores_cte('sc', 'dup')}\n{_topk_sql('sc')}",
+)
+def bloom_term_lookup(spark, sf_dir):
+    """BloomFilteringPostingsFormat point lookup
+    (codecs/bloom/BloomFilteringPostingsFormat.java:66): per-segment
+    FuzzySets prune definitively-NO segments from the postings scan;
+    scores are identical to the plain TermQuery (the bloom is pure
+    fast-fail, never lossy on MAYBE segments)."""
+    from lucene_spark.index.bloom import attach_blooms
+
+    idx, s = get_searcher(spark, sf_dir)
+    blooms = getattr(idx, "blooms", None)
+    if not blooms or "text" not in blooms:
+        attach_blooms(idx)
+    return s.search(Q.TermQuery("text", "dup"), k=10).select("doc_id", "score")
+
+
 # ---- Sloppy phrase (search/SloppyPhraseMatcher.java:52, full semantics) ----
 
 from lucene_spark.search.sloppy import duckdb_fold_cte as _sp_fold_cte

@@ -183,6 +183,10 @@ class IndexSearcher:
         #: True: {"docs_with_all_slots", "candidates"} — evidence the JVM
         #: pre-filter shrank the Python matcher's input
         self.last_sloppy_stats: dict[str, int] | None = None
+        #: filled by bloom fast-fail segment pruning (index.blooms) when
+        #: collect_prune_stats is True:
+        #: {"segments_with_bloom", "segments_excluded"}
+        self.last_bloom_stats: dict[str, int] | None = None
         #: disjunction-pruning cost guards (BooleanScorerSupplier role):
         #: fall back to the plain one-shuffle disjunction when the keep
         #: rule retains more than this fraction of blocks, or when the
@@ -557,15 +561,50 @@ class IndexSearcher:
 
     # ------------------------------------------------------------- decoding
 
-    def _blocks(self, field: str, term_pred: Column) -> DataFrame:
-        return self.index.postings.filter(
-            (F.col("field") == field) & term_pred
-        )
+    def _blocks(
+        self, field: str, term_pred: Column, terms: list[str] | None = None
+    ) -> DataFrame:
+        df = self.index.postings.filter((F.col("field") == field) & term_pred)
+        if terms:
+            pred = self._bloom_seg_pred(field, terms)
+            if pred is not None:
+                df = df.filter(pred)
+        return df
+
+    def _bloom_seg_pred(self, field: str, terms: list[str]):
+        """Bloom fast-fail segment pruning
+        (``codecs/bloom/BloomFilteringPostingsFormat.java:66``,
+        ``FuzzySet.ContainsResult.NO``): drop segments whose bloom says
+        NO for EVERY query term. Exclusion form on purpose — segments
+        without a bloom (e.g. NRT additions after ``attach_blooms``)
+        are never pruned. The predicate lands in the parquet scan, so a
+        primary-key lookup reads only MAYBE segments."""
+        blooms = getattr(self.index, "blooms", None)
+        if not blooms or field not in blooms:
+            return None
+        tb = [t.encode("utf-8") for t in terms]
+        excluded = [
+            seg
+            for seg, fz in blooms[field].items()
+            if not any(fz.contains(t) for t in tb)
+        ]
+        if self.collect_prune_stats:
+            self.last_bloom_stats = {
+                "segments_with_bloom": len(blooms[field]),
+                "segments_excluded": len(excluded),
+            }
+        if not excluded:
+            return None
+        return ~F.col("seg_id").isin(excluded)
 
     def _decoded(
-        self, field: str, term_pred: Column, with_positions: bool = False
+        self,
+        field: str,
+        term_pred: Column,
+        with_positions: bool = False,
+        terms: list[str] | None = None,
     ) -> DataFrame:
-        blocks = self._blocks(field, term_pred)
+        blocks = self._blocks(field, term_pred, terms=terms)
         if with_positions:
             return blocks.mapInPandas(
                 _decode_blocks_with_positions, schema=_DECODE_POS_SCHEMA
@@ -646,7 +685,7 @@ class IndexSearcher:
         docs = self.index.docs
         if isinstance(q, Q.TermQuery):
             w = self._term_weight(q.field, q.term, boost * F32(q.boost), ctx)
-            d = self._decoded(q.field, F.col("term") == q.term)
+            d = self._decoded(q.field, F.col("term") == q.term, terms=[q.term])
             return d.select(
                 "doc_id",
                 self._score_col(q.field, F.col("freq"), F.col("norm"), w).alias(
@@ -1174,10 +1213,16 @@ class IndexSearcher:
         docs = self.index.docs
         field_default = self.index.config.field_name
         if isinstance(q, Q.TermQuery):
-            return self._decoded(q.field, F.col("term") == q.term).select("doc_id")
+            return self._decoded(
+                q.field, F.col("term") == q.term, terms=[q.term]
+            ).select("doc_id")
         if isinstance(q, Q.TermInSetQuery):
             return (
-                self._decoded(q.field, F.col("term").isin(list(q.terms)))
+                self._decoded(
+                    q.field,
+                    F.col("term").isin(list(q.terms)),
+                    terms=list(q.terms),
+                )
                 .select("doc_id")
                 .distinct()
             )
@@ -1259,7 +1304,7 @@ class IndexSearcher:
         fs = self.index.fieldstats[field]
         df, _ = ctx.term_stats.get((field, q.term), (0, 0))
         w = self.sim.weight(F32(q.boost), self.sim.idf(df, fs.doc_count))
-        blocks = self._blocks(field, F.col("term") == q.term)
+        blocks = self._blocks(field, F.col("term") == q.term, terms=[q.term])
         # small postings: decode everything (pruning wouldn't pay)
         if df <= max(4 * k, self.prune_min_df):
             return self._scored(q, F32(1.0), ctx)
