@@ -1062,6 +1062,73 @@ def geo_distance_query(spark, sf_dir):
     )
 
 
+#: deterministic per-event boxes (ints -> exact doubles in both engines)
+_BOX_CTE = """bx AS (
+  SELECT event_id,
+         CAST((event_id % 120) - 60 AS DOUBLE) AS min_lat,
+         CAST((event_id % 120) - 60 + (user_id % 10) + 1 AS DOUBLE) AS max_lat,
+         CAST(((event_id * 7) % 300) - 150 AS DOUBLE) AS min_lon,
+         CAST(((event_id * 7) % 300) - 150 + (user_id % 20) + 1 AS DOUBLE) AS max_lon
+  FROM events
+)"""
+
+
+@register(
+    "lat_lon_box_crosses_query",
+    f"""WITH {_BOX_CTE}
+SELECT event_id, min_lat, max_lat, min_lon, max_lon FROM bx
+WHERE (25.0 >= min_lat AND -10.0 <= max_lat AND 40.0 >= min_lon AND -30.0 <= max_lon)
+  AND NOT (-10.0 <= min_lat AND 25.0 >= max_lat AND -30.0 <= min_lon AND 40.0 >= max_lon)
+ORDER BY event_id""",
+)
+def lat_lon_box_crosses_query(spark, sf_dir):
+    """LatLonBoundingBox.newCrossesQuery
+    (sandbox/document/LatLonBoundingBox.java:203) over per-doc stored
+    boxes: CROSSES = INTERSECTS AND NOT WITHIN
+    (document/RangeFieldQuery.java:259-269). Pure comparison predicates,
+    pushdown-able."""
+    from lucene_spark.search import geo
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    boxes = ev.select(
+        "event_id",
+        ((F.col("event_id") % 120) - 60).cast("double").alias("min_lat"),
+        ((F.col("event_id") % 120) - 60 + (F.col("user_id") % 10) + 1)
+        .cast("double")
+        .alias("max_lat"),
+        (((F.col("event_id") * 7) % 300) - 150).cast("double").alias("min_lon"),
+        (((F.col("event_id") * 7) % 300) - 150 + (F.col("user_id") % 20) + 1)
+        .cast("double")
+        .alias("max_lon"),
+    )
+    return geo.lat_lon_bounding_box(
+        boxes, "CROSSES", -10.0, -30.0, 25.0, 40.0
+    ).orderBy("event_id")
+
+
+@register(
+    "dv_multi_range_query",
+    """SELECT event_id, value FROM events
+WHERE (value >= 2.0 AND value <= 8.0) OR (value >= 20.0 AND value <= 25.0)
+ORDER BY event_id""",
+)
+def dv_multi_range_query(spark, sf_dir):
+    """SortedNumericDocValuesMultiRangeQuery
+    (sandbox/search/DocValuesMultiRangeQuery.java): overlapping ranges
+    [2,5] and [4.5,8] coalesce into [2,8] (the SortedSet bucket merge),
+    then ONE OR-of-BETWEENs predicate — no join, pushdown-able."""
+    from lucene_spark.search.extras import dv_multi_range_filter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        dv_multi_range_filter(
+            ev, "value", [(2.0, 5.0), (4.5, 8.0), (20.0, 25.0)]
+        )
+        .select("event_id", "value")
+        .orderBy("event_id")
+    )
+
+
 #: a simple (convex-ish) pentagon over the Atlantic/Europe quadrant;
 #: (lat, lon) vertices, ring closes itself
 _GEO_POLYGON = [(0.0, 0.0), (30.0, 40.0), (60.0, 10.0), (50.0, -30.0), (10.0, -40.0)]

@@ -1017,3 +1017,37 @@ def infix_suggest(
         .orderBy(F.desc("weight"), F.asc("suggestion"))
         .limit(n)
     )
+
+
+def dv_multi_range_filter(
+    df: DataFrame, value_col: str, ranges: list[tuple], single_valued: bool = True
+) -> DataFrame:
+    """DocValuesMultiRangeQuery
+    (``sandbox/search/DocValuesMultiRangeQuery.java`` +
+    ``SortedNumericDocValuesMultiRangeQuery.java``): match docs whose
+    doc-value falls inside ANY of the given [lower, upper] ranges. Like
+    the reference's builder, overlapping/adjacent ranges are coalesced
+    up front (the SortedSet variant's bucket merge), then the match is
+    one OR-of-BETWEENs predicate — pushdown-able comparisons, no join.
+    ``single_valued=False`` treats ``value_col`` as an array column
+    (SortedNumeric semantics: any value in any range matches)."""
+    if not ranges:
+        return df.filter(F.lit(False))
+    merged: list[list] = []
+    for lo, hi in sorted((min(a, b), max(a, b)) for a, b in ranges):
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    if single_valued:
+        v = F.col(value_col)
+        pred = F.lit(False)
+        for lo, hi in merged:
+            pred = pred | ((v >= F.lit(lo)) & (v <= F.lit(hi)))
+        return df.filter(pred)
+    conds = [
+        f"x >= {float(lo)!r} AND x <= {float(hi)!r}" for lo, hi in merged
+    ]
+    return df.filter(
+        F.expr(f"exists({value_col}, x -> {' OR '.join(f'({c})' for c in conds)})")
+    )

@@ -282,3 +282,72 @@ def distance_topk(
         .orderBy(F.asc(dist_col), F.asc(id_col))
         .limit(k)
     )
+
+
+def range_field_filter(
+    df: DataFrame,
+    dims: list[tuple[str, str]],
+    relation: str,
+    query_min: list[float],
+    query_max: list[float],
+) -> DataFrame:
+    """RangeFieldQuery.QueryType relations over n-dimensional stored
+    ranges (``document/RangeFieldQuery.java:75-270``) — each doc row
+    carries per-dim [min, max] columns; the four relations against the
+    query box, per the reference's per-doc ``matches``:
+
+    - INTERSECTS (:104-115): every dim, q.max >= doc.min AND q.min <= doc.max
+    - WITHIN (:147-158): doc inside query — q.min <= doc.min AND q.max >= doc.max
+    - CONTAINS (:190-201): doc contains query — doc.min <= q.min AND doc.max >= q.max
+    - CROSSES (:259-269): INTERSECTS AND NOT WITHIN
+
+    Pure comparison predicates — pushdown-able; Catalyst's parquet
+    min/max pruning plays the BKD tree's interior-node compare role.
+    """
+    rel = relation.upper()
+
+    def _conj(pred_per_dim):
+        conds = [
+            pred_per_dim(F.col(lo), F.col(hi), F.lit(qlo), F.lit(qhi))
+            for (lo, hi), qlo, qhi in zip(dims, query_min, query_max)
+        ]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    intersects = _conj(lambda dlo, dhi, qlo, qhi: (qhi >= dlo) & (qlo <= dhi))
+    within = _conj(lambda dlo, dhi, qlo, qhi: (qlo <= dlo) & (qhi >= dhi))
+    contains = _conj(lambda dlo, dhi, qlo, qhi: (dlo <= qlo) & (dhi >= qhi))
+    preds = {
+        "INTERSECTS": intersects,
+        "WITHIN": within,
+        "CONTAINS": contains,
+        "CROSSES": intersects & ~within,
+    }
+    if rel not in preds:
+        raise ValueError(f"unknown RangeFieldQuery relation: {relation}")
+    return df.filter(preds[rel])
+
+
+def lat_lon_bounding_box(
+    df: DataFrame,
+    relation: str,
+    min_lat: float,
+    min_lon: float,
+    max_lat: float,
+    max_lon: float,
+    cols: tuple[str, str, str, str] = ("min_lat", "max_lat", "min_lon", "max_lon"),
+) -> DataFrame:
+    """LatLonBoundingBox queries
+    (``sandbox/document/LatLonBoundingBox.java:142-209``:
+    newIntersectsQuery / newWithinQuery / newContainsQuery /
+    newCrossesQuery) — the 2D LatLon instance of the range field."""
+    lat_lo, lat_hi, lon_lo, lon_hi = cols
+    return range_field_filter(
+        df,
+        [(lat_lo, lat_hi), (lon_lo, lon_hi)],
+        relation,
+        [min_lat, min_lon],
+        [max_lat, max_lon],
+    )

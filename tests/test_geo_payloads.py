@@ -244,3 +244,63 @@ def test_multi_polygon_rejects_empty(spark):
         geo.multi_polygon_filter([])
     with pytest.raises(ValueError):
         geo.multi_polygon_contains_sql([])
+
+
+def test_range_field_relations(spark):
+    """RangeFieldQuery.QueryType per-doc matches (RangeFieldQuery.java:
+    INTERSECTS :104, WITHIN :147, CONTAINS :190, CROSSES :259 =
+    INTERSECTS AND NOT WITHIN)."""
+    from pyspark.sql import Row
+
+    from lucene_spark.search.geo import lat_lon_bounding_box
+
+    boxes = spark.createDataFrame(
+        [
+            # query box: lat [0, 10], lon [0, 10]
+            Row(i=0, min_lat=2.0, max_lat=8.0, min_lon=2.0, max_lon=8.0),   # within
+            Row(i=1, min_lat=-5.0, max_lat=15.0, min_lon=-5.0, max_lon=15.0),  # contains
+            Row(i=2, min_lat=5.0, max_lat=15.0, min_lon=5.0, max_lon=8.0),  # crosses
+            Row(i=3, min_lat=20.0, max_lat=30.0, min_lon=0.0, max_lon=10.0),  # disjoint
+        ]
+    )
+
+    def ids(rel):
+        return {
+            r.i
+            for r in lat_lon_bounding_box(boxes, rel, 0.0, 0.0, 10.0, 10.0).collect()
+        }
+
+    assert ids("INTERSECTS") == {0, 1, 2}
+    assert ids("WITHIN") == {0}
+    assert ids("CONTAINS") == {1}
+    assert ids("CROSSES") == {1, 2}  # intersects and not within
+
+
+def test_dv_multi_range_coalesce_and_arrays(spark):
+    from pyspark.sql import Row
+
+    from lucene_spark.search.extras import dv_multi_range_filter
+
+    df = spark.createDataFrame(
+        [Row(i=0, v=3.0), Row(i=1, v=6.5), Row(i=2, v=9.0), Row(i=3, v=21.0)]
+    )
+    got = {
+        r.i
+        for r in dv_multi_range_filter(
+            df, "v", [(2.0, 5.0), (4.5, 8.0), (20.0, 25.0)]
+        ).collect()
+    }
+    assert got == {0, 1, 3}
+    # SortedNumeric (multi-valued): any value in any range matches
+    arr = spark.createDataFrame(
+        [Row(i=0, vs=[1.0, 9.0]), Row(i=1, vs=[3.0, 100.0]), Row(i=2, vs=[50.0])]
+    )
+    got = {
+        r.i
+        for r in dv_multi_range_filter(
+            arr, "vs", [(2.0, 8.0)], single_valued=False
+        ).collect()
+    }
+    assert got == {1}
+    # empty ranges -> MatchNoDocsQuery (DocValuesMultiRangeQuery builder)
+    assert dv_multi_range_filter(df, "v", []).count() == 0
