@@ -13,6 +13,10 @@ from lucene_spark.entry_impl import (
     _INV_EXPR,
     _PH_W,
     _fc,
+    _fdiv,
+    _flit,
+    _fmul,
+    _fsub,
     _idf_sql,
     _score_expr,
     _term_scores_cte,
@@ -58,6 +62,75 @@ def multi_phrase_query(spark, sf_dir):
     _, s = get_searcher(spark, sf_dir)
     q = Q.MultiPhraseQuery("text", (("table", "row"), ("part",)))
     return s.search(q, k=10).select("doc_id", "score")
+
+
+# ---- FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:67) -------
+
+_FLT_BOOST = (
+    "CASE WHEN ed = 0 THEN " + _flit(1.0) + " ELSE "
+    + _fsub(
+        _flit(1.0),
+        _fdiv(
+            "CAST(ed AS FLOAT)",
+            "CAST(least(length(term), length(src)) AS FLOAT)",
+        ),
+    )
+    + " END"
+)
+
+_FLT_IDF = _fc(
+    "ln(((SELECT doc_count FROM fstats) + 1) / CAST(df_eff + 1 AS DOUBLE)) + 1.0"
+)
+
+
+@register(
+    "fuzzy_like_this_query",
+    f"""WITH {BASE_CTES},
+srct(src) AS (VALUES ('tabel'), ('valu')),
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+vars AS (
+  SELECT s.src, d.term, d.df, damerau_levenshtein(d.term, s.src) AS ed
+  FROM srct s JOIN dict d ON damerau_levenshtein(d.term, s.src) <= 1
+),
+vb AS (
+  SELECT src, term, df, {_FLT_BOOST} AS boost,
+         row_number() OVER (
+           PARTITION BY src ORDER BY {_FLT_BOOST} DESC, term ASC
+         ) AS rk
+  FROM vars
+),
+stats AS (
+  SELECT src,
+         coalesce(max(CASE WHEN term = src THEN df END), 0) AS df_src,
+         CAST(sum(df) AS BIGINT) // count(*) AS avg_df
+  FROM vars GROUP BY src
+),
+st AS (
+  SELECT vb.term,
+         {_fmul(_fmul('vb.boost', 'vb.boost'), _FLT_IDF)} AS st_score
+  FROM vb
+  JOIN (SELECT src, CASE WHEN df_src > 0 THEN df_src ELSE avg_df END AS df_eff
+        FROM stats) s USING (src)
+  WHERE vb.rk <= 50
+),
+clauses AS (SELECT term, st_score FROM st ORDER BY st_score DESC, term ASC LIMIT 50),
+hits AS (SELECT tf.doc_id, c.st_score FROM clauses c JOIN tf ON tf.term = c.term),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(st_score AS DOUBLE)) AS FLOAT) AS score
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def fuzzy_like_this_query(spark, sf_dir):
+    """FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:67),
+    ignoreTF mode (:266 ConstantScoreQuery clauses): fuzzify 'tabel
+    valu', per-source variants ranked by the FuzzyTermsEnum boost,
+    st.score = boost^2 * ClassicSimilarity idf of the SOURCE df (avg
+    variant df when absent), global top-50 clauses, SHOULD-sum."""
+    _, s = get_searcher(spark, sf_dir)
+    return extras.fuzzy_like_this(
+        s, "tabel valu", k=10, max_edits=1, ignore_tf=True
+    )
 
 
 # ---- Bloom fast-fail term lookup (codecs/bloom, FuzzySet.java) -------------

@@ -1051,3 +1051,147 @@ def dv_multi_range_filter(
     return df.filter(
         F.expr(f"exists({value_col}, x -> {' OR '.join(f'({c})' for c in conds)})")
     )
+
+
+def fuzzy_like_this(
+    searcher: IndexSearcher,
+    query_string: str,
+    k: int = 10,
+    max_edits: int = 1,
+    prefix_length: int = 0,
+    max_num_terms: int = 50,
+    max_variants_per_term: int = 50,
+    ignore_tf: bool = False,
+) -> DataFrame:
+    """FuzzyLikeThisQuery (``sandbox/queries/FuzzyLikeThisQuery.java:67``):
+    fuzzify every analyzed query term, keep the best differentiating
+    variants, and score docs WITHOUT favouring rare misspellings.
+
+    Faithful pieces:
+
+    - variant boost = ``1 - ed/min(|variant|, |source|)`` codepoints,
+      1.0 on exact (``FuzzyTermsEnum.java:250-257``);
+    - per-source top ``MAX_VARIANTS_PER_TERM`` (:211-237), then
+      ``st.score = boost^2 * ClassicSimilarity.idf(df, numDocs)`` where
+      df is the SOURCE term's df, or the INT-division average of variant
+      dfs when the source is absent (:240-255) — so every variant of one
+      source ranks by the same idf;
+    - global top ``maxNumTerms`` across fields (:288-301);
+    - final query = SHOULD over variants; each variant is a TermQuery
+      with an ARTIFICIAL df=1 TermStates (:264-277) boosted by
+      ``st.score`` — or a ConstantScoreQuery when ``ignoreTF`` (:266).
+
+    Determinism note: the reference's PQ breaks score ties arbitrarily;
+    here ties break by term ascending (documented divergence, pinned in
+    the oracle the same way).
+
+    Plan: ONE term-dictionary scan discovers all variants for all source
+    terms (levenshtein + prefix predicates — the LevenshteinAutomata
+    role), the tiny clause table broadcasts into one postings decode +
+    sum — no per-term jobs.
+    """
+    import math as _m
+
+    from lucene_spark.analysis.tokenizer import StandardAnalyzer
+
+    idx = searcher.index
+    field = idx.config.field_name
+    fs = idx.fieldstats[field]
+    n_docs = fs.doc_count
+    an = StandardAnalyzer()
+    source_terms = list(dict.fromkeys(t.term for t in an.tokens(query_string)))
+    if not source_terms:
+        return idx.docs.select(
+            F.col("doc_id"), F.lit(0.0).cast("float").alias("score")
+        ).limit(0)
+
+    # ---- one dictionary scan for every source term's variants; plain
+    # levenshtein is a sound lower-bound screen for the OSA distance
+    # (transpositions=true at FuzzyLikeThisQuery.java:220): lev <= 2*osa
+    from lucene_spark.search.spell import osa_distance
+
+    preds = None
+    for t in source_terms:
+        p = F.levenshtein(F.col("term"), F.lit(t)) <= 2 * max_edits
+        if prefix_length > 0:
+            p = F.col("term").startswith(t[:prefix_length]) & p
+        preds = p if preds is None else (preds | p)
+    dict_rows = (
+        idx.termstats.filter(F.col("field") == field)
+        .filter(preds)
+        .select("term", "df")
+        .collect()
+    )
+
+    # ClassicSimilarity.java:69 — double math, ONE final float cast
+    classic_idf = lambda df: np.float32(_m.log((n_docs + 1) / float(df + 1)) + 1.0)
+
+    clauses: list[tuple[str, float]] = []  # (variant term, st.score)
+    scored: list[tuple[float, str]] = []
+    for t in source_terms:
+        variants = []
+        df_source = 0
+        total_vdf = 0
+        for r in dict_rows:
+            term = r["term"]
+            if prefix_length > 0 and not term.startswith(t[:prefix_length]):
+                continue
+            ed = osa_distance(term, t)
+            if ed > max_edits:
+                continue
+            boost = (
+                np.float32(1.0)
+                if ed == 0
+                else np.float32(1.0) - np.float32(ed) / np.float32(min(len(term), len(t)))
+            )
+            variants.append((float(boost), term))
+            total_vdf += int(r["df"])
+            if term == t:
+                df_source = int(r["df"])
+        if not variants:
+            continue
+        n_variants = len(variants)  # PRE-cap, like numVariants (:226)
+        variants.sort(key=lambda v: (-v[0], v[1]))
+        variants = variants[:max_variants_per_term]
+        df = df_source if df_source > 0 else total_vdf // n_variants
+        idf = classic_idf(df)
+        for boost, term in variants:
+            b32 = np.float32(boost)
+            st_score = float(np.float32(np.float32(b32 * b32) * idf))
+            scored.append((st_score, term))
+    scored.sort(key=lambda v: (-v[0], v[1]))
+    clauses = scored[:max_num_terms]
+    if not clauses:
+        return idx.docs.select(
+            F.col("doc_id"), F.lit(0.0).cast("float").alias("score")
+        ).limit(0)
+
+    spark = idx.docs.sparkSession
+    cl = spark.createDataFrame(
+        [(term, s) for s, term in clauses], schema="term string, st_score float"
+    )
+    if ignore_tf:
+        # ConstantScoreQuery(TermQuery) path (:266): clause score == boost
+        d = searcher._decoded(field, F.col("term").isin([t for _, t in clauses]))
+        per = d.join(F.broadcast(cl), "term").select(
+            "doc_id", F.col("st_score").alias("clause_score")
+        )
+    else:
+        # TermQuery with artificial df=1 stats (:268-277): BM25 weight =
+        # st.score * idf(df=1); tf/norm from the real postings
+        idf1 = searcher.sim.idf(1, n_docs)
+        d = searcher._decoded(field, F.col("term").isin([t for _, t in clauses]))
+        w_col = (F.col("st_score") * F.lit(float(idf1))).cast("float")
+        per = d.join(F.broadcast(cl), "term").select(
+            "doc_id",
+            searcher._score_col(field, F.col("freq"), F.col("norm"), w_col).alias(
+                "clause_score"
+            ),
+        )
+    return (
+        per.groupBy("doc_id")
+        .agg(F.sum(F.col("clause_score").cast("double")).cast("float").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+

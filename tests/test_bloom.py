@@ -112,3 +112,46 @@ def test_build_bloom_filters_shapes(bloom_idx):
     for fz in blooms.values():
         assert isinstance(fz.bits, np.ndarray) and fz.bits.dtype == np.uint64
         assert fz.hash_count >= 1
+
+
+def test_fuzzy_like_this_tf_mode(spark):
+    """FuzzyLikeThisQuery default (tf-scored) mode: variants score with
+    the SOURCE term's idf folded into the boost (misspellings are NOT
+    favoured by their own rarity, FuzzyLikeThisQuery.java:62-66), and
+    the artificial df=1 TermStates drives the per-clause BM25 weight
+    (:268-277)."""
+    from pyspark.sql import Row
+
+    from lucene_spark.search.extras import fuzzy_like_this
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="spark engine plan here"),
+            Row(doc_id=1, text="sparks engine plan here"),  # 1 edit variant
+            Row(doc_id=2, text="nothing relevant at all"),
+            Row(doc_id=3, text="spark spark engine plan"),  # higher tf
+        ]
+    )
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search.searcher import IndexSearcher
+
+    idx = build_index(
+        spark,
+        docs,
+        IndexConfig(text_col="text", field_name="text", doc_id_col="doc_id",
+                    docs_per_segment=16),
+    )
+    s = IndexSearcher(idx)
+    rows = fuzzy_like_this(s, "spark", k=10, max_edits=1).collect()
+    got = [r.doc_id for r in rows]
+    assert set(got) == {0, 1, 3}
+    # same tf/length: exact term (boost 1.0) outranks the 1-edit variant
+    # (boost (1-1/5)^2); doc 3 has tf=2 of the exact term -> ranks first
+    assert got[0] == 3 and got.index(0) < got.index(1)
+    # ignoreTF: tf stops mattering -> docs 0 and 3 tie on the constant
+    # clause score (tie-break doc_id asc)
+    rows = fuzzy_like_this(s, "spark", k=10, max_edits=1, ignore_tf=True).collect()
+    by_doc = {r.doc_id: r.score for r in rows}
+    assert by_doc[0] == by_doc[3]
+    # a query with NO dictionary variants matches nothing
+    assert fuzzy_like_this(s, "zzzqqq", k=10, max_edits=1).count() == 0
