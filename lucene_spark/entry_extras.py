@@ -64,6 +64,38 @@ def multi_phrase_query(spark, sf_dir):
     return s.search(q, k=10).select("doc_id", "score")
 
 
+# ---- idversion PK lookups (sandbox/codecs/idversion) -----------------------
+
+
+@register(
+    "id_version_seek_exact",
+    """WITH iv AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS id, doc_id AS version, doc_id FROM documents
+)
+SELECT id, CAST(max(version) AS BIGINT) AS version, CAST(max(doc_id) AS BIGINT) AS doc_id
+FROM iv WHERE id IN ('7', '13', '49')
+GROUP BY id HAVING max(version) > 100
+ORDER BY id""",
+)
+def id_version_seek_exact(spark, sf_dir):
+    """IDVersionSegmentTermsEnum.seekExact(id, minVersion)
+    (sandbox/codecs/idversion/IDVersionPostingsFormat.java:33-50): the
+    live (max-version) row per requested ID when newer than minVersion;
+    per-segment max-version metadata + blooms prune segments before the
+    scan (the version block-tree fail-fast role)."""
+    from lucene_spark.index.idversion import build_id_version_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 50).cast("string").alias("key"),
+        F.col("doc_id").alias("ver"),
+    )
+    ividx = build_id_version_index(
+        docs, "key", "ver", docs_per_segment=256, with_blooms=True
+    )
+    return ividx.seek_exact(["7", "13", "49"], min_version=100).orderBy("id")
+
+
 # ---- FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:67) -------
 
 _FLT_BOOST = (

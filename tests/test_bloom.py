@@ -155,3 +155,39 @@ def test_fuzzy_like_this_tf_mode(spark):
     assert by_doc[0] == by_doc[3]
     # a query with NO dictionary variants matches nothing
     assert fuzzy_like_this(s, "zzzqqq", k=10, max_edits=1).count() == 0
+
+
+def test_id_version_index_seek_exact(spark):
+    """idversion codec role (sandbox/codecs/idversion/
+    IDVersionPostingsFormat.java:33-50): seekExact(id, minVersion)
+    returns the live (max-version) row only when newer than minVersion;
+    per-segment max-version metadata + blooms fail fast."""
+    from pyspark.sql import Row
+
+    from lucene_spark.index.idversion import build_id_version_index
+
+    rows = [Row(doc_id=i, key=f"k{i % 4}", ver=i * 10) for i in range(16)]
+    ividx = build_id_version_index(
+        spark.createDataFrame(rows), "key", "ver", docs_per_segment=4
+    )
+    assert set(ividx.seg_max_version) == {0, 1, 2, 3}
+    assert ividx.seg_max_version[3] == 150
+    # live row per id = the newest version (doc 12..15 hold k0..k3)
+    got = {(r.id, r.version, r.doc_id) for r in ividx.seek_exact(["k0", "k2"]).collect()}
+    assert got == {("k0", 120, 12), ("k2", 140, 14)}
+    # minVersion gate: k0's live version is 120 -> > 120 finds nothing
+    assert ividx.seek_exact("k0", min_version=120).count() == 0
+    assert ividx.seek_exact("k0", min_version=119).count() == 1
+    # segment fail-fast: min_version >= global max prunes every segment
+    # with ZERO jobs (empty candidate list -> lit(False) filter)
+    assert ividx._candidate_segments(["k0"], 150) == []
+    # unknown id: blooms exclude all segments driver-side
+    assert ividx._candidate_segments(["nope"], -1) == []
+    # negative versions refuse to build (MIN_VERSION)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        build_id_version_index(
+            spark.createDataFrame([Row(doc_id=0, key="a", ver=-1)]),
+            "key", "ver", docs_per_segment=4,
+        )
