@@ -64,6 +64,30 @@ def multi_phrase_query(spark, sf_dir):
     return s.search(q, k=10).select("doc_id", "score")
 
 
+# ---- FloatPointNearestNeighbor (sandbox/document) --------------------------
+
+
+@register(
+    "float_point_nearest_query",
+    """SELECT event_id,
+       (value - 10.0) * (value - 10.0) + (user_id - 25.0) * (user_id - 25.0) AS dist_sq
+FROM events ORDER BY dist_sq ASC, event_id ASC LIMIT 10""",
+)
+def float_point_nearest_query(spark, sf_dir):
+    """FloatPointNearestNeighbor.nearest
+    (sandbox/document/FloatPointNearestNeighbor.java:41): exact
+    nearest-10 by Euclidean distance over a 2-dim point; the plan is one
+    scan + TakeOrderedAndProject (the never-sort-everything guarantee;
+    parquet min/max stats play the BKD cell bounds when a radius
+    pre-filter is given)."""
+    from lucene_spark.search.points import float_point_nearest
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return float_point_nearest(
+        ev, ["value", "user_id"], [10.0, 25.0], n=10, id_col="event_id"
+    )
+
+
 # ---- idversion PK lookups (sandbox/codecs/idversion) -----------------------
 
 

@@ -304,3 +304,25 @@ def test_dv_multi_range_coalesce_and_arrays(spark):
     assert got == {1}
     # empty ranges -> MatchNoDocsQuery (DocValuesMultiRangeQuery builder)
     assert dv_multi_range_filter(df, "v", []).count() == 0
+
+
+def test_float_point_nearest(spark):
+    """FloatPointNearestNeighbor: exact nearest-n, radius box prune
+    loses nothing inside the radius, plan is TakeOrdered (no full sort
+    shuffle)."""
+    from pyspark.sql import Row
+
+    from lucene_spark.search.points import float_point_nearest
+
+    pts = spark.createDataFrame(
+        [Row(doc_id=i, x=float(i), y=float(-i)) for i in range(100)]
+    )
+    top = float_point_nearest(pts, ["x", "y"], [10.0, -10.0], n=3).collect()
+    assert [r.doc_id for r in top] == [10, 9, 11]  # dist ties -> id asc
+    assert top[0].dist_sq == 0.0
+    with_r = float_point_nearest(
+        pts, ["x", "y"], [10.0, -10.0], n=3, radius=5.0
+    ).collect()
+    assert [r.doc_id for r in with_r] == [10, 9, 11]
+    plan = float_point_nearest(pts, ["x", "y"], [10.0, -10.0], n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
