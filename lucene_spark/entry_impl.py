@@ -1096,13 +1096,13 @@ _PRIORITY = [
     "curation_pipeline",
     "dedup_duplicate_clusters",
     "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
+    "bloom_term_lookup",
     "text_token_stats",
     "lm_dirichlet_query",
-    "text_language_id",
+    "fuzzy_like_this_query",
     "phonetic_query",
     "multimodal_image_meta",
-    "multimodal_frame_sample",
+    "id_version_seek_exact",
     "multimodal_audio_meta",
 ]
 
