@@ -113,6 +113,11 @@ def _check_single_field(q: Q.Query, field: str, phrase: str) -> None:
             _check_single_field(sub, field, phrase)
 
 
+#: expansion cap per multi-term slot inside a quoted phrase — the
+#: BooleanQuery.TooManyClauses / BasicQueryFactory bound (default 1024)
+MAX_PHRASE_EXPANSIONS = 1024
+
+
 def _expand(searcher, field: str, q: Q.Query) -> list[str]:
     """Dictionary expansion of a multi-term leaf (the reference's
     indexSearcher.rewrite of each clause, :285) — same predicates the
@@ -147,7 +152,26 @@ def _expand(searcher, field: str, q: Q.Query) -> list[str]:
             )
     else:  # pragma: no cover
         raise QueryParseError(f"unknown multi-term type {type(q).__name__}")
-    return sorted(r["term"] for r in ts.filter(pred).select("term").collect())
+    # Cap the driver-side collect like surround's BasicQueryFactory bound
+    # (surround.py MAX_BASIC_QUERIES; query/BasicQueryFactory.java default
+    # maxBasicQueries 1024): on an identifier-heavy vocabulary a slot like
+    # "s*" would otherwise collect millions of terms to the driver.  Lucene's
+    # ComplexPhraseQueryParser hits the same wall via
+    # IndexSearcher.getMaxClauseCount — fail loudly, never silently truncate.
+    terms = [
+        r["term"]
+        for r in ts.filter(pred)
+        .select("term")
+        .limit(MAX_PHRASE_EXPANSIONS + 1)
+        .collect()
+    ]
+    if len(terms) > MAX_PHRASE_EXPANSIONS:
+        raise QueryParseError(
+            f"too many terms ({len(terms)}+) match {type(q).__name__} inside "
+            f"a complex phrase; the cap is {MAX_PHRASE_EXPANSIONS} "
+            "(TooManyClauses semantics)"
+        )
+    return sorted(terms)
 
 
 def _or_of(terms: list[str]) -> SP.SpanQuery:

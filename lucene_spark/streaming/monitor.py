@@ -299,6 +299,10 @@ class Monitor:
                 if any(
                     not isinstance(s, Q.TermQuery) for s in musts + shoulds + nots
                 ):
+                    # Defensive: register() routes any query with non-term
+                    # sub-clauses to the covering-set `_complex` tier before
+                    # reaching this flat-term extractor, so this branch is
+                    # believed unreachable; it guards future registration paths.
                     raise NotImplementedError("nested boolean in Monitor")
                 for s in musts:
                     rows.append((qid, s.term, "must", 0, 0))

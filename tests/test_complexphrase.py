@@ -99,3 +99,15 @@ def test_bad_queries(searchers, bad):
     with pytest.raises((QueryParseError, Exception)):
         df = CP.execute(searchers, bad, k=10, default_field="name")
         df.collect()
+
+
+def test_expansion_cap(searchers, monkeypatch):
+    """An over-broad multi-term slot inside a phrase fails loudly with
+    TooManyClauses semantics instead of collecting the dictionary to the
+    driver (surround's MAX_BASIC_QUERIES bound applied to complexPhrase)."""
+    monkeypatch.setattr(CP, "MAX_PHRASE_EXPANSIONS", 2)
+    with pytest.raises(QueryParseError, match="too many terms"):
+        CP.execute(searchers, '"jo* smith"', k=10, default_field="name")
+    # a slot within the cap still works
+    monkeypatch.setattr(CP, "MAX_PHRASE_EXPANSIONS", 1024)
+    assert _matches(searchers, '"jo*  smith"') == {1, 2}
