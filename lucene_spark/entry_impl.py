@@ -239,7 +239,11 @@ def _get_pruned_searcher(spark, sf_dir) -> IndexSearcher:
     (the production gate only opens on genuinely hot terms)."""
     if sf_dir not in _PRUNED_CACHE:
         idx, _ = get_searcher(spark, sf_dir)
-        s = IndexSearcher(idx, prune_min_df=64)
+        # prune_engage_min_rows=0: the engagement gate (estimated decode
+        # savings vs ~4 job latencies) would — correctly — route these toy
+        # corpora to the plain path; these entries exist to drive-check the
+        # pruned plan's arithmetic, so the cost model is bypassed here
+        s = IndexSearcher(idx, prune_min_df=64, prune_engage_min_rows=0)
         # force the rescore branch past the cost guard: at test scale
         # every block survives the keep rule (tiny corpora can't show
         # selectivity), and the point of these entries is proving the

@@ -152,12 +152,23 @@ class IndexSearcher:
     #: lower it to engage the two-phase path on small corpora).
     PRUNE_MIN_DF = 1 << 16
 
+    #: engagement gate (the cost decision in
+    #: ``search/BooleanScorerSupplier.java:288-318``): the pruned ladders
+    #: pay ~4 sequential job barriers of phase latency that the plain
+    #: one-shuffle path does not, so they only engage when the rows they
+    #: could AVOID decoding — estimated zero-job from the driver stats
+    #: memo — clear this count (~256 postings blocks, roughly 4 job
+    #: latencies of Arrow decode throughput). Below it the plain decode
+    #: is strictly cheaper regardless of how well the bounds prune.
+    PRUNE_ENGAGE_MIN_ROWS = 1 << 20
+
     def __init__(
         self,
         index: InvertedIndex,
         similarity: object | None = None,
         prune_min_df: int | None = None,
         query_cache=None,
+        prune_engage_min_rows: int | None = None,
     ):
         """``similarity`` is any object with the Similarity surface
         (idf/avgdl/norm_inv_cache/weight/score/score_max/score_col):
@@ -174,6 +185,11 @@ class IndexSearcher:
         self.sim = similarity or BM25Similarity()
         self.prune_min_df = (
             self.PRUNE_MIN_DF if prune_min_df is None else int(prune_min_df)
+        )
+        self.prune_engage_min_rows = (
+            self.PRUNE_ENGAGE_MIN_ROWS
+            if prune_engage_min_rows is None
+            else int(prune_engage_min_rows)
         )
         #: filled by the pruned paths when collect_prune_stats is True:
         #: {"total_blocks", "phase1_blocks", "kept_blocks", "rescore_blocks"}
@@ -206,6 +222,13 @@ class IndexSearcher:
         #: search()/search_many() entry so at most one lingers
         self._deferred_unpersist: list[DataFrame] = []
         self._stats_memo: dict[tuple[str, str], tuple[int, int]] = {}
+        #: True once preload_stats loaded the ENTIRE term dictionary —
+        #: multi-term rewrite (e.g. complexphrase._expand) is then zero-job
+        self._stats_all_loaded = False
+        #: per-field positions-decoded postings cache
+        #: (cache_decoded_positions) — positional plans filter this frame
+        #: instead of re-decoding blocks per query
+        self._pos_cache: dict[str, DataFrame] = {}
         #: per-hot-term block metadata preloaded by preload_block_meta
         #: (serving layout): anchor block keys, the term's global impact
         #: frontier, and a block-bound histogram — kills the per-query
@@ -273,11 +296,15 @@ class IndexSearcher:
             )
         return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 
-    def optimize_for_serving(self, partitions: int | None = None) -> None:
+    def optimize_for_serving(
+        self, partitions: int | None = None, cache_positions: bool = False
+    ) -> None:
         """Re-layout the index for query serving: coalesce the postings
         cache to ~core-count partitions (every query scans the cache, so
         hundreds of build-time shuffle partitions mean hundreds of tasks
-        per search) and preload the term dictionary stats."""
+        per search) and preload the term dictionary stats.
+        ``cache_positions=True`` additionally materializes the
+        positions-decoded postings (see :meth:`cache_decoded_positions`)."""
         spark = self.index.docs.sparkSession
         p = partitions or spark.sparkContext.defaultParallelism
         old = self.index.postings
@@ -294,6 +321,34 @@ class IndexSearcher:
             pass
         self.preload_stats()
         self.preload_block_meta()
+        if cache_positions:
+            self.cache_decoded_positions()
+
+    def cache_decoded_positions(self, max_positions: int = 1 << 27) -> bool:
+        """Serving layout, part 3: keep the POSITIONS-DECODED postings of
+        every field materialized, so positional plans (phrase, sloppy,
+        intervals, spans, the complexPhrase/XML/surround parser dialects)
+        filter a cached (term, doc_id, freq, norm, positions) frame
+        instead of re-running the Arrow block decode per query — the
+        Python decode stage is the dominant fresh-run cost of a
+        positional query at serving time.
+
+        Memory is O(total positions); a field whose summed term frequency
+        exceeds ``max_positions`` is skipped (returns False if any field
+        was skipped). At cluster scale this is a per-shard HOT-FIELD
+        cache decision — the raw blocks remain authoritative and every
+        plan works identically without the cache (bit-identity pinned by
+        ``test_positions_cache_identity``)."""
+        ok = True
+        for fname, fs in self.index.fieldstats.items():
+            if fs.sum_total_term_freq > max_positions:
+                ok = False
+                continue
+            d = self._decoded(fname, F.lit(True), with_positions=True)
+            # eager localCheckpoint: same plan-truncation rationale as the
+            # compact postings cache above
+            self._pos_cache[fname] = d.localCheckpoint(eager=True)
+        return ok
 
     def preload_stats(self, max_terms: int = 1 << 20) -> bool:
         """Pull the whole term dictionary's (df, ttf) into the driver memo
@@ -604,11 +659,17 @@ class IndexSearcher:
         with_positions: bool = False,
         terms: list[str] | None = None,
     ) -> DataFrame:
-        blocks = self._blocks(field, term_pred, terms=terms)
         if with_positions:
-            return blocks.mapInPandas(
+            cached = self._pos_cache.get(field)
+            if cached is not None:
+                # serving layout: filter the materialized decoded frame —
+                # callers' term predicates reference only the `term`
+                # column, present in both the block and decoded schemas
+                return cached.filter(term_pred)
+            return self._blocks(field, term_pred, terms=terms).mapInPandas(
                 _decode_blocks_with_positions, schema=_DECODE_POS_SCHEMA
             )
+        blocks = self._blocks(field, term_pred, terms=terms)
         cols = [
             "term",
             "first_doc",
@@ -1308,6 +1369,23 @@ class IndexSearcher:
         # small postings: decode everything (pruning wouldn't pay)
         if df <= max(4 * k, self.prune_min_df):
             return self._scored(q, F32(1.0), ctx)
+        # engagement gate: the two-phase split can never avoid more than
+        # df rows of decode, so below the gate its extra plan complexity
+        # (theta broadcast + two decode branches) is pure loss — zero-job
+        # decision from the stats memo
+        if df < self.prune_engage_min_rows:
+            if self.collect_prune_stats:
+                self.last_prune_stats = {
+                    "total_blocks": -(-df // forutil.BLOCK_SIZE),
+                    "phase1_blocks": 0,
+                    "kept_blocks": 0,
+                    "rescore_blocks": 0,
+                    "fell_back": True,
+                    "strategy": "engage_gate",
+                    "est_demotable_rows": df,
+                    "gate_rows": self.prune_engage_min_rows,
+                }
+            return self._scored(q, F32(1.0), ctx)
         blocks = blocks.withColumn("_ub", self._block_ub(field, w))
         # with competitive-impact bounds a block's _ub IS its max real
         # score, so the global top-k live in the top-ub blocks; anchor
@@ -1445,10 +1523,12 @@ class IndexSearcher:
             Q.BooleanQuery.of(should=clauses)
         )
         weights: dict[str, float] = {}
+        dfs: dict[str, int] = {}
         total_df = 0
         for c in clauses:
             df, _ = ctx.term_stats.get((field, c.term), (0, 0))
             total_df += df
+            dfs[c.term] = df
             weights[c.term] = float(
                 self.sim.weight(F32(c.boost), self.sim.idf(df, fs.doc_count))
             )
@@ -1463,6 +1543,29 @@ class IndexSearcher:
         )
         if total_df <= max(4 * k, self.prune_min_df):
             return fallback
+
+        def gate_skip(est_rows: int) -> DataFrame:
+            if self.collect_prune_stats:
+                self.last_prune_stats = {
+                    "total_blocks": -(-total_df // forutil.BLOCK_SIZE),
+                    "phase1_blocks": 0,
+                    "kept_blocks": 0,
+                    "rescore_blocks": 0,
+                    "fell_back": True,
+                    "strategy": "engage_gate",
+                    "est_demotable_rows": est_rows,
+                    "gate_rows": self.prune_engage_min_rows,
+                }
+            return fallback
+
+        # engagement gate, coarse: the ladder can never avoid decoding
+        # more rows than exist across all clauses. Below the gate the ~4
+        # sequential job barriers (anchor decode, probe, split planning,
+        # completion) cost more than the decode they could save — go
+        # straight to the plain one-shuffle disjunction. Zero jobs: df
+        # comes from the driver stats memo.
+        if total_df < self.prune_engage_min_rows:
+            return gate_skip(total_df)
 
         terms = [c.term for c in clauses]
         # weight lookup as a literal CASE chain — stays in codegen
@@ -1518,6 +1621,15 @@ class IndexSearcher:
         if len(maxub) < 2:
             return fallback  # degenerate: <=1 clause has postings
         s_all = sum(maxub.values())
+        # engagement gate, refined: MAXSCORE never demotes the strongest
+        # clause (it stays essential at any theta), so the avoidable rows
+        # are at most the OTHER clauses' postings. With preloaded metadata
+        # this refinement is still zero jobs; without, the one metadata
+        # job above is already paid either way.
+        strongest_t = max(maxub, key=lambda t: maxub[t])
+        demotable = total_df - dfs.get(strongest_t, 0)
+        if demotable < self.prune_engage_min_rows:
+            return gate_skip(demotable)
 
         def combine(decoded: DataFrame) -> DataFrame:
             per = decoded.select(
@@ -2233,7 +2345,7 @@ class IndexSearcher:
 
     # ------------------------------------------------------- batched serving
 
-    def search_many(self, queries: dict[str, Q.Query], k: int = 10) -> DataFrame:
+    def search_many(self, queries: dict, k: int = 10) -> DataFrame:
         """Execute a batch of queries as ONE DataFrame job:
         (query_id, doc_id, score, rank), rank <= k per query, scores
         bit-identical to per-query ``search``.
@@ -2244,8 +2356,17 @@ class IndexSearcher:
         union of terms, and per-query top-k is one window. Supports
         TermQuery, BooleanQuery over TermQuerys (all occurs, msm),
         DisjunctionMaxQuery over TermQuerys, and exact PhraseQuery
-        (slop=0) — the single-shuffle query families keyable by query_id;
-        other query types raise — run those individually.
+        (slop=0) — the single-shuffle query families keyable by query_id.
+
+        A batch value may also be a :class:`~lucene_spark.search.spans.
+        SpanQuery` (ranked by span count, the span family's convention) or
+        a prebuilt UNRANKED scored plan — any ``DataFrame`` of
+        ``(doc_id, score)``, e.g. ``complexphrase.scored(...)`` /
+        ``xmlparser.scored(...)`` — so the interval/span/parser families
+        batch into the same single ranked job. Plan scores rank on their
+        exact double value (order bit-identical to the per-query
+        ``execute``) and are emitted as float like every other batch row.
+        Other query types raise — run those individually.
         """
         self._drain_deferred_unpersist()
         if not getattr(self.sim, "scalar_weights", True):
@@ -2254,10 +2375,21 @@ class IndexSearcher:
                 "the SimilarityBase family needs full-stats weights — run "
                 "these queries individually via search()"
             )
+        from lucene_spark.search import spans as SP
+
         field = self.index.config.field_name
         term_like: dict[str, Q.Query] = {}
         phrases: dict[str, Q.PhraseQuery] = {}
+        plans: dict[str, DataFrame] = {}
         for qid, q in queries.items():
+            if isinstance(q, DataFrame):
+                plans[qid] = q
+                continue
+            if isinstance(q, SP.SpanQuery):
+                plans[qid] = SP.span_count(self, q).select(
+                    "doc_id", F.col("n_spans").cast("double").alias("score")
+                )
+                continue
             if isinstance(q, Q.PhraseQuery) and q.slop == 0:
                 if q.field != field:
                     raise NotImplementedError(
@@ -2410,6 +2542,27 @@ class IndexSearcher:
             parts.append(scored)
         if phrases:
             parts.append(self._phrase_batch_scored(phrases, ctx))
+
+        # normalize every part to (query_id, doc_id, score:float, _s:double):
+        # the window ranks on _s — for native parts the exact double
+        # extension of the float score (same order), for parser/span plans
+        # the exact double the per-query execute() sorts on — so batched
+        # ranks are bit-identical to sequential for both families
+        def _norm(df_: DataFrame, qid: str | None = None) -> DataFrame:
+            qcol = (
+                F.lit(qid).alias("query_id")
+                if qid is not None
+                else F.col("query_id")
+            )
+            return df_.select(
+                qcol,
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("score").cast("float").alias("score"),
+                F.col("score").cast("double").alias("_s"),
+            )
+
+        parts = [_norm(p) for p in parts]
+        parts.extend(_norm(p, qid) for qid, p in plans.items())
         if not parts:  # empty batch: zero rows, stable ranked schema
             spark = self.index.docs.sparkSession
             return spark.createDataFrame(
@@ -2420,7 +2573,7 @@ class IndexSearcher:
             scored = scored.unionByName(p)
         scored = self._live(scored)
         win = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("doc_id")
+            F.desc("_s"), F.asc("doc_id")
         )
         return (
             scored.withColumn("rank", F.row_number().over(win))

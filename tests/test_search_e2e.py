@@ -56,7 +56,7 @@ def test_term_query_pruned_equals_unpruned(built):
     """The two-phase block-max path must actually ENGAGE here (gate forced
     below the hot term's df) and agree with the full decode + oracle."""
     idx, _, oracle = built
-    searcher = IndexSearcher(idx, prune_min_df=1)
+    searcher = IndexSearcher(idx, prune_min_df=1, prune_engage_min_rows=0)
     searcher.collect_prune_stats = True
     q = Q.TermQuery("content", "the")
     assert oracle.df("the") > 20  # hot enough that the gate opens
@@ -78,7 +78,7 @@ def test_disjunction_pruned_equals_unpruned(built):
     """MAXSCORE-family pruning on SHOULD-sum and dismax disjunctions:
     engaged (stats recorded), exact-rescored, oracle-identical."""
     idx, _, oracle = built
-    searcher = IndexSearcher(idx, prune_min_df=1)
+    searcher = IndexSearcher(idx, prune_min_df=1, prune_engage_min_rows=0)
     searcher.collect_prune_stats = True
     searcher.prune_keep_frac = 2.0  # force the rescore branch at test scale
     q_or = Q.BooleanQuery.of(
@@ -252,7 +252,7 @@ def test_disjunction_hot_clauses_take_essential_path(built):
     demoted to probe-at-candidates, stats say so, and the result stays
     bit-identical to the plain disjunction."""
     idx, _, oracle = built
-    searcher = IndexSearcher(idx, prune_min_df=1)
+    searcher = IndexSearcher(idx, prune_min_df=1, prune_engage_min_rows=0)
     searcher.collect_prune_stats = True  # default prune_keep_frac = 0.5
     q_or = Q.BooleanQuery.of(
         should=[Q.TermQuery("content", "the"), Q.TermQuery("content", "if")]
@@ -307,7 +307,7 @@ def test_preloaded_block_meta_identical_and_used(built):
     weight-independent, and the driver-side frontier max reproduces the
     JVM block-bound float32 op order exactly."""
     idx, searcher, _ = built
-    pre = IndexSearcher(idx, prune_min_df=1)
+    pre = IndexSearcher(idx, prune_min_df=1, prune_engage_min_rows=0)
     pre.preload_stats()
     assert pre.preload_block_meta() > 0
     pre.collect_prune_stats = True
@@ -341,7 +341,7 @@ def test_preloaded_maxub_matches_jvm_block_bound(built):
     from pyspark.sql import functions as F
 
     idx, searcher, _ = built
-    pre = IndexSearcher(idx, prune_min_df=1)
+    pre = IndexSearcher(idx, prune_min_df=1, prune_engage_min_rows=0)
     pre.preload_stats()
     pre.preload_block_meta()
     fs = idx.fieldstats["content"]
@@ -390,7 +390,7 @@ def test_windowed_maxscore_engages_on_local_hotness(spark):
     idx = build_index(spark, corpus, cfg)
     idx.postings.persist()
     try:
-        searcher = IndexSearcher(idx, prune_min_df=1)
+        searcher = IndexSearcher(idx, prune_min_df=1, prune_engage_min_rows=0)
         searcher.collect_prune_stats = True
         q = Q.BooleanQuery.of(
             should=[
@@ -452,7 +452,7 @@ def test_flat_hot_disjunction_skips_windowed_retry_from_histograms(spark):
     idx = build_index(spark, corpus, cfg)
     idx.postings.persist()
     try:
-        searcher = IndexSearcher(idx, prune_min_df=1)
+        searcher = IndexSearcher(idx, prune_min_df=1, prune_engage_min_rows=0)
         searcher.preload_stats()
         assert searcher.preload_block_meta() >= 2
         searcher.collect_prune_stats = True
@@ -504,7 +504,7 @@ def test_essential_completion_on_candidate_cap(spark):
     idx = build_index(spark, corpus, cfg)
     idx.postings.persist()
     try:
-        searcher = IndexSearcher(idx, prune_min_df=1)
+        searcher = IndexSearcher(idx, prune_min_df=1, prune_engage_min_rows=0)
         searcher.prune_max_candidates = 50  # force the cap overflow
         searcher.collect_prune_stats = True
         q = Q.BooleanQuery.of(
@@ -731,3 +731,119 @@ def test_function_match_query(built):
     rows = rng.collect()
     assert all(100.0 <= r["score"] <= 200.0 for r in rows)
     assert len(rows) == docs.filter("doc_id >= 50 and doc_id <= 100").count()
+
+
+def test_engagement_gate_skips_small_corpora(built):
+    """The cost-model engagement gate (BooleanScorerSupplier.java:288-318
+    role): with the DEFAULT gate, toy-scale postings route straight to the
+    plain one-shuffle plan — bit-identical results, and the recorded
+    strategy says the gate (not a mid-ladder guard) made the call. With
+    the gate lowered the same searcher engages the ladder."""
+    idx, _, oracle = built
+    gated = IndexSearcher(idx, prune_min_df=1)  # default engage gate: 1<<20 rows
+    gated.collect_prune_stats = True
+    q_term = Q.TermQuery("content", "the")
+    q_or = Q.BooleanQuery.of(
+        should=[Q.TermQuery("content", "the"), Q.TermQuery("content", "if")]
+    )
+    for q, scores in (
+        (q_term, oracle.term_scores("the")),
+        (q_or, oracle.or_scores(["the", "if"])),
+    ):
+        gated.last_prune_stats = None
+        res = gated.search(q, k=5)
+        _assert_topk_identical(res, oracle.top_k(scores, 5), 5)
+        stats = gated.last_prune_stats
+        assert stats is not None and stats["strategy"] == "engage_gate"
+        assert stats["fell_back"] is True
+        assert stats["est_demotable_rows"] < stats["gate_rows"]
+        assert stats["phase1_blocks"] == 0  # zero-job decision: nothing decoded
+
+
+def test_search_many_batches_span_and_parser_plans(built):
+    """Round-4: the interval/span/parser families batch into the same
+    single ranked job — SpanQuery values rank by span count, DataFrame
+    values carry a prebuilt parser plan; both must be bit-identical to
+    their per-query execute()/span_count ranking."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search import complexphrase as CP
+    from lucene_spark.search import spans as SP
+    from lucene_spark.search import xmlparser as XP
+
+    _, searcher, _ = built
+    k = 7
+    span_q = SP.SpanNearQuery(
+        (SP.SpanTermQuery("the"), SP.SpanTermQuery("if")), slop=3, in_order=True
+    )
+    cp_text = '"th* if"~1'
+    xml_text = (
+        '<SpanNear fieldName="content" slop="2" inOrder="true">'
+        "<SpanOrTerms>the if</SpanOrTerms><SpanTerm>return</SpanTerm>"
+        "</SpanNear>"
+    )
+    batch = {
+        "q_term": Q.TermQuery("content", "the"),
+        "q_phrase": Q.PhraseQuery("content", ("the", "if")),
+        "q_span": span_q,
+        "q_cp": CP.scored(searcher, cp_text),
+        "q_xml": XP.scored(searcher, xml_text),
+    }
+    got = searcher.search_many(batch, k=k).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], int(r["doc_id"]), float(np.float32(r["score"])))
+        )
+
+    def want_rows(df):
+        return [
+            (int(r["doc_id"]), float(np.float32(r["score"])))
+            for r in df.collect()
+        ]
+
+    # native families vs per-query search()
+    for qid in ("q_term", "q_phrase"):
+        want = want_rows(searcher.search(batch[qid], k=k, prune=False))
+        assert [(d, s) for _, d, s in sorted(by_q[qid])] == want, qid
+    # span family vs span_count ranking (the XML/surround convention)
+    want_span = want_rows(
+        SP.span_count(searcher, span_q)
+        .select("doc_id", F.col("n_spans").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    assert [(d, s) for _, d, s in sorted(by_q["q_span"])] == want_span
+    # parser plans vs their sequential execute()
+    want_cp = want_rows(CP.execute(searcher, cp_text, k=k))
+    assert [(d, s) for _, d, s in sorted(by_q["q_cp"])] == want_cp
+    want_xml = want_rows(XP.execute(searcher, xml_text, k=k))
+    assert [(d, s) for _, d, s in sorted(by_q["q_xml"])] == want_xml
+
+
+def test_positions_cache_identity(built):
+    """cache_decoded_positions (serving layout part 3): every positional
+    family — exact phrase, sloppy, intervals, complexPhrase — must return
+    bit-identical results with and without the materialized decode."""
+    from lucene_spark.search import complexphrase as CP
+    from lucene_spark.search import intervals as IV
+
+    idx, plain, _ = built
+    cached = IndexSearcher(idx)
+    assert cached.cache_decoded_positions()
+    assert "content" in cached._pos_cache
+
+    def rows(df):
+        return sorted(
+            (int(r[0]), *[float(x) if isinstance(x, float) else x for x in r[1:]])
+            for r in df.collect()
+        )
+
+    q_exact = Q.PhraseQuery("content", ("the", "if"))
+    q_sloppy = Q.PhraseQuery("content", ("the", "return"), slop=3)
+    assert rows(plain.search(q_exact, k=10)) == rows(cached.search(q_exact, k=10))
+    assert rows(plain.search(q_sloppy, k=10)) == rows(cached.search(q_sloppy, k=10))
+    src = IV.MaxGaps(2, IV.Ordered(IV.Term("the"), IV.Term("if")))
+    assert rows(IV.matches(plain, src)) == rows(IV.matches(cached, src))
+    cp = '"th* if"~1'
+    assert rows(CP.execute(plain, cp, k=10)) == rows(CP.execute(cached, cp, k=10))
