@@ -74,8 +74,10 @@ def run_bench(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
     timings["index_build"] = best_build
 
     searcher = IndexSearcher(idx)
-    # serving layout: compact postings cache + dictionary-in-RAM stats
-    searcher.optimize_for_serving()
+    # serving layout: compact postings cache + dictionary-in-RAM stats +
+    # materialized positions decode (round 4 — positional/parser families
+    # then skip the per-query Python decode stage)
+    searcher.optimize_for_serving(cache_positions=True)
 
     def q(name, fn, warm: bool = True):
         # serving queries are measured STEADY-STATE: one untimed warm-up
@@ -162,9 +164,24 @@ def run_bench(spark: SparkSession, sf_dir: str) -> tuple[dict, dict]:
         ),
         "b_phrase": Q.PhraseQuery("text", ("table", "part")),
         "b_phrase2": Q.PhraseQuery("text", ("key", "value")),
+        # round 4: the parser/span families batch too — prebuilt unranked
+        # scored plans ride the same single ranked job (plans are
+        # reconstructed inside the lambda so every timed run replans)
     }
-    q("batched_search_10q", lambda: searcher.search_many(batch, k=10))
-    qps_batched = round(len(batch) / timings["batched_search_10q"], 2)
+
+    def batched_mixed():
+        full = dict(batch)
+        full["b_cp"] = CP.scored(searcher, '"s* join"~1')
+        full["b_xml"] = XP.scored(
+            searcher,
+            '<SpanNear fieldName="text" slop="1" inOrder="true">'
+            "<SpanOrTerms>sort scan</SpanOrTerms><SpanTerm>join</SpanTerm>"
+            "</SpanNear>",
+        )
+        return searcher.search_many(full, k=10)
+
+    q("batched_search_12q", batched_mixed)
+    qps_batched = round((len(batch) + 2) / timings["batched_search_12q"], 2)
 
     # block-max pruning evidence: hot-term + disjunction through the
     # two-phase path with a low gate. TIMED with stats collection OFF

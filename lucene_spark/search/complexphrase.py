@@ -118,10 +118,80 @@ def _check_single_field(q: Q.Query, field: str, phrase: str) -> None:
 MAX_PHRASE_EXPANSIONS = 1024
 
 
+def _lev_within(a: str, b: str, k: int) -> bool:
+    """Levenshtein(a, b) <= k, banded DP with early exit."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = i
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
+def _expand_from_memo(searcher, field: str, q: Q.Query) -> list[str] | None:
+    """Zero-job expansion against the preloaded term dictionary
+    (``preload_stats`` puts the whole vocabulary in driver memory — the
+    position Lucene's in-RAM FST occupies, so wildcard rewrite inside a
+    quoted phrase costs no Spark job at serving time). None when the
+    dictionary is not fully loaded or the leaf type is unsupported."""
+    if not getattr(searcher, "_stats_all_loaded", False):
+        return None
+    if isinstance(q, Q.PrefixQuery):
+        match = lambda t: t.startswith(q.prefix)  # noqa: E731
+    elif isinstance(q, Q.WildcardQuery):
+        rx = re.compile(
+            re.escape(q.pattern).replace("\\*", ".*").replace("\\?", ".") + "$"
+        )
+        match = lambda t: rx.match(t) is not None  # noqa: E731
+    elif isinstance(q, Q.RegexpQuery):
+        rx = re.compile("(" + q.regex + ")$")
+        match = lambda t: rx.match(t) is not None  # noqa: E731
+    elif isinstance(q, Q.FuzzyQuery):
+        pre = q.term[: q.prefix_length] if q.prefix_length > 0 else ""
+        match = lambda t: t.startswith(pre) and _lev_within(  # noqa: E731
+            t, q.term, q.max_edits
+        )
+    elif isinstance(q, Q.TermRangeQuery):
+        lo = q.lower.lower() if q.lower is not None else None
+        hi = q.upper.lower() if q.upper is not None else None
+
+        def match(t):
+            if lo is not None and (t < lo or (t == lo and not q.include_lower)):
+                return False
+            if hi is not None and (t > hi or (t == hi and not q.include_upper)):
+                return False
+            return True
+
+    else:
+        return None
+    out = []
+    for (fld, t) in searcher._stats_memo:
+        if fld == field and match(t):
+            out.append(t)
+            if len(out) > MAX_PHRASE_EXPANSIONS:
+                raise QueryParseError(
+                    f"too many terms ({len(out)}+) match {type(q).__name__} "
+                    f"inside a complex phrase; the cap is "
+                    f"{MAX_PHRASE_EXPANSIONS} (TooManyClauses semantics)"
+                )
+    return sorted(out)
+
+
 def _expand(searcher, field: str, q: Q.Query) -> list[str]:
     """Dictionary expansion of a multi-term leaf (the reference's
     indexSearcher.rewrite of each clause, :285) — same predicates the
-    searcher's own constant-score paths use."""
+    searcher's own constant-score paths use. Served from the preloaded
+    driver dictionary (zero Spark jobs) when available."""
+    memo = _expand_from_memo(searcher, field, q)
+    if memo is not None:
+        return memo
     ts = searcher.index.termstats.filter(F.col("field") == field)
     if isinstance(q, Q.PrefixQuery):
         pred = F.col("term").startswith(q.prefix)
@@ -382,10 +452,14 @@ def _exec_node(searchers, q: Q.Query, default_field: str,
     return s.matches(q).select("doc_id", F.lit(1.0).alias("score"))
 
 
-def execute(searchers, text: str, k: int = 10, default_field: str | None = None,
-            in_order: bool = True, fuzzy_prefix_length: int = 0,
-            analyzer=None) -> DataFrame:
-    """Parse + run a complex-phrase query -> top-k (doc_id, score)."""
+def scored(searchers, text: str, default_field: str | None = None,
+           in_order: bool = True, fuzzy_prefix_length: int = 0,
+           analyzer=None) -> DataFrame:
+    """Parse + plan a complex-phrase query -> UNRANKED (doc_id, score).
+
+    The pre-top-k plan, exposed so ``IndexSearcher.search_many`` can batch
+    N parsed queries into one ranked Spark job (per-query driver
+    scheduling, not decode volume, bounds sequential QPS — BENCH.md)."""
     if default_field is None:
         if isinstance(searchers, dict):
             raise ValueError("default_field required with a searcher dict")
@@ -395,8 +469,16 @@ def execute(searchers, text: str, k: int = 10, default_field: str | None = None,
         fuzzy_prefix_length=fuzzy_prefix_length,
     )
     ast = qp.parse(text)
+    return _exec_node(searchers, ast, default_field, fuzzy_prefix_length)
+
+
+def execute(searchers, text: str, k: int = 10, default_field: str | None = None,
+            in_order: bool = True, fuzzy_prefix_length: int = 0,
+            analyzer=None) -> DataFrame:
+    """Parse + run a complex-phrase query -> top-k (doc_id, score)."""
     return (
-        _exec_node(searchers, ast, default_field, fuzzy_prefix_length)
+        scored(searchers, text, default_field, in_order,
+               fuzzy_prefix_length, analyzer)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

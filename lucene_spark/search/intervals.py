@@ -456,7 +456,20 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             "left_semi",
         )
     if isinstance(src, Or):
-        parts = [_build(searcher, s) for s in src.sources]
+        # collapse pure-Term children into ONE postings scan/decode:
+        # a parser-expanded wildcard slot (complexphrase "s*" -> hundreds
+        # of SpanTerms -> Or) would otherwise union hundreds of separate
+        # decode subplans. Row-identical: each (doc, pos) of each term
+        # yields one single-position interval either way.
+        term_children = [s for s in src.sources if isinstance(s, Term)]
+        other = [s for s in src.sources if not isinstance(s, Term)]
+        parts: list[DataFrame] = []
+        if len(term_children) > 1:
+            terms = sorted({t.term for t in term_children})
+            parts.append(_multi_term_df(searcher, F.col("term").isin(terms)))
+        elif term_children:
+            parts.append(_term_df(searcher, term_children[0].term))
+        parts.extend(_build(searcher, s) for s in other)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

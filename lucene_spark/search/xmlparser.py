@@ -341,14 +341,23 @@ def _searcher_for(searchers, field):
     return searchers
 
 
-def execute(searchers, xml_text: str, k: int = 10,
-            default_field: str | None = None, analyzer=None) -> DataFrame:
-    """Parse + run an XML query -> top-k (doc_id, score)."""
+def scored(searchers, xml_text: str, default_field: str | None = None,
+           analyzer=None) -> DataFrame:
+    """Parse + plan an XML query -> UNRANKED (doc_id, score).
+
+    The pre-top-k plan, exposed so ``IndexSearcher.search_many`` can batch
+    N parsed queries into one ranked Spark job."""
     if default_field is None and not isinstance(searchers, dict):
         default_field = searchers.index.config.field_name
     ast = parse(xml_text, default_field, analyzer)
+    return _exec(searchers, ast, default_field)
+
+
+def execute(searchers, xml_text: str, k: int = 10,
+            default_field: str | None = None, analyzer=None) -> DataFrame:
+    """Parse + run an XML query -> top-k (doc_id, score)."""
     return (
-        _exec(searchers, ast, default_field)
+        scored(searchers, xml_text, default_field, analyzer)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

@@ -111,3 +111,33 @@ def test_expansion_cap(searchers, monkeypatch):
     # a slot within the cap still works
     monkeypatch.setattr(CP, "MAX_PHRASE_EXPANSIONS", 1024)
     assert _matches(searchers, '"jo*  smith"') == {1, 2}
+
+
+def test_memo_expansion_matches_job_expansion(searchers):
+    """Round-4: with the whole term dictionary preloaded in driver memory
+    (the in-RAM FST position), multi-term slot expansion is zero-job and
+    must agree exactly with the Spark-job path for every leaf type the
+    fixture grammar produces — including the expansion-cap error."""
+    # a SEPARATE searcher over the same index, dictionary preloaded —
+    # the un-preloaded fixture searchers keep taking the Spark-job path
+    s = IndexSearcher(searchers["name"].index)
+    assert s.preload_stats()  # tiny vocab: loads fully
+    assert not searchers["name"]._stats_all_loaded
+    fast_cases = [
+        '"j*   smyth~"', '"jo* [sma TO smZ]" ', '"jo*  smith"~2',
+        '"joh~"', '+"j*hn" +"sm*h"',
+    ]
+    for qstr in fast_cases:
+        fast = _matches({"name": s, "role": searchers["role"],
+                         "id": searchers["id"]}, qstr)
+        want = _matches(searchers, qstr)  # job-path expansion
+        assert fast == want, qstr
+    # the memo path enforces the same TooManyClauses cap
+    import lucene_spark.search.complexphrase as CPmod
+    old = CPmod.MAX_PHRASE_EXPANSIONS
+    CPmod.MAX_PHRASE_EXPANSIONS = 2
+    try:
+        with pytest.raises(QueryParseError, match="too many terms"):
+            CP.execute({"name": s}, '"jo* smith"', k=10, default_field="name")
+    finally:
+        CPmod.MAX_PHRASE_EXPANSIONS = old
