@@ -642,10 +642,24 @@ def make_filter(spec):
         from lucene_spark.analysis.icu import icu_normalize
 
         return icu_normalize
-    if spec == "snowball_en":
-        from lucene_spark.analysis.snowball import english_snowball_stem
+    if isinstance(spec, str) and spec.startswith("snowball_"):
+        from lucene_spark.analysis import snowball as sb
 
-        return english_snowball_stem
+        by_lang = {
+            "snowball_en": sb.english_snowball_stem,
+            "snowball_de": sb.german_snowball_stem,
+            "snowball_fr": sb.french_snowball_stem,
+            "snowball_nl": sb.dutch_snowball_stem,
+            "snowball_ru": sb.russian_snowball_stem,
+            "snowball_sv": sb.swedish_snowball_stem,
+            "snowball_no": sb.norwegian_snowball_stem,
+            "snowball_da": sb.danish_snowball_stem,
+            "snowball_es": sb.spanish_snowball_stem,
+            "snowball_it": sb.italian_snowball_stem,
+            "snowball_pt": sb.portuguese_snowball_stem,
+        }
+        if spec in by_lang:
+            return by_lang[spec]
     if isinstance(spec, str) and spec.startswith("phonetic_"):
         from lucene_spark.analysis import phonetic as ph
 

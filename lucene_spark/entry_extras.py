@@ -2665,3 +2665,150 @@ def parent_children_block_join(spark, sf_dir):
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy(F.asc("l_linenumber"))
     )
+
+
+# ---- XYShape / Tessellator (document/XYShape.java, geo/Tessellator.java:78)
+
+_SHAPE_CACHE: dict = {}
+
+
+def _shape_params_sql() -> str:
+    """The deterministic supplier->shape mapping, as SQL the oracle
+    re-derives independently: supplier k owns a square of half-size
+    h = 0.3 + (k mod 3) * 0.2 centered at (k mod 8, k // 8); every
+    k mod 3 == 0 supplier's square carries a centered hole of half-size
+    h/2. All bounds sit >= 0.05 away from every query coordinate, so the
+    float comparisons are decision-stable on both engines."""
+    return (
+        "SELECT CAST(s_suppkey AS BIGINT) AS k,"
+        " CAST(s_suppkey % 8 AS DOUBLE) AS cx,"
+        " CAST(s_suppkey // 8 AS DOUBLE) AS cy,"
+        " 0.3 + CAST(s_suppkey % 3 AS DOUBLE) * 0.2 AS h,"
+        " (s_suppkey % 3 = 0) AS has_hole"
+        " FROM supplier WHERE s_suppkey <= 40"
+    )
+
+
+def _get_shape_tables(spark, sf_dir):
+    """Index-time tessellation of the supplier-derived polygons
+    (XYShape.createIndexableFields): the Spark side answers every
+    relation from TRIANGLE rows; the oracle never sees triangles — it
+    re-derives containment geometrically from the square+hole params."""
+    if sf_dir not in _SHAPE_CACHE:
+        from lucene_spark.entry_impl import _docs
+        from lucene_spark.search.shapes import build_shape_tables
+
+        rows = (
+            _docs(spark, sf_dir, "supplier")
+            .filter("s_suppkey <= 40")
+            .select("s_suppkey")
+            .collect()
+        )
+        shapes = []
+        for r in rows:
+            k = int(r["s_suppkey"])
+            cx, cy = float(k % 8), float(k // 8)
+            h = 0.3 + float(k % 3) * 0.2
+            outer = [
+                (cx - h, cy - h), (cx + h, cy - h),
+                (cx + h, cy + h), (cx - h, cy + h),
+            ]
+            holes = None
+            if k % 3 == 0:
+                hh = h / 2.0
+                holes = [[
+                    (cx - hh, cy - hh), (cx + hh, cy - hh),
+                    (cx + hh, cy + hh), (cx - hh, cy + hh),
+                ]]
+            shapes.append((k, outer, holes))
+        tris, edges = build_shape_tables(spark, shapes)
+        _SHAPE_CACHE[sf_dir] = (tris.persist(), edges.persist())
+    return _SHAPE_CACHE[sf_dir]
+
+
+_SHAPE_PROBES = [
+    (2.0, 1.0),    # center of suppkey 10 (no hole)
+    (3.0, 0.0),    # center of suppkey 3 — strictly inside its HOLE
+    (2.45, 1.0),   # overlap region of suppkeys 10 and 11
+    (4.2, 1.0),    # inside suppkey 12's ring (outside its hole)
+    (0.45, 0.45),  # inside suppkey 8 only (k=0's square ends 0.15 away)
+]
+
+_SHAPE_PROBE_VALUES = ", ".join(
+    f"(CAST({x} AS DOUBLE), CAST({y} AS DOUBLE))" for x, y in _SHAPE_PROBES
+)
+
+
+@register(
+    "shape_point_intersects",
+    f"""
+WITH params AS ({_shape_params_sql()}),
+probes(px, py) AS (VALUES {_SHAPE_PROBE_VALUES})
+SELECT p.px AS px, p.py AS py, s.k AS doc_id
+FROM probes p JOIN params s
+  ON abs(p.px - s.cx) <= s.h AND abs(p.py - s.cy) <= s.h
+ AND NOT (s.has_hole AND abs(p.px - s.cx) < s.h / 2
+                     AND abs(p.py - s.cy) < s.h / 2)
+ORDER BY px, py, doc_id
+""".strip(),
+)
+def shape_point_intersects(spark, sf_dir):
+    """Indexed-shape point queries (XYShape.newPointQuery /
+    SpatialQuery INTERSECTS): five probe points against tessellated
+    supplier polygons-with-holes. The Spark plan evaluates the
+    point-in-triangle sign test over triangle rows — pure codegen
+    arithmetic, no Python at query time; the oracle derives the same
+    relation from the square geometry, so a hash match proves the
+    TESSELLATION (ear clipping + hole bridging) and the relation SQL
+    together."""
+    tris, _ = _get_shape_tables(spark, sf_dir)
+    from lucene_spark.search.shapes import point_intersects
+
+    parts = []
+    for (px, py) in _SHAPE_PROBES:
+        parts.append(
+            point_intersects(tris, px, py).select(
+                F.lit(float(px)).alias("px"),
+                F.lit(float(py)).alias("py"),
+                F.col("doc_id"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("px", "py", "doc_id")
+
+
+@register(
+    "shape_bbox_intersects",
+    f"""
+WITH params AS ({_shape_params_sql()}),
+boxes(box_id, x1, y1, x2, y2) AS (VALUES
+  (1, CAST(0.8 AS DOUBLE), CAST(-0.2 AS DOUBLE),
+      CAST(2.2 AS DOUBLE), CAST(0.4 AS DOUBLE)),
+  (2, CAST(2.95 AS DOUBLE), CAST(-0.05 AS DOUBLE),
+      CAST(3.05 AS DOUBLE), CAST(0.05 AS DOUBLE)))
+SELECT b.box_id AS box_id, s.k AS doc_id
+FROM boxes b JOIN params s
+  ON s.cx - s.h <= b.x2 AND s.cx + s.h >= b.x1
+ AND s.cy - s.h <= b.y2 AND s.cy + s.h >= b.y1
+ AND NOT (s.has_hole AND b.x1 > s.cx - s.h / 2 AND b.x2 < s.cx + s.h / 2
+                     AND b.y1 > s.cy - s.h / 2 AND b.y2 < s.cy + s.h / 2)
+ORDER BY box_id, doc_id
+""".strip(),
+)
+def shape_bbox_intersects(spark, sf_dir):
+    """Indexed-shape box queries (XYShape.newBoxQuery INTERSECTS):
+    box 1 straddles two shapes; box 2 sits strictly inside suppkey 3's
+    hole, so the triangle relation must report NOTHING for it — the
+    hole semantics only exist if tessellation carved the hole out."""
+    tris, _ = _get_shape_tables(spark, sf_dir)
+    from lucene_spark.search.shapes import bbox_intersects
+
+    b1 = bbox_intersects(tris, 0.8, -0.2, 2.2, 0.4).select(
+        F.lit(1).alias("box_id"), "doc_id"
+    )
+    b2 = bbox_intersects(tris, 2.95, -0.05, 3.05, 0.05).select(
+        F.lit(2).alias("box_id"), "doc_id"
+    )
+    return b1.unionByName(b2).orderBy("box_id", "doc_id")

@@ -1099,9 +1099,9 @@ _PRIORITY = [
     "dedup_exact",
     "curation_pipeline",
     "dedup_duplicate_clusters",
-    "dedup_simhash_pairs",
+    "shape_point_intersects",
     "bloom_term_lookup",
-    "text_token_stats",
+    "shape_bbox_intersects",
     "lm_dirichlet_query",
     "fuzzy_like_this_query",
     "phonetic_query",

@@ -223,6 +223,15 @@ class Monitor:
         self._entries: dict[str, Q.Query] = {}
         #: query_ids verified by MemoryIndex (nested / sloppy / mixed trees)
         self._complex: set[str] = set()
+        #: when True, match_batch records presearcher selectivity evidence
+        #: in last_match_stats: {"n_queries", "n_docs", "candidate_pairs",
+        #: "total_pairs"} — candidate_pairs is the distinct (query, doc)
+        #: set the term-filtered presearcher forwards to verification
+        #: (TermFilteredPresearcher.java's role: candidates / total is the
+        #: number that keeps 10^5 standing queries tractable). Costs extra
+        #: count jobs; leave off in production.
+        self.collect_stats = False
+        self.last_match_stats: dict | None = None
 
     @staticmethod
     def _is_flat(query: Q.Query) -> bool:
@@ -408,6 +417,16 @@ class Monitor:
             )
         qt = F.broadcast(terms_df)
         j = toks.join(qt, "term")
+        if self.collect_stats:
+            n_docs = docs.count()
+            self.last_match_stats = {
+                "n_queries": len(self._entries),
+                "n_docs": n_docs,
+                "candidate_pairs": j.select("query_id", "doc_id")
+                .distinct()
+                .count(),
+                "total_pairs": len(self._entries) * n_docs,
+            }
         # term/boolean semantics: ALL required terms present AND >= msm
         # distinct SHOULD terms (the two counts must combine with AND —
         # counting them in one per-kind group would accept either alone)

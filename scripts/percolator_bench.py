@@ -1,0 +1,127 @@
+"""Percolator (Monitor) scale bench: a 10^4-10^5 standing-query set
+matched against a microbatch, reporting presearcher selectivity and wall.
+
+The reference's presearcher exists precisely because production standing-
+query sets reach 10^5 (``monitor/.../TermFilteredPresearcher.java``): the
+query-term table keeps the candidate (query, doc) pairs a tiny fraction
+of |Q| x |D|. This script evidences that the Spark expression — one
+broadcast term-table join against the tokenized batch — has the same
+shape: selectivity = candidate_pairs / total_pairs, plus match wall.
+
+Usage: python scripts/percolator_bench.py       [prints ONE JSON line]
+Env: PERC_N_QUERIES (default 20000), PERC_N_DOCS (default 1000),
+     PERC_CPUS (default 16).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_queries = int(os.environ.get("PERC_N_QUERIES", "20000"))
+    n_docs = int(os.environ.get("PERC_N_DOCS", "1000"))
+    cpus = int(os.environ.get("PERC_CPUS", "16"))
+
+    from pyspark.sql import SparkSession
+
+    from lucene_spark.search import query as Q
+    from lucene_spark.streaming.monitor import Monitor
+    from lucene_spark.testing.corpus import generate_corpus
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # microbatch: the input-hint documents schema
+    pdf = generate_corpus(n_docs, seed=99)
+    pdf["doc_id"] = pdf.index
+    docs = spark.createDataFrame(pdf[["doc_id", "content"]])
+
+    # standing queries drawn from the corpus vocabulary (so a realistic
+    # fraction actually matches): 60% single terms, 25% AND pairs,
+    # 10% exact phrases, 5% prefixes (presearcher-expanded)
+    vocab = sorted(
+        {t for text in pdf["content"].head(200) for t in text.split()}
+    )
+    rng = random.Random(7)
+    mon = Monitor()
+    t0 = time.time()
+    for i in range(n_queries):
+        r = rng.random()
+        if r < 0.60:
+            mon.register(f"q{i}", Q.TermQuery("content", rng.choice(vocab)))
+        elif r < 0.85:
+            mon.register(
+                f"q{i}",
+                Q.BooleanQuery.of(
+                    must=[
+                        Q.TermQuery("content", rng.choice(vocab)),
+                        Q.TermQuery("content", rng.choice(vocab)),
+                    ]
+                ),
+            )
+        elif r < 0.95:
+            mon.register(
+                f"q{i}",
+                Q.PhraseQuery(
+                    "content", (rng.choice(vocab), rng.choice(vocab))
+                ),
+            )
+        else:
+            mon.register(
+                f"q{i}",
+                Q.PrefixQuery("content", rng.choice(vocab)[:3] or "a"),
+            )
+    register_sec = time.time() - t0
+
+    # stats pass (untimed): presearcher selectivity
+    mon.collect_stats = True
+    matches = mon.match_batch(docs, text_col="content").count()
+    stats = dict(mon.last_match_stats or {})
+    mon.collect_stats = False
+
+    # timed steady-state: one warm pass already ran above
+    best = float("inf")
+    for _ in range(2):
+        t = time.time()
+        n = mon.match_batch(docs, text_col="content").count()
+        best = min(best, time.time() - t)
+
+    out = {
+        "metric": "percolator_match_batch",
+        "n_queries": n_queries,
+        "n_docs": n_docs,
+        "cpus": cpus,
+        "register_sec": round(register_sec, 2),
+        "match_sec": round(best, 3),
+        "matches": matches,
+        "docs_per_sec": round(n_docs / best, 1),
+        "query_doc_pairs_per_sec": round(n_queries * n_docs / best, 0),
+        "presearcher": {
+            **stats,
+            "selectivity": (
+                round(stats["candidate_pairs"] / stats["total_pairs"], 6)
+                if stats.get("total_pairs")
+                else None
+            ),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -928,3 +928,82 @@ def test_czech_bulgarian_reference_fixtures():
         for word, want in pairs:
             got = fn(word.lower())
             assert got == want, (path, word, got, want)
+
+
+@pytest.mark.parametrize(
+    "spec,texts,query_word",
+    [
+        (
+            "snowball_de",
+            [
+                "die kinder und ihre häuser",
+                "ein kind im haus",
+                "dem kinde gehört das haus",
+                "nichts relevantes hier",
+                "kind kind kind",
+            ],
+            "kinder",
+        ),
+        (
+            "snowball_fr",
+            [
+                "il continuellement chante",
+                "elle continuel aussi",
+                "nous continuelles chansons",
+                "rien d'important ici",
+                "continuel continuel continuel",
+            ],
+            "continuellement",
+        ),
+        (
+            "snowball_nl",
+            [
+                "de boeken liggen op tafel",
+                "een boek per dag",
+                "die boekes zijn mooi",
+                "niets relevants hier",
+                "boek boek boek",
+            ],
+            "boeken",
+        ),
+        (
+            "snowball_ru",
+            [
+                "он читал книгами весь день",
+                "эта книга интересна",
+                "много книг на полке",
+                "ничего важного здесь",
+                "книга книга книга",
+            ],
+            "книгами",
+        ),
+    ],
+    ids=["de", "fr", "nl", "ru"],
+)
+def test_snowball_round4_index_rank_identity(spark, spec, texts, query_word):
+    """Round-4 Snowball chains (German/French/Dutch/Russian) as
+    FilteredAnalyzer specs: an index analyzed with each stemmer matches
+    the pure-Python oracle under the same chain, querying by a stemmed
+    inflected form."""
+    from lucene_spark.analysis.filters import make_filter
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+    from tests.oracle import OracleIndex
+
+    an = FilteredAnalyzer(filters=(spec,))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    cfg = IndexConfig(doc_id_col="doc_id", docs_per_segment=4, analyzer=an)
+    idx = build_index(spark, docs, cfg)
+    s = IndexSearcher(idx)
+    oracle = OracleIndex({i: t for i, t in enumerate(texts)}, analyzer=an)
+    q_term = make_filter(spec)(query_word)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in s.search(Q.TermQuery("content", q_term), k=5).collect()
+    ]
+    want = oracle.top_k(oracle.term_scores(q_term), 5)
+    assert got == want
+    assert len(got) >= 2  # the stem unifies >= 2 surface forms

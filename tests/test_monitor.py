@@ -290,3 +290,39 @@ def test_covering_set_extraction():
     )
     terms, pats, anytok = _covering(mixed)
     assert terms == frozenset(["anchor"]) and not anytok
+
+
+def test_presearcher_candidate_pair_counts(spark, docs):
+    """Round-4: presearcher selectivity evidence is pinned — the
+    term-filtered candidate set (distinct (query, doc) pairs sharing at
+    least one term) has an exactly predictable size on this fixture,
+    and it is a strict subset of |Q| x |D|."""
+    m = Monitor()
+    m.register("q_spark", Q.TermQuery("text", "spark"))       # docs 0,2
+    m.register("q_tables", Q.TermQuery("text", "tables"))     # docs 0,1
+    m.register(
+        "q_and",
+        Q.BooleanQuery.of(
+            must=[Q.TermQuery("text", "spark"), Q.TermQuery("text", "window")]
+        ),
+    )  # candidates: docs 0,2 (spark) + 2 (window) -> pairs {0,2}
+    m.register("q_ph", Q.PhraseQuery("text", ("order", "line")))  # doc 3
+    m.collect_stats = True
+    got = {
+        (r["query_id"], int(r["doc_id"]))
+        for r in m.match_batch(docs).collect()
+    }
+    stats = m.last_match_stats
+    assert stats is not None
+    assert stats["n_queries"] == 4 and stats["n_docs"] == 4
+    assert stats["total_pairs"] == 16
+    # q_spark: docs 0,2 | q_tables: docs 0,1 | q_and: docs 0,2 | q_ph: doc 3
+    assert stats["candidate_pairs"] == 7
+    assert stats["candidate_pairs"] < stats["total_pairs"]
+    # verification keeps only true matches
+    assert got == {
+        ("q_spark", 0), ("q_spark", 2),
+        ("q_tables", 0), ("q_tables", 1),
+        ("q_and", 2),
+        ("q_ph", 3),
+    }

@@ -1,0 +1,96 @@
+"""Dictionary-segmentation seam (the kuromoji/nori ROLE,
+``analysis/kuromoji/.../JapaneseTokenizer.java:96``): greedy longest-match
+over an external word dictionary, pluggable as IndexConfig.analyzer. The
+CJK-bigram fallback path is pinned unchanged by tests/test_filters.py's
+CJK suite."""
+
+import pytest
+
+from lucene_spark.analysis.segmenter import DictionarySegmenter
+
+JA_WORDS = frozenset(
+    {"東京", "大学", "東京大学", "日本", "日本語", "勉強", "する",
+     "学生", "関西国際空港", "空港"}
+)
+
+
+def seg():
+    return DictionarySegmenter(words=JA_WORDS)
+
+
+def test_longest_match_wins():
+    # 東京大学 (4 chars, in dict) beats 東京 + 大学
+    assert seg().terms("東京大学") == ["東京大学"]
+    assert seg().terms("関西国際空港") == ["関西国際空港"]
+
+
+def test_unknown_chars_fall_back_to_singles():
+    assert seg().terms("私は日本語") == ["私", "は", "日本語"]
+
+
+def test_mixed_script_delegates_to_standard():
+    assert seg().terms("Spark入門 guide 2024") == [
+        "spark", "入門"[0], "入門"[1], "guide", "2024"
+    ]
+
+
+def test_positions_sequential_and_offsets_span_source():
+    toks = seg().tokens("日本語abc東京")
+    assert [(t.term, t.position) for t in toks] == [
+        ("日本語", 0), ("abc", 1), ("東京", 2)
+    ]
+    text = "日本語abc東京"
+    for t in toks:
+        assert text[t.start_offset : t.end_offset] == t.term
+
+
+def test_stopwords_leave_position_gaps():
+    s = DictionarySegmenter(words=JA_WORDS, stopwords=frozenset({"する"}))
+    toks = s.tokens("勉強する日本語")
+    assert [(t.term, t.position) for t in toks] == [("勉強", 0), ("日本語", 2)]
+
+
+def test_ja_corpus_indexes_and_phrase_matches(spark):
+    """Verdict item 7 done-criterion: a JA fixture corpus indexes through
+    the segmenter and a (dictionary-word) phrase query matches — and the
+    result is rank-identical to the pure-Python oracle under the SAME
+    analyzer."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+    from tests.oracle import OracleIndex
+
+    texts = [
+        "私は東京大学で日本語を勉強する",
+        "東京大学の学生です",
+        "日本語の勉強は楽しい",
+        "関西国際空港から東京へ",
+        "nothing japanese here",
+    ]
+    an = seg()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    cfg = IndexConfig(doc_id_col="doc_id", docs_per_segment=4, analyzer=an)
+    idx = build_index(spark, docs, cfg)
+    s = IndexSearcher(idx)
+    oracle = OracleIndex({i: t for i, t in enumerate(texts)}, analyzer=an)
+
+    # term query on a segmented WORD (not a single ideograph)
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in s.search(Q.TermQuery("content", "東京大学"), k=5).collect()
+    ]
+    assert got == oracle.top_k(oracle.term_scores("東京大学"), 5)
+    assert sorted(d for d, _ in got) == [0, 1]
+
+    # phrase over two consecutive dictionary words
+    phrase = Q.PhraseQuery("content", ("日本語", "を"))
+    hits = {int(r["doc_id"]) for r in s.search(phrase, k=5).collect()}
+    assert hits == {0}
+
+
+def test_from_dataframe_builds_dictionary(spark):
+    df = spark.createDataFrame([("東京",), ("大学",)], "word string")
+    s = DictionarySegmenter.from_dataframe(df)
+    assert s.terms("東京大学") == ["東京", "大学"]  # no 4-char entry here
