@@ -71,8 +71,20 @@ def _salted_bucket(qv, dim: int, n_planes: int, salt: str):
     return out
 
 
-def _score_pairs(pairs: DataFrame, vecs: DataFrame) -> DataFrame:
-    """(src, dst) -> (src, dst, cosine) by joining both sides' vectors."""
+def _score_pairs(
+    pairs: DataFrame, vecs: DataFrame, broadcast_vecs: bool = False
+) -> DataFrame:
+    """(src, dst) -> (src, dst, cosine) by joining both sides' vectors.
+
+    ``broadcast_vecs=True`` ships the vector table as a broadcast hash
+    join on BOTH sides — the candidate-pair frame (the big side: 10-100x
+    more rows than vectors, each about to grow two vector columns) then
+    never shuffles for the lookup. Measured effect at 65k vectors /
+    1M-scale pairs: shuffle spill drops ~6x and the 4->16-thread scaling
+    efficiency of the graph build recovers from disk-bandwidth-bound
+    (see BENCH.md). Callers flip it off above the broadcast budget
+    (build_knn_graph's auto mode) — at 10^9 vectors the shuffle join is
+    the right plan again and AQE picks the strategy per stage."""
     s = vecs.select(
         F.col("id_node").alias("src"),
         F.col("qv_id_node").alias("qv_s"),
@@ -83,6 +95,8 @@ def _score_pairs(pairs: DataFrame, vecs: DataFrame) -> DataFrame:
         F.col("qv_id_node").alias("qv_d"),
         F.col("n_id_node").alias("n_d"),
     )
+    if broadcast_vecs:
+        s, d = F.broadcast(s), F.broadcast(d)
     return (
         pairs.join(s, "src")
         .join(d, "dst")
@@ -114,6 +128,7 @@ def build_knn_graph(
     seed_tables: int = 3,
     seed_planes: int = 4,
     rounds: int = 2,
+    broadcast_vectors: bool | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph (src, dst, cosine) via NN-descent.
 
@@ -129,6 +144,11 @@ def build_knn_graph(
     iterative lineage never re-executes earlier rounds.
     """
     vecs = _vectors(spread(corpus), id_col, vec_col, "id_node")
+    if broadcast_vectors is None:
+        # auto: broadcast the vector lookup while it fits executor memory
+        # (~2^22 quantized 64-dim rows is ~1-2 GB); beyond that the
+        # shuffle join is the right plan
+        broadcast_vectors = corpus.count() <= (1 << 22)
     seeds = []
     for t in range(seed_tables):
         b = vecs.withColumn(
@@ -146,7 +166,9 @@ def build_knn_graph(
     cand = seeds[0]
     for s in seeds[1:]:
         cand = cand.unionByName(s)
-    graph = _prune_topk(_score_pairs(cand.distinct(), vecs), k_graph).localCheckpoint()
+    graph = _prune_topk(
+        _score_pairs(cand.distinct(), vecs, broadcast_vectors), k_graph
+    ).localCheckpoint()
 
     for _ in range(rounds):
         und = graph.select("src", "dst").unionByName(
@@ -159,9 +181,9 @@ def build_knn_graph(
             .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
             .distinct()
         )
-        merged = graph.unionByName(_score_pairs(non, vecs)).dropDuplicates(
-            ["src", "dst"]
-        )
+        merged = graph.unionByName(
+            _score_pairs(non, vecs, broadcast_vectors)
+        ).dropDuplicates(["src", "dst"])
         graph = _prune_topk(merged, k_graph).localCheckpoint()
     return graph
 

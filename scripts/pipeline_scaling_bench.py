@@ -135,6 +135,7 @@ def run_once(cpus: int) -> dict:
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        ops = os.environ.get("PSB_OPS", "minhash,curation,graph").split(",")
         docs = spark.read.parquet(text_dir)
         n_docs = docs.count()
         emb = spark.read.parquet(vec_dir)
@@ -142,23 +143,26 @@ def run_once(cpus: int) -> dict:
         seed_planes = max(4, int(math.log2(max(n_vecs, 512) / 256)))
         out: dict = {"cpus": cpus, "n_docs": n_docs, "n_vecs": n_vecs}
 
-        t = time.time()
-        out["minhash_pairs"] = dedup.minhash_lsh_pairs(
-            docs, text_col="content", num_perm=16, bands=4
-        ).count()
-        out["minhash_sec"] = round(time.time() - t, 2)
+        if "minhash" in ops:
+            t = time.time()
+            out["minhash_pairs"] = dedup.minhash_lsh_pairs(
+                docs, text_col="content", num_perm=16, bands=4
+            ).count()
+            out["minhash_sec"] = round(time.time() - t, 2)
 
-        t = time.time()
-        out["curation_rows"] = curate_corpus(docs, text_col="content").count()
-        out["curation_sec"] = round(time.time() - t, 2)
+        if "curation" in ops:
+            t = time.time()
+            out["curation_rows"] = curate_corpus(docs, text_col="content").count()
+            out["curation_sec"] = round(time.time() - t, 2)
 
-        t = time.time()
-        g = graph_ann.build_knn_graph(
-            emb, id_col="vec_id", k_graph=8, dim=64, seed_planes=seed_planes
-        )
-        out["graph_edges"] = g.count()
-        out["graph_sec"] = round(time.time() - t, 2)
-        out["seed_planes"] = seed_planes
+        if "graph" in ops:
+            t = time.time()
+            g = graph_ann.build_knn_graph(
+                emb, id_col="vec_id", k_graph=8, dim=64, seed_planes=seed_planes
+            )
+            out["graph_edges"] = g.count()
+            out["graph_sec"] = round(time.time() - t, 2)
+            out["seed_planes"] = seed_planes
         return out
     finally:
         spark.stop()
@@ -212,12 +216,14 @@ def main() -> None:
                 best[cpus] = r
             else:
                 for k in ("minhash_sec", "curation_sec", "graph_sec"):
-                    best[cpus][k] = min(best[cpus][k], r[k])
+                    if k in r:
+                        best[cpus][k] = min(best[cpus][k], r[k])
     r_lo, r_hi = best[lo], best[hi]
     ratio = hi // lo
     effs = {
         op: round((r_lo[f"{op}_sec"] / r_hi[f"{op}_sec"]) / ratio, 3)
         for op in ("minhash", "curation", "graph")
+        if f"{op}_sec" in r_lo
     }
     print(
         json.dumps(

@@ -131,9 +131,9 @@ def test_bbox_disjoint_relation(shape_tables):
 
 def test_bbox_contains_relation(shape_tables):
     tris, edges = shape_tables
-    # small box deep inside the square: contained by 0; NOT by 2 (hole
-    # overlaps), NOT by 1 (box crosses the L's notch boundary)
-    assert _ids(bbox_contains(tris, edges, 0.2, 0.2, 1.8, 1.8)) == [0]
+    # small box deep inside the square AND inside the L's lower arm:
+    # contained by 0 and 1; NOT by 2 (its hole boundary crosses the box)
+    assert _ids(bbox_contains(tris, edges, 0.2, 0.2, 1.8, 1.8)) == [0, 1]
     # box inside both the square and the L's lower arm
     assert _ids(bbox_contains(tris, edges, 0.2, 0.2, 1.5, 1.5)) == [0, 1]
     # box partly outside everything
@@ -145,9 +145,12 @@ def test_bbox_contains_relation(shape_tables):
 def test_point_intersects_relation(shape_tables):
     tris, _ = shape_tables
     assert _ids(point_intersects(tris, 0.5, 0.5)) == [0, 1, 2]
-    assert _ids(point_intersects(tris, 2.0, 2.0)) == [0, 1, 2]  # hole corner
+    # the hole's CENTER (strictly inside -> doc 2 out); the L's reflex
+    # corner (boundary -> doc 1 in)
+    assert _ids(point_intersects(tris, 2.0, 2.0)) == [0, 1]
     assert _ids(point_intersects(tris, 3.5, 3.5)) == [0, 2]  # outside the L
-    assert _ids(point_intersects(tris, 2.0, 2.5)) == [0, 2]  # in hole? no: x=2 edge
+    # ON the L's notch edge (closed), strictly INSIDE doc 2's hole
+    assert _ids(point_intersects(tris, 2.0, 2.5)) == [0, 1]
     assert _ids(point_intersects(tris, 12, 12)) == [3]
     assert _ids(point_intersects(tris, 50, 50)) == []
 
