@@ -2812,3 +2812,36 @@ def shape_bbox_intersects(spark, sf_dir):
         F.lit(2).alias("box_id"), "doc_id"
     )
     return b1.unionByName(b2).orderBy("box_id", "doc_id")
+
+
+# ---- AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester.java:100) ----
+
+
+@register(
+    "analyzing_suggest_query",
+    """
+WITH s AS (
+  SELECT p_name AS text, p_retailprice AS weight,
+         array_to_string(regexp_extract_all(lower(p_name), '[a-z0-9_]+'),
+                         chr(31)) AS an
+  FROM part
+)
+SELECT text, weight FROM s
+WHERE starts_with(an, 'small' || chr(31) || 'w')
+ORDER BY (an = 'small' || chr(31) || 'w') DESC, weight DESC, text ASC
+LIMIT 5
+""".strip(),
+)
+def analyzing_suggest_query(spark, sf_dir):
+    """Analyzed-completion lookup (AnalyzingSuggester.java:100): the key
+    'small w' analyzes to small<sep>w and completes every part name whose
+    ANALYZED form starts with it (PRESERVE_SEP on — 'smallw...' one-token
+    names would not match), surface forms returned weight-ranked. The
+    oracle re-derives the analyzed form with DuckDB's own tokenizer."""
+    from lucene_spark.entry_impl import _docs
+    from lucene_spark.search.extras import analyzing_suggest
+
+    part = _docs(spark, sf_dir, "part").select(
+        F.col("p_name").alias("text"), F.col("p_retailprice").alias("weight")
+    )
+    return analyzing_suggest(part, "small w", n=5, preserve_sep=True)

@@ -1195,3 +1195,60 @@ def fuzzy_like_this(
         .limit(k)
     )
 
+
+
+def analyzing_suggest(
+    suggestions: DataFrame,
+    key: str,
+    n: int = 5,
+    text_col: str = "text",
+    weight_col: str = "weight",
+    preserve_sep: bool = True,
+    exact_first: bool = True,
+) -> DataFrame:
+    """AnalyzingSuggester lookup
+    (``suggest/analyzing/AnalyzingSuggester.java:100``): both the stored
+    suggestions and the typed key pass through the ANALYZER, matching
+    happens on the analyzed form by PREFIX, and the ORIGINAL surface
+    forms come back ranked by weight — the property that makes
+    "nirvana" complete from "nirv" even when the surface says "Nirvana".
+
+    - ``preserve_sep`` (the suggester's PRESERVE_SEP flag, :141): True
+      keeps a separator byte between analyzed tokens, so "mega c"
+      completes "mega corp" but NOT "megacorp"; False strips separators
+      so both complete.
+    - ``exact_first`` (:135): an exact analyzed match outranks every
+      longer completion regardless of weight.
+
+    Plan: ONE scan of the suggestion table — the analyzed form is a
+    codegen expression (JVM ``sql_tokens`` + array_join, the analyzed
+    TokenStream-to-bytes role), the prefix test a string predicate, and
+    top-n a TakeOrdered. The FST itself is an in-RAM lookup structure
+    the reference needs for microsecond latency; at Spark scale the
+    analyzed-form COLUMN is the same information laid out for a scan,
+    and serving deployments persist/bucket the suggestion table instead.
+    Analyzer scope: the JVM StandardAnalyzer chain (the twin of the
+    Python default); custom per-token filters normalize ``text_col``
+    upstream.
+    """
+    from lucene_spark.analysis.tokenizer import StandardAnalyzer
+
+    sep = "\x1f" if preserve_sep else ""
+    analyzed = F.array_join(sql_tokens(F.col(text_col)), sep)
+    key_an = sep.join(StandardAnalyzer().terms(key))
+    hit = suggestions.filter(analyzed.startswith(key_an))
+    exact = (
+        (analyzed == F.lit(key_an)).cast("int")
+        if exact_first
+        else F.lit(0)
+    )
+    return (
+        hit.select(
+            text_col,
+            weight_col,
+            exact.alias("_exact"),
+        )
+        .orderBy(F.desc("_exact"), F.desc(weight_col), F.asc(text_col))
+        .drop("_exact")
+        .limit(n)
+    )

@@ -99,3 +99,44 @@ def test_explanation_must_not_excludes(spark):
     assert float(e["score"]) == 0.0
     # the anti-join plan agrees: the doc is not in the result set
     assert s.scored(q).filter(F.col("doc_id") == doc_id).count() == 0
+
+
+def test_analyzing_suggest_semantics(spark):
+    """AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester.java:100):
+    analyzed-prefix completion returns ORIGINAL surface forms by weight;
+    PRESERVE_SEP separates "mega corp" from "megacorp"; exactFirst puts
+    the exact analyzed match ahead of heavier completions."""
+    from lucene_spark.search.extras import analyzing_suggest
+
+    sugg = spark.createDataFrame(
+        [
+            ("Mega Corp", 10),
+            ("megacorp", 50),
+            ("Mega Corporation", 30),
+            ("megabyte", 5),
+            ("other thing", 99),
+        ],
+        "text string, weight int",
+    )
+
+    def texts(df):
+        return [r["text"] for r in df.collect()]
+
+    # preserve_sep: "mega c" analyzed = mega<sep>c -> completes the
+    # two-token forms only, weight-ranked
+    got = texts(analyzing_suggest(sugg, "mega c", preserve_sep=True))
+    assert got == ["Mega Corporation", "Mega Corp"]
+    # without separators "megac" also completes "megacorp" (heaviest)
+    got = texts(analyzing_suggest(sugg, "mega c", preserve_sep=False))
+    assert got == ["megacorp", "Mega Corporation", "Mega Corp"]
+    # exactFirst: exact analyzed match outranks the heavier completion
+    got = texts(analyzing_suggest(sugg, "Mega Corp", preserve_sep=True))
+    assert got[0] == "Mega Corp" and "Mega Corporation" in got
+    # exact_first off: pure weight order
+    got = texts(
+        analyzing_suggest(sugg, "Mega Corp", preserve_sep=True, exact_first=False)
+    )
+    assert got == ["Mega Corporation", "Mega Corp"]
+    # case-insensitive analyzed matching returns the cased surface
+    got = texts(analyzing_suggest(sugg, "MEGA", preserve_sep=True))
+    assert set(got) >= {"Mega Corp", "Mega Corporation"}
