@@ -56,12 +56,23 @@ def main() -> None:
     vocab = sorted(
         {t for text in pdf["content"].head(200) for t in text.split()}
     )
+    # optional COMPLEX-tier fraction (covering-set presearch + MemoryIndex
+    # verification): sloppy phrases are routed to Monitor._complex
+    complex_pct = float(os.environ.get("PERC_COMPLEX_PCT", "0")) / 100.0
+
     rng = random.Random(7)
     mon = Monitor()
     t0 = time.time()
     for i in range(n_queries):
         r = rng.random()
-        if r < 0.60:
+        if r < complex_pct:
+            mon.register(
+                f"q{i}",
+                Q.PhraseQuery(
+                    "content", (rng.choice(vocab), rng.choice(vocab)), slop=1
+                ),
+            )
+        elif r < 0.60:
             mon.register(f"q{i}", Q.TermQuery("content", rng.choice(vocab)))
         elif r < 0.85:
             mon.register(
@@ -103,6 +114,7 @@ def main() -> None:
     out = {
         "metric": "percolator_match_batch",
         "n_queries": n_queries,
+        "n_complex": len(mon._complex),
         "n_docs": n_docs,
         "cpus": cpus,
         "register_sec": round(register_sec, 2),
