@@ -386,3 +386,169 @@ def point_intersects(tris: DataFrame, x: float, y: float) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+
+
+# ------------------------------------------------- polygon query geometries
+
+
+def _pt_in_const_tri(xc, yc, tri) -> "F.Column":
+    """Row point (xc, yc) inside the CONSTANT triangle (closed)."""
+    ax, ay, bx, by, cx, cy = (F.lit(float(v)) for v in tri)
+
+    def area2(x1, y1, x2, y2, x3, y3):
+        return (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+
+    a = area2(xc, yc, ax, ay, bx, by)
+    b = area2(xc, yc, bx, by, cx, cy)
+    c = area2(xc, yc, cx, cy, ax, ay)
+    has_neg = (a < 0) | (b < 0) | (c < 0)
+    has_pos = (a > 0) | (b > 0) | (c > 0)
+    return ~(has_neg & has_pos)
+
+
+def _pt_strictly_in_tri_sql(px, py) -> "F.Column":
+    """Constant point STRICTLY inside the row's triangle (boundary out)."""
+    def area2(x1, y1, x2, y2, x3, y3):
+        return (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+
+    a = area2(px, py, F.col("ax"), F.col("ay"), F.col("bx"), F.col("by"))
+    b = area2(px, py, F.col("bx"), F.col("by"), F.col("cx"), F.col("cy"))
+    c = area2(px, py, F.col("cx"), F.col("cy"), F.col("ax"), F.col("ay"))
+    return ((a > 0) & (b > 0) & (c > 0)) | ((a < 0) & (b < 0) & (c < 0))
+
+
+def _segs_cross_sql(x1, y1, x2, y2, qx1, qy1, qx2, qy2) -> "F.Column":
+    """Proper crossing of a row segment and a constant segment."""
+    def side(ax, ay, bx, by, px, py):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    d1 = side(qx1, qy1, qx2, qy2, x1, y1)
+    d2 = side(qx1, qy1, qx2, qy2, x2, y2)
+    d3 = side(x1, y1, x2, y2, qx1, qy1)
+    d4 = side(x1, y1, x2, y2, qx2, qy2)
+    return (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+
+
+def _query_geometry(outer, holes):
+    """(query triangles, query boundary edges) — tessellated driver-side
+    once per query, like the reference's Component2D construction."""
+    qtris = tessellate(outer, holes)
+    qedges = []
+    for ring in [outer] + list(holes or []):
+        r = [tuple(map(float, p)) for p in ring]
+        if len(r) > 1 and r[0] == r[-1]:
+            r = r[:-1]
+        for i in range(len(r)):
+            qedges.append((r[i], r[(i + 1) % len(r)]))
+    return qtris, qedges
+
+
+def _tri_query_poly_intersects(qtris, qedges) -> "F.Column":
+    """Row triangle intersects the query polygon (closed sets): any row
+    vertex in a query triangle, any query vertex in the row triangle, or
+    any row edge properly crossing a query BOUNDARY edge (touch-only
+    contacts always place a vertex of one side on the other — inclusive
+    vertex tests cover them, the same completeness argument as the box
+    relation)."""
+    row_pts = [
+        (F.col("ax"), F.col("ay")),
+        (F.col("bx"), F.col("by")),
+        (F.col("cx"), F.col("cy")),
+    ]
+    row_edges = [
+        (F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
+        (F.col("bx"), F.col("by"), F.col("cx"), F.col("cy")),
+        (F.col("cx"), F.col("cy"), F.col("ax"), F.col("ay")),
+    ]
+    pred = F.lit(False)
+    for qt in qtris:
+        for (xc, yc) in row_pts:
+            pred = pred | _pt_in_const_tri(xc, yc, qt)
+        for (qx, qy) in ((qt[0], qt[1]), (qt[2], qt[3]), (qt[4], qt[5])):
+            pred = pred | _pt_in_tri_sql(F.lit(float(qx)), F.lit(float(qy)))
+    for ((p1x, p1y), (p2x, p2y)) in qedges:
+        q1x, q1y = F.lit(float(p1x)), F.lit(float(p1y))
+        q2x, q2y = F.lit(float(p2x)), F.lit(float(p2y))
+        for (x1, y1, x2, y2) in row_edges:
+            pred = pred | _segs_cross_sql(x1, y1, x2, y2, q1x, q1y, q2x, q2y)
+    return pred
+
+
+def polygon_intersects(
+    tris: DataFrame, outer: list, holes: list | None = None
+) -> DataFrame:
+    """doc_ids whose shape INTERSECTS the query POLYGON (XYShape
+    newGeometryQuery INTERSECTS with a polygon operand): the query
+    tessellates driver-side, the relation is one codegen predicate per
+    (row triangle, query triangle/edge) pair. Query complexity budget is
+    the caller's: a q-vertex polygon expands to O(q) terms inside one
+    whole-stage-codegen filter — the same position Lucene's per-triangle
+    Component2D tree walk occupies."""
+    qtris, qedges = _query_geometry(outer, holes)
+    return (
+        tris.filter(_tri_query_poly_intersects(qtris, qedges))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def polygon_within(
+    tris: DataFrame, outer: list, holes: list | None = None
+) -> DataFrame:
+    """doc_ids whose shape lies WITHIN the query polygon: every row
+    triangle has all 3 vertices covered by the query's triangle union
+    AND no row edge properly crosses a query boundary edge (a convex
+    row triangle with covered vertices can only escape the union by
+    crossing its boundary)."""
+    qtris, qedges = _query_geometry(outer, holes)
+    row_pts = [
+        (F.col("ax"), F.col("ay")),
+        (F.col("bx"), F.col("by")),
+        (F.col("cx"), F.col("cy")),
+    ]
+    covered = F.lit(True)
+    for (xc, yc) in row_pts:
+        in_any = F.lit(False)
+        for qt in qtris:
+            in_any = in_any | _pt_in_const_tri(xc, yc, qt)
+        covered = covered & in_any
+    row_edges = [
+        (F.col("ax"), F.col("ay"), F.col("bx"), F.col("by")),
+        (F.col("bx"), F.col("by"), F.col("cx"), F.col("cy")),
+        (F.col("cx"), F.col("cy"), F.col("ax"), F.col("ay")),
+    ]
+    crosses = F.lit(False)
+    for ((p1x, p1y), (p2x, p2y)) in qedges:
+        q1x, q1y = F.lit(float(p1x)), F.lit(float(p1y))
+        q2x, q2y = F.lit(float(p2x)), F.lit(float(p2y))
+        for (x1, y1, x2, y2) in row_edges:
+            crosses = crosses | _segs_cross_sql(x1, y1, x2, y2, q1x, q1y, q2x, q2y)
+    # a query HOLE strictly inside the row triangle escapes both tests
+    # above (vertices covered, no proper crossing) — any hole vertex
+    # strictly interior to the row triangle disqualifies it
+    hole_inside = F.lit(False)
+    for hole in holes or []:
+        ring = [tuple(map(float, p)) for p in hole]
+        if len(ring) > 1 and ring[0] == ring[-1]:
+            ring = ring[:-1]
+        for (hx, hy) in ring:
+            hole_inside = hole_inside | _pt_strictly_in_tri_sql(
+                F.lit(hx), F.lit(hy)
+            )
+    tri_ok = (covered & ~crosses & ~hole_inside).cast("int")
+    return (
+        tris.groupBy("doc_id")
+        .agg(F.min(tri_ok).alias("_all_in"))
+        .filter(F.col("_all_in") == 1)
+        .select("doc_id")
+    )
+
+
+def polygon_disjoint(
+    tris: DataFrame, outer: list, holes: list | None = None
+) -> DataFrame:
+    """doc_ids whose shape is DISJOINT from the query polygon."""
+    hit = polygon_intersects(tris, outer, holes)
+    return tris.select("doc_id").distinct().join(hit, "doc_id", "left_anti")

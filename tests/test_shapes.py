@@ -174,3 +174,39 @@ def test_point_oracle_sweep(shape_tables):
                 if any(_point_in_tri((x, y), *t) for t in ts)
             )
             assert _ids(point_intersects(tris, x, y)) == want, (x, y)
+
+
+def test_polygon_query_relations(shape_tables, spark):
+    """Polygon QUERY geometries (XYShape newGeometryQuery): the query
+    tessellates driver-side; relations run as codegen predicates over
+    (row triangle, query triangle/edge) pairs."""
+    from lucene_spark.search.shapes import (
+        polygon_disjoint,
+        polygon_intersects,
+        polygon_within,
+    )
+
+    tris, _ = shape_tables
+    # a diamond centered at (2,2) with radius 1.5: inside the square
+    # family's extent, overlapping the hole of doc 2
+    diamond = [(2, 0.5), (3.5, 2), (2, 3.5), (0.5, 2)]
+    assert _ids(polygon_intersects(tris, diamond)) == [0, 1, 2]
+    assert _ids(polygon_disjoint(tris, diamond)) == [3]
+    # a small diamond strictly inside doc 2's hole: touches only 0 and 1
+    small = [(2, 1.5), (2.5, 2), (2, 2.5), (1.5, 2)]
+    assert _ids(polygon_intersects(tris, small)) == [0, 1]
+    # a big diamond covering everything near the origin
+    big = [(2, -5), (9, 2), (2, 9), (-5, 2)]
+    assert _ids(polygon_within(tris, big)) == [0, 1, 2]
+    # query WITH a hole that swallows part of doc 0: doc 0 no longer
+    # within; the far square is outside the query entirely
+    big_holed_inner = [(1.5, 1.5), (2.5, 1.5), (2.5, 2.5), (1.5, 2.5)]
+    within_ids = _ids(polygon_within(tris, big, [big_holed_inner]))
+    assert 0 not in within_ids and 3 not in within_ids
+    # doc 2's own hole covers the query hole region entirely, so doc 2
+    # stays within; the L-shape overlaps the query hole -> out
+    assert within_ids == [2]
+    # tiny query polygon strictly inside a doc-0 triangle (no vertex of
+    # either inside the other is impossible here — vertex-in covers it)
+    tiny = [(0.2, 0.2), (0.4, 0.2), (0.3, 0.4)]
+    assert 0 in _ids(polygon_intersects(tris, tiny))
