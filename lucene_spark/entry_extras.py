@@ -2845,3 +2845,156 @@ def analyzing_suggest_query(spark, sf_dir):
         F.col("p_name").alias("text"), F.col("p_retailprice").alias("weight")
     )
     return analyzing_suggest(part, "small w", n=5, preserve_sep=True)
+
+
+# ---- Dictionary CJK segmentation (kuromoji/nori role ----------------------
+# analysis/kuromoji/.../JapaneseTokenizer.java:96): greedy longest-match
+# over an external word table, exercised end-to-end through the index +
+# BM25 serving path on a supplier-derived hiragana corpus.
+
+_CJK_DIGIT_WORDS = (
+    "12", "23", "34", "45", "56", "67", "78", "89", "90", "01",
+    "123", "456", "789", "234", "678",
+)
+_CJK_TR = str.maketrans("0123456789", "あいうえおかきくけこ")
+_CJK_WORDS = frozenset(w.translate(_CJK_TR) for w in _CJK_DIGIT_WORDS)
+_CJK_CACHE: dict = {}
+
+
+def _get_cjk_searcher(spark, sf_dir):
+    if sf_dir not in _CJK_CACHE:
+        from lucene_spark.analysis.segmenter import DictionarySegmenter
+        from lucene_spark.entry_impl import _docs
+        from lucene_spark.index.build import IndexConfig, build_index
+        from lucene_spark.search.searcher import IndexSearcher
+
+        corpus = _docs(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").cast("long").alias("doc_id"),
+            F.translate(
+                (F.col("s_suppkey") * 7919 + 12345).cast("string"),
+                "0123456789",
+                "あいうえおかきくけこ",
+            ).alias("text"),
+        )
+        cfg = IndexConfig(
+            text_col="text",
+            field_name="text",
+            doc_id_col="doc_id",
+            docs_per_segment=1024,
+            analyzer=DictionarySegmenter(words=_CJK_WORDS),
+        )
+        _CJK_CACHE[sf_dir] = IndexSearcher(build_index(spark, corpus, cfg))
+    return _CJK_CACHE[sf_dir]
+
+
+def _register_cjk_segment() -> None:
+    from lucene_spark.entry_impl import _bm25_ctes
+
+    dict_vals = ", ".join(f"('{w}')" for w in sorted(_CJK_WORDS))
+    # greedy longest-match as a recursive CTE: at offset i take the
+    # longest dictionary word matching there (single char when none) —
+    # the exact loop DictionarySegmenter._segment_run runs per doc
+    seg_ctes = f"""RECURSIVE
+src AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS doc_id,
+         translate(CAST(s_suppkey * 7919 + 12345 AS VARCHAR),
+                   '0123456789', 'あいうえおかきくけこ') AS s
+  FROM supplier
+),
+jdict(w) AS (VALUES {dict_vals}),
+seg(doc_id, s, i, term, pos) AS (
+  SELECT doc_id, s, 1, CAST(NULL AS VARCHAR), -1 FROM src
+  UNION ALL
+  SELECT doc_id, s, i + ln, substr(s, i, ln), pos + 1
+  FROM (
+    SELECT seg.doc_id, seg.s, seg.i, seg.pos,
+           coalesce((SELECT max(length(d.w)) FROM jdict d
+                     WHERE d.w = substr(seg.s, seg.i, length(d.w))), 1) AS ln
+    FROM seg WHERE seg.i <= length(seg.s)
+  )
+),"""
+    tok = "SELECT doc_id, term, pos FROM seg WHERE term IS NOT NULL"
+
+    @register(
+        "cjk_segment_query",
+        f"WITH {seg_ctes}\n{_bm25_ctes(tok)},\n"
+        f"{_term_scores_cte('sc', 'おか')}\n{_topk_sql('sc')}",
+    )
+    def cjk_segment_query(spark, sf_dir):
+        """Dictionary-segmented CJK field end-to-end (the kuromoji/nori
+        role, JapaneseTokenizer.java:96 — here the pluggable greedy
+        longest-match DictionarySegmenter over an external word table):
+        each supplier derives an unspaced hiragana string, the segmenter
+        splits it against the word dictionary at INDEX time, and a
+        TermQuery for the two-char word 'おか' scores BM25 over the
+        segmented tokens. The oracle re-derives the segmentation with a
+        recursive CTE (longest dictionary match at each offset, single
+        char when none) and replays the float32 BM25 chain over it — a
+        hash match proves tokenizer and scorer together."""
+        s = _get_cjk_searcher(spark, sf_dir)
+        return s.search(Q.TermQuery("text", "おか"), k=10).select(
+            "doc_id", "score"
+        )
+
+
+_register_cjk_segment()
+
+
+_SHAPE_DIAMONDS = [
+    # (id, qx, qy, r) — L1 balls; every decision margin >= 0.05 so float
+    # comparisons are stable on both engines
+    (1, 1.0, 0.0, 0.5),   # covers suppkey 1's square, reaches 2's
+    (2, 3.0, 0.0, 0.2),   # pokes OUT of suppkey 3's hole -> intersects
+    (3, 3.0, 0.0, 0.1),   # strictly INSIDE the hole -> must match nothing
+]
+_SHAPE_DIAMOND_VALUES = ", ".join(
+    f"({i}, CAST({x} AS DOUBLE), CAST({y} AS DOUBLE), CAST({r} AS DOUBLE))"
+    for i, x, y, r in _SHAPE_DIAMONDS
+)
+
+
+def _register_shape_polygon() -> None:
+    @register(
+        "shape_polygon_intersects",
+        f"""
+WITH params AS ({_shape_params_sql()}),
+diamonds(d_id, qx, qy, r) AS (VALUES {_SHAPE_DIAMOND_VALUES})
+SELECT d.d_id AS diamond_id, s.k AS doc_id
+FROM diamonds d JOIN params s
+  ON greatest(abs(d.qx - s.cx) - s.h, CAST(0 AS DOUBLE))
+   + greatest(abs(d.qy - s.cy) - s.h, CAST(0 AS DOUBLE)) <= d.r
+ AND NOT (s.has_hole AND abs(d.qx - s.cx) + d.r < s.h / 2
+                     AND abs(d.qy - s.cy) + d.r < s.h / 2)
+ORDER BY diamond_id, doc_id
+""".strip(),
+    )
+    def shape_polygon_intersects(spark, sf_dir):
+        """Indexed-shape POLYGON queries (XYShape.newGeometryQuery
+        INTERSECTS with a polygon operand): three diamond (L1-ball) query
+        polygons tessellate driver-side and run triangle-vs-triangle
+        codegen predicates against the tessellated supplier squares. The
+        oracle never sees a triangle — a diamond intersects a holed
+        square iff its L1 distance to the box is <= r and it is not
+        strictly inside the hole (diamond 3 sits wholly in suppkey 3's
+        hole and must return NOTHING — hole semantics only exist if
+        tessellation carved them out of BOTH operands)."""
+        from lucene_spark.search.shapes import polygon_intersects
+
+        tris, _ = _get_shape_tables(spark, sf_dir)
+        parts = []
+        for i, qx, qy, r in _SHAPE_DIAMONDS:
+            outer = [
+                (qx + r, qy), (qx, qy + r), (qx - r, qy), (qx, qy - r),
+            ]
+            parts.append(
+                polygon_intersects(tris, outer).select(
+                    F.lit(i).alias("diamond_id"), F.col("doc_id")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("diamond_id", "doc_id")
+
+
+_register_shape_polygon()

@@ -1082,7 +1082,7 @@ _PRIORITY = [
     "block_join_parent",
     "query_time_join_scored",
     "classic_similarity_query",
-    "free_text_suggest_query",
+    "cjk_segment_query",
     "more_like_this",
     "function_score_query",
     "drill_sideways_lang",
@@ -1101,7 +1101,7 @@ _PRIORITY = [
     "dedup_duplicate_clusters",
     "shape_point_intersects",
     "bloom_term_lookup",
-    "shape_bbox_intersects",
+    "shape_polygon_intersects",
     "lm_dirichlet_query",
     "fuzzy_like_this_query",
     "phonetic_query",

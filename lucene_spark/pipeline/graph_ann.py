@@ -119,6 +119,75 @@ def _prune_topk(edges: DataFrame, k_graph: int) -> DataFrame:
     )
 
 
+def _bucket_local_topk(bucketed: DataFrame, k_graph: int) -> DataFrame:
+    """All-pairs top-``k_graph`` WITHIN each LSH seed bucket, computed where
+    the bucket lives (``applyInPandas`` + one numpy matmul per bucket) so
+    candidate PAIR rows never enter a shuffle.
+
+    The SQL seed path materializes ~N*B pair rows per table (B = bucket
+    population) and pushes them through a distinct + a window shuffle; this
+    kernel shuffles only the N vector rows (grouped by bucket) and emits at
+    most N*k_graph pre-pruned edges — the ~B/k shuffle-volume cut BENCH.md
+    names as the graph-build lever. Within one seed table a node sits in
+    exactly one bucket, so per-bucket top-k per src IS the table's global
+    top-k per src, and the union of per-table top-ks contains the global
+    top-k over all tables' pairs (a pair in the global top-k ranks at least
+    as high inside the subset one table contributes) — the merged result is
+    bit-identical to scoring every distinct pair, pinned by
+    ``test_graph_seed_local_topk_bit_identical``.
+
+    Arithmetic matches ``cosine_from_int`` bit-for-bit: the float64 matmul
+    is EXACT for the int64 quantized vectors because |component| < 2^23
+    keeps every product and 64-term partial sum an integer below 2^53
+    (BLAS summation order is then irrelevant — integer addition under
+    exact representation is associative), and the final
+    ``dot / (sqrt(na) * sqrt(nb))`` uses the same IEEE op order as the
+    Column expression. Guarded by an assert; corpora quantized from
+    embeddings with |x| < 8.0 are always in range.
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "src": pd.Series(dtype="int64"),
+            "dst": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["id_node"].to_numpy(dtype=np.int64)
+        qv = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["qv"]])
+        assert int(np.abs(qv).max(initial=0)) < (1 << 23), "quantized overflow"
+        qf = qv.astype(np.float64)
+        dots = qf @ qf.T
+        norms = np.sqrt(pdf["n"].to_numpy(dtype=np.int64).astype(np.float64))
+        cos = dots / np.outer(norms, norms)
+        k = min(k_graph, n - 1)
+        not_i = ~np.eye(n, dtype=bool)
+        src_out = np.empty(n * k, dtype=np.int64)
+        dst_out = np.empty(n * k, dtype=np.int64)
+        cos_out = np.empty(n * k, dtype=np.float64)
+        for i in range(n):
+            cand_ids = ids[not_i[i]]
+            cand_cos = cos[i][not_i[i]]
+            # (cosine desc, dst asc) — _prune_topk's exact total order
+            order = np.lexsort((cand_ids, -cand_cos))[:k]
+            lo = i * k
+            src_out[lo : lo + k] = ids[i]
+            dst_out[lo : lo + k] = cand_ids[order]
+            cos_out[lo : lo + k] = cand_cos[order]
+        return pd.DataFrame({"src": src_out, "dst": dst_out, "cosine": cos_out})
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        per_bucket, schema="src long, dst long, cosine double"
+    )
+
+
 def build_knn_graph(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -129,13 +198,18 @@ def build_knn_graph(
     seed_planes: int = 4,
     rounds: int = 2,
     broadcast_vectors: bool | None = None,
+    seed_local_topk: bool = True,
 ) -> DataFrame:
     """Approximate k-NN graph (src, dst, cosine) via NN-descent.
 
     Seeding: ``seed_tables`` independent salted hyperplane tables at
     ``seed_planes`` planes each; candidate pairs are same-bucket pairs
     (bucket population ~ N / 2^seed_planes — pick seed_planes ~
-    log2(N / 256) at scale so seed buckets stay bounded). Refinement:
+    log2(N / 256) at scale so seed buckets stay bounded). With
+    ``seed_local_topk`` (default) the per-bucket all-pairs scoring + top-k
+    happens inside the bucket group (``_bucket_local_topk``) so the O(N*B)
+    pair relation never shuffles — bit-identical to the SQL pair path
+    (``seed_local_topk=False``), which remains for the A/B pin. Refinement:
     ``rounds`` NN-descent iterations — the undirected closure's
     neighbor-of-neighbor pairs, scored exactly, merged, pruned to
     ``k_graph`` per node (HnswGraphBuilder's role, expressed as joins).
@@ -149,26 +223,48 @@ def build_knn_graph(
         # (~2^22 quantized 64-dim rows is ~1-2 GB); beyond that the
         # shuffle join is the right plan
         broadcast_vectors = corpus.count() <= (1 << 22)
-    seeds = []
-    for t in range(seed_tables):
-        b = vecs.withColumn(
-            "bucket", _salted_bucket(F.col("qv_id_node"), dim, seed_planes, f"t{t}:")
-        ).select(F.col("id_node"), "bucket")
-        pairs = (
-            b.alias("a")
-            .join(b.alias("b"), "bucket")
-            .filter(F.col("a.id_node") != F.col("b.id_node"))
-            .select(
-                F.col("a.id_node").alias("src"), F.col("b.id_node").alias("dst")
+    if seed_local_topk:
+        # bucket-local kernel: shuffle N vector rows per table, emit
+        # <= N*k_graph pre-pruned edges — pair rows never shuffle
+        seeds = []
+        for t in range(seed_tables):
+            bt = vecs.withColumn(
+                "bucket",
+                _salted_bucket(F.col("qv_id_node"), dim, seed_planes, f"t{t}:"),
+            ).select(
+                "bucket",
+                "id_node",
+                F.col("qv_id_node").alias("qv"),
+                F.col("n_id_node").alias("n"),
             )
-        )
-        seeds.append(pairs)
-    cand = seeds[0]
-    for s in seeds[1:]:
-        cand = cand.unionByName(s)
-    graph = _prune_topk(
-        _score_pairs(cand.distinct(), vecs, broadcast_vectors), k_graph
-    ).localCheckpoint()
+            seeds.append(_bucket_local_topk(bt, k_graph))
+        cand = seeds[0]
+        for s in seeds[1:]:
+            cand = cand.unionByName(s)
+        graph = _prune_topk(
+            cand.dropDuplicates(["src", "dst"]), k_graph
+        ).localCheckpoint()
+    else:
+        seeds = []
+        for t in range(seed_tables):
+            b = vecs.withColumn(
+                "bucket", _salted_bucket(F.col("qv_id_node"), dim, seed_planes, f"t{t}:")
+            ).select(F.col("id_node"), "bucket")
+            pairs = (
+                b.alias("a")
+                .join(b.alias("b"), "bucket")
+                .filter(F.col("a.id_node") != F.col("b.id_node"))
+                .select(
+                    F.col("a.id_node").alias("src"), F.col("b.id_node").alias("dst")
+                )
+            )
+            seeds.append(pairs)
+        cand = seeds[0]
+        for s in seeds[1:]:
+            cand = cand.unionByName(s)
+        graph = _prune_topk(
+            _score_pairs(cand.distinct(), vecs, broadcast_vectors), k_graph
+        ).localCheckpoint()
 
     for _ in range(rounds):
         und = graph.select("src", "dst").unionByName(

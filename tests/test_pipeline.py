@@ -419,6 +419,30 @@ def test_graph_ann_recall_vs_brute_force(spark):
     assert r >= 0.9, f"graph ANN recall@10 = {r:.3f}"
 
 
+def test_graph_seed_local_topk_bit_identical(spark):
+    """The bucket-local seed kernel (applyInPandas matmul, pair rows never
+    shuffled) must produce the EXACT same graph — every (src, dst) edge
+    with a bit-identical float64 cosine — as the SQL pair path it
+    replaces. This pins both the subset argument (union of per-table
+    top-ks contains the global top-k) and the exact-arithmetic argument
+    (float64 matmul of |qv| < 2^23 int vectors is exact; division op
+    order matches cosine_from_int)."""
+    from lucene_spark.pipeline import graph_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").filter(
+        F.col("vec_id") < 2000
+    )
+    kw = dict(id_col="vec_id", k_graph=8, dim=64, rounds=1)
+    local = graph_ann.build_knn_graph(emb, seed_local_topk=True, **kw)
+    sql = graph_ann.build_knn_graph(emb, seed_local_topk=False, **kw)
+    a = {(r["src"], r["dst"]): r["cosine"] for r in local.collect()}
+    b = {(r["src"], r["dst"]): r["cosine"] for r in sql.collect()}
+    assert a.keys() == b.keys(), (
+        len(a.keys() - b.keys()), len(b.keys() - a.keys()))
+    diffs = [k for k in a if a[k] != b[k]]
+    assert not diffs, diffs[:5]
+
+
 def test_duplicate_clusters_components(spark):
     """Connected components over candidate pairs: a 4-node CHAIN (worst
     case for label propagation — diameter rounds), a separate clique, and
