@@ -2998,3 +2998,61 @@ ORDER BY diamond_id, doc_id
 
 
 _register_shape_polygon()
+
+
+# ---- Flexible (standard) query parser (flexible/standard/ ------------------
+# StandardQueryParser.java:116): min-should-match group syntax + interval
+# function clause through one parsed boolean.
+
+
+@register(
+    "standard_parser_query",
+    f"""WITH {BASE_CTES},
+{_term_scores_cte('o1', 'sort')},
+{_term_scores_cte('o2', 'group')},
+{_term_scores_cte('o3', 'dup')},
+u AS (
+  SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
+),
+msm AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM u GROUP BY doc_id HAVING count(*) >= 2
+),
+iva AS (SELECT doc_id, pos FROM tok WHERE term = 'key'),
+ivb AS (SELECT doc_id, pos FROM tok WHERE term = 'value'),
+ivf AS (
+  SELECT a.doc_id, count(*)::BIGINT AS freq
+  FROM iva a JOIN ivb b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+),
+iv AS (
+  SELECT doc_id,
+         CAST(CAST(1.0 AS DOUBLE) * (freq::DOUBLE / (freq::DOUBLE + 1.0))
+              AS FLOAT) AS score
+  FROM ivf
+),
+sc AS (
+  SELECT m.doc_id,
+         CAST(CAST(m.score AS DOUBLE) + CAST(i.score AS DOUBLE) AS FLOAT)
+           AS score
+  FROM msm m JOIN iv i USING (doc_id)
+)
+{_topk_sql('sc')}""",
+)
+def standard_parser_query(spark, sf_dir):
+    """The flexible/standard parser end-to-end
+    (StandardQueryParser.java:116): '(sort group dup)@2 AND
+    fn:phrase(key value)' goes syntax tree -> processor pipeline ->
+    Q.BooleanQuery(must=[msm-disjunction, IntervalQuery]) and scores
+    through the normal boolean machinery — the min-should-match group is
+    flexible-only syntax and the fn: clause builds the composable
+    Q.IntervalQuery leaf. The oracle re-derives both parts (BM25 msm sum,
+    saturation interval fold) and adds them in the boolean's float32 op
+    order."""
+    from lucene_spark.search.flexible import StandardQueryParser
+
+    _, s = get_searcher(spark, sf_dir)
+    q = StandardQueryParser().parse(
+        "(sort group dup)@2 AND fn:phrase(key value)", "text"
+    )
+    return s.search(q, k=10).select("doc_id", "score")

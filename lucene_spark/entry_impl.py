@@ -1063,7 +1063,7 @@ _PRIORITY = [
     "text_fingerprints",
     "boolean_or_pruned",
     "boolean_and",
-    "simple_parser_query",
+    "standard_parser_query",
     "disjunction_max",
     "synonym_query",
     "word_delimiter_query",

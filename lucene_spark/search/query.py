@@ -37,6 +37,7 @@ __all__ = [
     "FieldExistsQuery",
     "FeatureQuery",
     "KnnFloatVectorQuery",
+    "IntervalQuery",
 ]
 
 
@@ -338,4 +339,23 @@ class KnnFloatVectorQuery(Query):
     k: int = 10
     filter: Query | None = None
     approximate: bool = False
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class IntervalQuery(Query):
+    """Scored interval query (``queries/intervals/IntervalQuery.java:51``):
+    a first-class Query leaf over an ``intervals.IntervalsSource``, so
+    interval clauses compose inside BooleanQuery like any other clause
+    (the position the flexible parser's ``fn:`` syntax requires). The
+    score is the saturation/sigmoid fold of per-doc interval frequency
+    (``IntervalScoreFunction.java:26-40``); ``boost`` multiplies the
+    weight. ``field`` documents intent — the searcher evaluates sources
+    against its own postings field, which must match."""
+
+    field: str
+    source: object  # intervals.IntervalsSource (kept untyped: no cycle)
+    pivot: float = 1.0
+    mode: str = "saturation"
+    exp: float = 1.0
     boost: float = 1.0

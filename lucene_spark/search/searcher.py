@@ -839,6 +839,20 @@ class IndexSearcher:
             return self._scored(self._rewrite_common_terms(q, ctx), boost, ctx)
         if isinstance(q, Q.DisjunctionMaxQuery):
             return self._scored_dismax(q, boost, ctx)
+        if isinstance(q, Q.IntervalQuery):
+            # IntervalQuery.java:51 as a composable leaf: interval_query's
+            # saturation/sigmoid fold, with the boolean-context boost
+            # multiplying the weight
+            from lucene_spark.search import intervals as IV
+
+            return IV.interval_query(
+                self,
+                q.source,
+                pivot=q.pivot,
+                weight=float(F32(boost * F32(q.boost))),
+                mode=q.mode,
+                exp=q.exp,
+            )
         if isinstance(q, Q.BoostQuery):
             return self._scored(q.query, F32(boost * F32(q.boost)), ctx)
         if isinstance(q, Q.ConstantScoreQuery):
@@ -1273,6 +1287,10 @@ class IndexSearcher:
     def _matches(self, q: Q.Query, ctx: _Ctx) -> DataFrame:
         docs = self.index.docs
         field_default = self.index.config.field_name
+        if isinstance(q, Q.IntervalQuery):
+            from lucene_spark.search import intervals as IV
+
+            return IV.matches(self, q.source).select("doc_id").distinct()
         if isinstance(q, Q.TermQuery):
             return self._decoded(
                 q.field, F.col("term") == q.term, terms=[q.term]
