@@ -657,6 +657,18 @@ def make_filter(spec):
             "snowball_es": sb.spanish_snowball_stem,
             "snowball_it": sb.italian_snowball_stem,
             "snowball_pt": sb.portuguese_snowball_stem,
+            "snowball_ro": sb.romanian_snowball_stem,
+            "snowball_fi": sb.finnish_snowball_stem,
+            "snowball_hu": sb.hungarian_snowball_stem,
+            "snowball_tr": sb.turkish_snowball_stem,
+            "snowball_ga": sb.irish_snowball_stem,
+            "snowball_hi": sb.hindi_snowball_stem,
+            "snowball_hy": sb.armenian_snowball_stem,
+            "snowball_lt": sb.lithuanian_snowball_stem,
+            "snowball_ne": sb.nepali_snowball_stem,
+            "snowball_eu": sb.basque_snowball_stem,
+            "snowball_ca": sb.catalan_snowball_stem,
+            "snowball_pl": sb.polish_snowball_stem,
         }
         if spec in by_lang:
             return by_lang[spec]

@@ -367,3 +367,199 @@ def test_portuguese_snowball(word, stem):
 
 def test_snowball_portuguese_lookup():
     assert snowball_stem("Portuguese")("cantando") == "cant"
+
+
+# -------------------------------------------------------------- Romanian
+# Suffix tables and step conditions verified against the reference's
+# generated program (org/tartarus/snowball/ext/RomanianStemmer.java:
+# a_2 plurals, a_3 combining, a_4 standard incl. the tiune->t and
+# ist-marker cases, a_5 verb groups with the consonant-or-u gate, a_6
+# final vowel, I/U prelude + postlude, cedilla normalization).
+
+RO_VECTORS = {
+    # step 0 plural/article (R1)
+    "copilul": "copil", "copilului": "copil",
+    "copiilor": "cop",           # iilor->i, then final-vowel i in RV
+    # combining suffixes repeat to fixpoint (R1)
+    "contabilitate": "contabil", "contabilități": "contabil",
+    # standard suffixes (R2)
+    "electronic": "electron", "electronică": "electron",
+    "abandonate": "abandon",
+    "constituțiune": "constitut",   # iune preceded by ț -> t
+    "fracționist": "fracționist",   # ist -> ist marker (removal-flag set)
+    # verb suffixes (RV; group 1 needs consonant/u before)
+    "lucrează": "lucr", "mergeam": "merg", "cântați": "cânt",
+    "abandonaseră": "abandon",
+    # final vowel (RV)
+    "casă": "cas", "masa": "mas", "cartea": "cart",
+    # prelude marks intervocalic i/u as consonants
+    "ploaie": "ploai", "femeie": "femei",
+    # cedilla forms normalize to comma-below before stemming
+    "staţiune": "stațiun",
+    # R2 too short -> oasă/oși survive on 2-syllable words
+    "frumoasă": "frumoas", "frumoși": "frumoș",
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(RO_VECTORS.items()))
+def test_romanian_snowball(word, stem):
+    assert snowball_stem("Romanian")(word) == stem
+
+
+# --------------------------------------------------------------- Finnish
+# Tables a_0..a_9, the vowel groupings (V1 incl. y, V2 without, AEI,
+# the consonant set, particle_end = vowels + n t) and the window
+# semantics of the conditional Amongs (VI/LONG inside the R1-limited
+# find_among_b; the switch-case preceded-by checks unrestricted)
+# verified against org/tartarus/snowball/ext/FinnishStemmer.java.
+
+FI_VECTORS = {
+    # case endings + tidy
+    "kirjasta": "kirj", "kirja": "kirj", "kirjan": "kirj",
+    "taloissa": "talo", "talo": "talo",
+    "talojen": "talo",            # n-del, AEI-tidy, oj-tidy chain
+    "tyttönä": "tytö", "tyttö": "tytö",   # double-consonant undoubling
+    # possessive + case + i-plural
+    "edeltäjistään": "edeltäj", "edeltäjiinsä": "edeltäj",
+    # particles
+    "olisiko": "oli",             # ko particle, then si possessive
+    "taloineenkin": "talo",       # kin particle, ine case, n ending
+    # t-plural + imma/mma in R2 + tidy
+    "kauneimmat": "kauneim", "suurimmat": "suurim",
+    # n + long-vowel extension, then kk undoubling
+    "kaikkiaan": "kaikia",
+    # seen after long vowel (conditional Among)
+    "lukuun": "luku",
+    # sti needs R2 -> survives here; final i drops in tidy
+    "nopeasti": "nopeast",
+    "järjestelmä": "järjestelm", "järjestelmässä": "järjestelm",
+    "oikeus": "oikeus", "oikeudet": "oikeud",
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(FI_VECTORS.items()))
+def test_finnish_snowball(word, stem):
+    assert snowball_stem("Finnish")(word) == stem
+
+
+# -------------------------------------------------------------- Hungarian
+# Tables a_0..a_10, the vowel-start/consonant-start R1 definition and the
+# double-consonant undoubling (incl. trigraph doubles like zz+s) verified
+# against org/tartarus/snowball/ext/HungarianStemmer.java.
+
+HU_VECTORS = {
+    # case endings + á/é -> a/e v_ending
+    "babát": "bab", "babák": "baba", "házakban": "ház",
+    "számítógépeken": "számítógép",
+    # instrumental with undoubling
+    "tollal": "tol", "kézzel": "kéz",
+    # factive with undoubling
+    "várossá": "város", "könyvvé": "könyv",
+    # plural / owned / sing_owner / plur_owner
+    "házak": "ház", "házam": "ház", "házaim": "ház",
+    "házaikban": "ház", "almájuk": "alma", "barátaimé": "barát",
+    # case_special accented forms
+    "magyarán": "magyar", "ajtóján": "ajtó",
+    # the algorithm's own over-stemming on short a-finals is pinned
+    # (find_among_b takes 'ba' with R1 at 2 — the generated program
+    # does exactly this)
+    "baba": "ba",
+    "ház": "ház", "városi": "város", "városok": "város",
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(HU_VECTORS.items()))
+def test_hungarian_snowball(word, stem):
+    assert snowball_stem("Hungarian")(word) == stem
+
+
+def test_snowball_ro_fi_hu_lookup_and_filter_specs():
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+
+    assert snowball_stem("Romanian")("abandonate") == "abandon"
+    assert snowball_stem("Finnish")("taloissa") == "talo"
+    assert snowball_stem("Hungarian")("házak") == "ház"
+    for spec, word, stem in [
+        ("snowball_ro", "lucrează", "lucr"),
+        ("snowball_fi", "taloissa", "talo"),
+        ("snowball_hu", "tollal", "tol"),
+    ]:
+        an = FilteredAnalyzer(filters=(spec,))
+        assert an.terms(word) == [stem]
+
+
+# ------------------------------------------------------- Turkish + fixture
+# Turkish was validated the strongest way available in-tree: the
+# reference's OWN generated programs (org/tartarus/snowball/ext/
+# {Turkish,Romanian,Finnish,Hungarian}Stemmer.java + the org/tartarus/
+# snowball runtime) were compiled with the installed JDK and fuzz-diffed
+# against this implementation over ~18k random words plus ~5k
+# stem+suffix composites per language — zero mismatches. A frozen sample
+# of those Java-produced pairs is checked in as
+# tests/data/snowball_ref_pairs.json and replays here.
+
+TR_VECTORS = {
+    "kitaplar": "kitap", "kitabı": "kitap",      # postlude b->p devoicing
+    "çocuklar": "çocuk", "arabaya": "araba",
+    "evinde": "ev", "evlerinde": "ev",
+    "okuldaki": "okul",
+    "değildi": "değil", "gelmişti": "gelmiş",    # yDU past-tense chains
+    "güzeldir": "güzel", "güzelmiş": "güzel",
+    "kediler": "kedi", "kediye": "kedi",
+    "ağacı": "ağaç", "ağaçlar": "ağaç",          # c->ç devoicing
+    "öğrencilerin": "öğrenci",
+    "Türkiye'nin": "Türki",                      # proper-noun apostrophe
+    "soyad": "soyad", "ad": "ad",                # reserved words
+    "ev": "ev",                                  # single syllable -> kept
+}
+
+
+@pytest.mark.parametrize("word,stem", sorted(TR_VECTORS.items()))
+def test_turkish_snowball(word, stem):
+    assert snowball_stem("Turkish")(word) == stem
+
+
+def test_snowball_reference_program_pairs():
+    """Replay the frozen (word -> stem) pairs produced by COMPILING AND
+    RUNNING the reference's own generated Snowball programs (see the
+    fixture header comment above): every pair must match bit-for-bit."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "snowball_ref_pairs.json")
+    with open(path, encoding="utf-8") as f:
+        fx = json.load(f)
+    assert set(fx) == {"Turkish", "Romanian", "Finnish", "Hungarian",
+                       "Irish", "Hindi", "Armenian", "Lithuanian",
+                       "Nepali", "Basque", "Catalan", "Polish"}
+    total = 0
+    for lang, pairs in fx.items():
+        stemmer = snowball_stem(lang)
+        bad = [(w, stemmer(w), s) for w, s in pairs.items()
+               if stemmer(w) != s]
+        assert not bad, (lang, bad[:5])
+        total += len(pairs)
+    assert total > 5500
+
+
+def test_snowball_irish_and_hindi():
+    """Irish (initial mutation stripping + RV/R1/R2 suffix steps) and
+    Hindi (single conditional-Among table, first char protected) — both
+    fuzz-diffed to zero mismatches against the reference's compiled
+    generated programs; spot vectors here, full pairs in the fixture."""
+    ga = snowball_stem("Irish")
+    assert ga("bhfuil") == "fuil"          # eclipsis bhf -> f
+    assert ga("scoileanna") == "scoileanna"
+    assert ga("amhránaíochta") == "amhrán"  # noun íochta in R1
+    assert ga("d'fhear") == "fear"          # d'fh -> f
+    assert ga("n-athair") == "athair"
+    hi = snowball_stem("Hindi")
+    assert hi("लड़कों") == "लड़क"
+    assert hi("खा") == "ख"
+    assert hi("क") == "क"         # single char protected
+
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+
+    an = FilteredAnalyzer(filters=("snowball_tr",))
+    assert an.terms("kitaplar") == ["kitap"]
