@@ -669,6 +669,16 @@ def make_filter(spec):
             "snowball_eu": sb.basque_snowball_stem,
             "snowball_ca": sb.catalan_snowball_stem,
             "snowball_pl": sb.polish_snowball_stem,
+            "snowball_sr": sb.serbian_snowball_stem,
+            "snowball_et": sb.estonian_snowball_stem,
+            "snowball_eo": sb.esperanto_snowball_stem,
+            "snowball_yi": sb.yiddish_snowball_stem,
+            "snowball_ar": sb.arabic_snowball_stem,
+            "snowball_ta": sb.tamil_snowball_stem,
+            "snowball_el": sb.greek_snowball_stem,
+            # nl = the classic algorithm (round-3 spec, Dutch_porter);
+            # nl_2024 = the revised Snowball 3.0 Dutch
+            "snowball_nl_2024": sb.dutch2024_snowball_stem,
         }
         if spec in by_lang:
             return by_lang[spec]

@@ -10,29 +10,24 @@ stemmer), not a port of the generated Java. The reference's
 ``tests/test_snowball.py`` along with a hand-traced vector set covering
 every step of the algorithm.
 
-Language coverage note: the reference bundles 33 generated stemmer
-programs. Implemented natively here (clean-room from the published
-snowballstem.org algorithm descriptions, hand-traced per-step vectors in
-``tests/test_snowball.py``): English (Porter2), German(2), French, Dutch,
-Russian, Swedish, Norwegian, Danish, Spanish, Italian, Portuguese,
-Romanian, Finnish, Hungarian, Turkish, Irish, Hindi, Armenian,
-Lithuanian, Nepali, Basque, Catalan, Polish — for the last twelve the suffix
-tables, region definitions and per-step conditions (incl. the window
-semantics of conditional Amongs and Turkish's vowel-harmony chains) were
-verified the strongest way available: the reference's OWN generated
-programs (``org/tartarus/snowball/ext/*Stemmer.java`` + the snowball
-runtime) compile with the installed JDK, and a fuzz-diff over ~18k
-random words plus ~5k suffix composites per language shows ZERO
-mismatches (frozen sample: ``tests/data/snowball_ref_pairs.json``;
-behavior read for parity, structure not copied). The
-"Porter" language maps to the original Porter stemmer in
-``filters.porter_stem``. The remaining programs (Arabic, Greek,
-Serbian, Estonian, Yiddish, Esperanto, Tamil, and the legacy
-Dutch_porter variant) are a documented scope fence — their roles are
-filled by the UniNE light/minimal stemmer family in
-``analysis/stemmers.py`` (different published algorithms with full
-reference-vocabulary fidelity). Asking ``snowball_stem`` for an
-unimplemented language raises.
+Language coverage note: ALL 33 generated stemmer programs the reference
+bundles are implemented natively here — English (Porter2), German(2),
+French, Dutch (both the 2024-revised algorithm, which the "Dutch" name
+resolves to like the reference's SnowballFilter, AND the classic
+Dutch_porter), Russian, Swedish, Norwegian, Danish, Spanish, Italian,
+Portuguese, Romanian, Finnish, Hungarian, Turkish, Irish, Hindi,
+Armenian, Lithuanian, Nepali, Basque, Catalan, Polish, Serbian,
+Estonian, Esperanto, Yiddish, Arabic, Tamil, Greek, plus the original
+Porter ("Porter" maps to ``filters.porter_stem``). Every round-4
+addition was verified the strongest way available in-tree: the
+reference's OWN generated programs (``org/tartarus/snowball/ext/
+*Stemmer.java`` + the snowball runtime) compile with the installed JDK,
+and fuzz-diffs over ~18k random words plus structured suffix/prefix
+composites per language show ZERO mismatches — including conditional-
+Among window semantics, substring-chain fallbacks, Turkish vowel
+harmony, Serbian cyrillic transliteration and the Yiddish GE/TSU
+marking (frozen sample: ``tests/data/snowball_ref_pairs.json``;
+behavior read for parity, structure not copied).
 """
 
 from __future__ import annotations
@@ -8072,12 +8067,1918 @@ def esperanto_snowball_stem(word: str) -> str:
     return w[:base]
 
 
+
+
+# ----------------------------------------------------------------- Yiddish
+# snowballstem.org Yiddish algorithm: digraph/final-letter normalization
+# and niked-point stripping, GE/TSU separable-prefix marking (incl. the
+# a_1 separable-verb prefixes with their exception words), the
+# three-consonant/vowel R1 with the I_x floor, the big irregular-verb
+# restoration tables, and the closing GE/TSU marker cleanup. Verified
+# against the generated org/tartarus/snowball/ext/YiddishStemmer.java via
+# the compiled-program fuzz-diff.
+
+_YI_VOWEL = "\u05d0\u05d5\u05d9\u05e2\u05f1\u05f2"
+_YI_CONSONANT = set(
+    "\u05d1\u05d2\u05d3\u05d4\u05d6\u05d7\u05d8"
+    "\u05da\u05db\u05dc\u05dd\u05de\u05df\u05e0"
+    "\u05e1\u05e3\u05e4\u05e5\u05e6\u05e7\u05e8"
+    "\u05e9\u05ea\u05f0"
+)
+_YI_NIKED = set(
+    chr(c) for c in list(range(0x5b0, 0x5b8)) + [0x5b8, 0x5b9, 0x5bb,
+                                                 0x5bc, 0x5bf, 0x5c1, 0x5c2]
+)
+_YI_FINALS = {"\u05da": "\u05db", "\u05dd": "\u05de",
+              "\u05df": "\u05e0", "\u05e3": "\u05e4",
+              "\u05e5": "\u05e6"}
+_YI_PREFIXES = ("אדורכ", "אהינ", "אהער", "אהײמ", "אומ", "אונטער", "איבער", "אנ", "אנט", "אנטקעגנ", "אנידער", "אפ", "אפיר", "אקעגנ", "אראפ", "ארומ", "ארונטער", "אריבער", "ארױס", "ארױפ", "ארײנ", "אװעק", "אױס", "אױפ", "אײנ", "בא", "בײ", "דורכ", "דער", "מיט", "נאכ", "פאר", "פארבײ", "פארױס", "פונאנדער", "צו", "צוזאמענ", "צונױפ", "צוריק", "צע")
+_YI_A4 = (
+    ("ונג", 1),
+    ("סטו", 1),
+    ("ט", 1),
+    ("בראכט", 31),
+    ("סט", 1),
+    ("יסט", 33),
+    ("עט", 1),
+    ("שאפט", 1),
+    ("הײט", 1),
+    ("קײט", 1),
+    ("יקײט", 1),
+    ("לעכ", 1),
+    ("עלעכ", 1),
+    ("יזמ", 1),
+    ("ימ", 1),
+    ("עמ", 1),
+    ("ענעמ", 3),
+    ("טענעמ", 4),
+    ("נ", 1),
+    ("קליבנ", 14),
+    ("ריבנ", 15),
+    ("טריבנ", 12),
+    ("שריבנ", 7),
+    ("הױבנ", 27),
+    ("שװיגנ", 17),
+    ("זונגנ", 22),
+    ("שלונגנ", 25),
+    ("צװונגנ", 24),
+    ("בױגנ", 26),
+    ("בונדנ", 20),
+    ("װיזנ", 11),
+    ("טנ", 4),
+    ("GEביטנ", 9),
+    ("GEליטנ", 13),
+    ("GEמיטנ", 8),
+    ("שניטנ", 19),
+    ("סטנ", 1),
+    ("יסטנ", 1),
+    ("עטנ", 1),
+    ("GEביסנ", 10),
+    ("שמיסנ", 18),
+    ("GEריסנ", 16),
+    ("ענ", 1),
+    ("גאנגענ", 5),
+    ("עלענ", 1),
+    ("נומענ", 6),
+    ("יזמענ", 1),
+    ("שטאנענ", 29),
+    ("טרונקנ", 23),
+    ("פארלױרנ", 28),
+    ("שװױרנ", 30),
+    ("װוטשנ", 21),
+    ("גײנ", 5),
+    ("ס", 1),
+    ("טס", 4),
+    ("עטס", 1),
+    ("נס", 1),
+    ("טנס", 4),
+    ("ענס", 3),
+    ("עס", 1),
+    ("יעס", 2),
+    ("עלעס", 1),
+    ("ערס", 1),
+    ("ענערס", 1),
+    ("ע", 1),
+    ("טע", 4),
+    ("סטע", 1),
+    ("עטע", 1),
+    ("יע", -1),
+    ("עלע", 1),
+    ("ענע", 3),
+    ("טענע", 4),
+    ("ער", 1),
+    ("טער", 4),
+    ("סטער", 1),
+    ("עטער", 1),
+    ("ענער", 3),
+    ("טענער", 4),
+    ("ות", 32),
+)
+_YI_A3 = (
+    ("קליב", 9),
+    ("ריב", 10),
+    ("טריב", 7),
+    ("שריב", 15),
+    ("הױב", 23),
+    ("שװיג", 12),
+    ("גאנג", 1),
+    ("זונג", 18),
+    ("שלונג", 21),
+    ("צװונג", 20),
+    ("בױג", 22),
+    ("בונד", 16),
+    ("װיז", 6),
+    ("ביט", 4),
+    ("ליט", 8),
+    ("מיט", 3),
+    ("שניט", 14),
+    ("נומ", 2),
+    ("שטאנ", 25),
+    ("ביס", 5),
+    ("שמיס", 13),
+    ("ריס", 11),
+    ("טרונק", 19),
+    ("פארלױר", 24),
+    ("שװױר", 26),
+    ("װוטש", 17),
+)
+_YI_IRREGULAR = {
+    5: "\u05d2\u05f2", 6: "\u05e0\u05e2\u05de",
+    7: "\u05e9\u05e8\u05f2\u05d1", 8: "\u05de\u05f2\u05d3",
+    9: "\u05d1\u05f2\u05d8", 10: "\u05d1\u05f2\u05e1",
+    11: "\u05f0\u05f2\u05d6", 12: "\u05d8\u05e8\u05f2\u05d1",
+    13: "\u05dc\u05f2\u05d8", 14: "\u05e7\u05dc\u05f2\u05d1",
+    15: "\u05e8\u05f2\u05d1", 16: "\u05e8\u05f2\u05e1",
+    17: "\u05e9\u05f0\u05f2\u05d2", 18: "\u05e9\u05de\u05f2\u05e1",
+    19: "\u05e9\u05e0\u05f2\u05d3", 20: "\u05d1\u05d9\u05e0\u05d3",
+    21: "\u05f0\u05d9\u05d8\u05e9", 22: "\u05d6\u05d9\u05e0\u05d2",
+    23: "\u05d8\u05e8\u05d9\u05e0\u05e7",
+    24: "\u05e6\u05f0\u05d9\u05e0\u05d2",
+    25: "\u05e9\u05dc\u05d9\u05e0\u05d2",
+    26: "\u05d1\u05f2\u05d2", 27: "\u05d4\u05f2\u05d1",
+    28: "\u05e4\u05d0\u05e8\u05dc\u05d9\u05e8",
+    29: "\u05e9\u05d8\u05f2", 30: "\u05e9\u05f0\u05e2\u05e8",
+    31: "\u05d1\u05e8\u05e2\u05e0\u05d2",
+}
+_YI_A3_REPL = {
+    1: "\u05d2\u05f2", 2: "\u05e0\u05e2\u05de",
+    3: "\u05de\u05f2\u05d3", 4: "\u05d1\u05f2\u05d8",
+    5: "\u05d1\u05f2\u05e1", 6: "\u05f0\u05f2\u05d6",
+    7: "\u05d8\u05e8\u05f2\u05d1", 8: "\u05dc\u05f2\u05d8",
+    9: "\u05e7\u05dc\u05f2\u05d1", 10: "\u05e8\u05f2\u05d1",
+    11: "\u05e8\u05f2\u05e1", 12: "\u05e9\u05f0\u05f2\u05d2",
+    13: "\u05e9\u05de\u05f2\u05e1", 14: "\u05e9\u05e0\u05f2\u05d3",
+    15: "\u05e9\u05e8\u05f2\u05d1", 16: "\u05d1\u05d9\u05e0\u05d3",
+    17: "\u05f0\u05d9\u05d8\u05e9", 18: "\u05d6\u05d9\u05e0\u05d2",
+    19: "\u05d8\u05e8\u05d9\u05e0\u05e7",
+    20: "\u05e6\u05f0\u05d9\u05e0\u05d2",
+    21: "\u05e9\u05dc\u05d9\u05e0\u05d2",
+    22: "\u05d1\u05f2\u05d2", 23: "\u05d4\u05f2\u05d1",
+    24: "\u05e4\u05d0\u05e8\u05dc\u05d9\u05e8",
+    25: "\u05e9\u05d8\u05f2", 26: "\u05e9\u05f0\u05e2\u05e8",
+}
+
+
+def yiddish_snowball_stem(word: str) -> str:
+    # prelude pass 1: digraphs (guarded by following points) and final
+    # letters; a replacement re-scans from the same position
+    w = word
+    out = []
+    i = 0
+    while i < len(w):
+        if w.startswith("\u05d5\u05d5", i) and not w.startswith(
+                "\u05bc", i + 2):
+            out.append("\u05f0")
+            i += 2
+        elif w.startswith("\u05d5\u05d9", i) and not w.startswith(
+                "\u05b4", i + 2):
+            out.append("\u05f1")
+            i += 2
+        elif w.startswith("\u05d9\u05d9", i) and not w.startswith(
+                "\u05b4", i + 2):
+            out.append("\u05f2")
+            i += 2
+        elif w[i] in _YI_FINALS:
+            out.append(_YI_FINALS[w[i]])
+            i += 1
+        else:
+            out.append(w[i])
+            i += 1
+    w = "".join(ch for ch in out if ch not in _YI_NIKED)
+
+    # mark_regions on the normalized word
+    p1 = len(w)
+    c = 0
+    if (
+        w.startswith("\u05d2\u05e2")
+        and not w.startswith(("\u05d2\u05e2\u05dc\u05d8",
+                              "\u05d2\u05e2\u05d1\u05e0"))
+        and len(w) > 2
+    ):
+        w = "GE" + w[2:]
+        c = 2
+    v4 = c
+    pre = None
+    for p in _YI_PREFIXES:
+        if w.startswith(p, c) and (pre is None or len(p) > len(pre)):
+            pre = p
+    if pre is not None:
+        c2 = c + len(pre)
+        rest = w[c2:]
+        if rest in ("\u05e6\u05d5\u05d2\u05e0",
+                    "\u05e6\u05d5\u05e7\u05d8",
+                    "\u05e6\u05d5\u05e7\u05e0"):
+            c = c2
+        elif rest.startswith("\u05d2\u05e2\u05d1\u05e0"):
+            c = c2
+        elif rest.startswith("\u05d2\u05e2"):
+            w = w[:c2] + "GE" + w[c2 + 2:]
+            c = c2 + 2
+        elif rest.startswith("\u05e6\u05d5"):
+            w = w[:c2] + "TSU" + w[c2 + 2:]
+            c = c2 + 3
+        else:
+            c = v4
+    ok = True
+    if c + 3 > len(w):
+        ok = False
+    if ok:
+        ix = c + 3
+        for cl in ("\u05d3\u05d6\u05e9", "\u05e9\u05d8\u05e8",
+                   "\u05e9\u05d8\u05e9", "\u05e9\u05e4\u05e8"):
+            if w.startswith(cl, c):
+                c += 3
+                break
+        if (
+            len(w) >= c + 3
+            and all(w[c + k] in _YI_CONSONANT for k in range(3))
+        ):
+            p1 = c + 3
+        else:
+            j = c
+            while j < len(w) and w[j] not in _YI_VOWEL:
+                j += 1
+            if j < len(w):
+                j += 1
+                while j < len(w) and w[j] in _YI_VOWEL:
+                    j += 1
+                if j < len(w):
+                    p1 = max(j, ix)
+
+    def in_r1(base):
+        return base >= p1
+
+    # pass 1: a_4 with the irregular-verb machinery
+    best = None
+    for s, cnum in _YI_A4:
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, cnum)
+    if best is not None:
+        s, cnum = best
+        base = len(w) - len(s)
+        if cnum == 1:
+            if in_r1(base):
+                w = w[:base]
+        elif cnum == 2:
+            if in_r1(base):
+                w = w[:base] + "\u05d9\u05e2"
+        elif cnum == 3:
+            if in_r1(base):
+                w = w[:base]
+                b2 = None
+                for s3, c3 in _YI_A3:
+                    if w.endswith(s3) and (b2 is None or
+                                           len(s3) > len(b2[0])):
+                        b2 = (s3, c3)
+                if b2 is not None:
+                    w = w[: len(w) - len(b2[0])] + _YI_A3_REPL[b2[1]]
+        elif cnum == 4:
+            if in_r1(base):
+                w = w[:base]
+            else:
+                w = w[:base] + "\u05d8"
+            if w.endswith("\u05d1\u05e8\u05d0\u05db"):
+                cut = len(w) - 4
+                if w.endswith("\u05d2\u05e2", 0, cut):
+                    cut -= 2
+                w = w[:cut] + "\u05d1\u05e8\u05e2\u05e0\u05d2"
+        elif cnum == 32:
+            if in_r1(base):
+                w = w[:base] + "\u05d4"
+        elif cnum == 33:
+            if base >= 1 and w[base - 1] in ("\u05d2", "\u05e9"):
+                # R1plus3 evaluated just before the ג/ש
+                if p1 <= (base - 1) + 3:
+                    w = w[:base] + "\u05d9\u05e1"
+            else:
+                if in_r1(base):
+                    w = w[:base]
+        elif cnum > 0:
+            w = w[:base] + _YI_IRREGULAR[cnum]
+        # -1 (protected יע): nothing
+
+    # pass 2: a_5
+    best = None
+    for s, cnum in (("\u05d9\u05e7\u05f2\u05d8", 1),
+                    ("\u05e9\u05d0\u05e4\u05d8", 1),
+                    ("\u05d4\u05f2\u05d8", 1), ("\u05e7\u05f2\u05d8", 1),
+                    ("\u05d5\u05e0\u05d2", 1), ("\u05dc", 2)):
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, cnum)
+    if best is not None:
+        s, cnum = best
+        base = len(w) - len(s)
+        if cnum == 1:
+            if in_r1(base):
+                w = w[:base]
+        else:
+            if in_r1(base) and base >= 1 and w[base - 1] in _YI_CONSONANT:
+                w = w[:base]
+
+    # pass 3: a_6
+    best = None
+    for s, cnum in (("\u05e2\u05e0\u05d3\u05d9\u05e7", 1),
+                    ("\u05e0\u05d3\u05d9\u05e7", 1),
+                    ("\u05d3\u05d9\u05e7", 1),
+                    ("\u05d1\u05dc\u05d9\u05e7", -1),
+                    ("\u05d2\u05dc\u05d9\u05e7", -1),
+                    ("\u05e0\u05d9\u05e7", 1), ("\u05d9\u05d2", 1),
+                    ("\u05d9\u05e7", 1), ("\u05d9\u05e9", 1)):
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, cnum)
+    if best is not None and best[1] == 1 and in_r1(len(w) - len(best[0])):
+        w = w[: len(w) - len(best[0])]
+
+    # final: delete every GE/TSU marker
+    w = w.replace("TSU", "").replace("GE", "")
+    return w
+
+
+
+
+# ------------------------------------------------------------------ Arabic
+# snowballstem.org Arabic algorithm: pre-normalization (tatweel/diacritic
+# removal, Arabic-indic digit folding, presentation-form decomposition),
+# the noun/verb/defined flags from the definite-article check, the
+# guarded suffix phases (pronoun clitics, feminine/plural markers, verb
+# person endings) and prefix phases (hamza normalization, conjunctions,
+# articles, imperfective and ist-form prefixes), then post-normalization
+# of hamza carriers. Length guards read the CURRENT buffer length and
+# slices persist through failed alternatives, exactly like the generated
+# program. Verified against
+# org/tartarus/snowball/ext/ArabicStemmer.java via the compiled-program
+# fuzz-diff.
+
+_AR_PRE = (
+    ("ـ", ""),
+    ("ً", ""),
+    ("ٌ", ""),
+    ("ٍ", ""),
+    ("َ", ""),
+    ("ُ", ""),
+    ("ِ", ""),
+    ("ّ", ""),
+    ("ْ", ""),
+    ("٠", "0"),
+    ("١", "1"),
+    ("٢", "2"),
+    ("٣", "3"),
+    ("٤", "4"),
+    ("٥", "5"),
+    ("٦", "6"),
+    ("٧", "7"),
+    ("٨", "8"),
+    ("٩", "9"),
+    ("ﺀ", "ء"),
+    ("ﺁ", "آ"),
+    ("ﺂ", "آ"),
+    ("ﺃ", "أ"),
+    ("ﺄ", "أ"),
+    ("ﺅ", "ؤ"),
+    ("ﺆ", "ؤ"),
+    ("ﺇ", "إ"),
+    ("ﺈ", "إ"),
+    ("ﺉ", "ئ"),
+    ("ﺊ", "ئ"),
+    ("ﺋ", "ئ"),
+    ("ﺌ", "ئ"),
+    ("ﺍ", "ا"),
+    ("ﺎ", "ا"),
+    ("ﺏ", "ب"),
+    ("ﺐ", "ب"),
+    ("ﺑ", "ب"),
+    ("ﺒ", "ب"),
+    ("ﺓ", "ة"),
+    ("ﺔ", "ة"),
+    ("ﺕ", "ت"),
+    ("ﺖ", "ت"),
+    ("ﺗ", "ت"),
+    ("ﺘ", "ت"),
+    ("ﺙ", "ث"),
+    ("ﺚ", "ث"),
+    ("ﺛ", "ث"),
+    ("ﺜ", "ث"),
+    ("ﺝ", "ج"),
+    ("ﺞ", "ج"),
+    ("ﺟ", "ج"),
+    ("ﺠ", "ج"),
+    ("ﺡ", "ح"),
+    ("ﺢ", "ح"),
+    ("ﺣ", "ح"),
+    ("ﺤ", "ح"),
+    ("ﺥ", "خ"),
+    ("ﺦ", "خ"),
+    ("ﺧ", "خ"),
+    ("ﺨ", "خ"),
+    ("ﺩ", "د"),
+    ("ﺪ", "د"),
+    ("ﺫ", "ذ"),
+    ("ﺬ", "ذ"),
+    ("ﺭ", "ر"),
+    ("ﺮ", "ر"),
+    ("ﺯ", "ز"),
+    ("ﺰ", "ز"),
+    ("ﺱ", "س"),
+    ("ﺲ", "س"),
+    ("ﺳ", "س"),
+    ("ﺴ", "س"),
+    ("ﺵ", "ش"),
+    ("ﺶ", "ش"),
+    ("ﺷ", "ش"),
+    ("ﺸ", "ش"),
+    ("ﺹ", "ص"),
+    ("ﺺ", "ص"),
+    ("ﺻ", "ص"),
+    ("ﺼ", "ص"),
+    ("ﺽ", "ض"),
+    ("ﺾ", "ض"),
+    ("ﺿ", "ض"),
+    ("ﻀ", "ض"),
+    ("ﻁ", "ط"),
+    ("ﻂ", "ط"),
+    ("ﻃ", "ط"),
+    ("ﻄ", "ط"),
+    ("ﻅ", "ظ"),
+    ("ﻆ", "ظ"),
+    ("ﻇ", "ظ"),
+    ("ﻈ", "ظ"),
+    ("ﻉ", "ع"),
+    ("ﻊ", "ع"),
+    ("ﻋ", "ع"),
+    ("ﻌ", "ع"),
+    ("ﻍ", "غ"),
+    ("ﻎ", "غ"),
+    ("ﻏ", "غ"),
+    ("ﻐ", "غ"),
+    ("ﻑ", "ف"),
+    ("ﻒ", "ف"),
+    ("ﻓ", "ف"),
+    ("ﻔ", "ف"),
+    ("ﻕ", "ق"),
+    ("ﻖ", "ق"),
+    ("ﻗ", "ق"),
+    ("ﻘ", "ق"),
+    ("ﻙ", "ك"),
+    ("ﻚ", "ك"),
+    ("ﻛ", "ك"),
+    ("ﻜ", "ك"),
+    ("ﻝ", "ل"),
+    ("ﻞ", "ل"),
+    ("ﻟ", "ل"),
+    ("ﻠ", "ل"),
+    ("ﻡ", "م"),
+    ("ﻢ", "م"),
+    ("ﻣ", "م"),
+    ("ﻤ", "م"),
+    ("ﻥ", "ن"),
+    ("ﻦ", "ن"),
+    ("ﻧ", "ن"),
+    ("ﻨ", "ن"),
+    ("ﻩ", "ه"),
+    ("ﻪ", "ه"),
+    ("ﻫ", "ه"),
+    ("ﻬ", "ه"),
+    ("ﻭ", "و"),
+    ("ﻮ", "و"),
+    ("ﻯ", "ى"),
+    ("ﻰ", "ى"),
+    ("ﻱ", "ي"),
+    ("ﻲ", "ي"),
+    ("ﻳ", "ي"),
+    ("ﻴ", "ي"),
+    ("ﻵ", "لآ"),
+    ("ﻶ", "لآ"),
+    ("ﻷ", "لأ"),
+    ("ﻸ", "لأ"),
+    ("ﻹ", "لإ"),
+    ("ﻺ", "لإ"),
+    ("ﻻ", "لا"),
+    ("ﻼ", "لا"),
+)
+_AR_CHECKS1 = (("\u0628\u0627\u0644", 1), ("\u0643\u0627\u0644", 1),
+               ("\u0627\u0644", 2), ("\u0644\u0644", 2))
+_AR_POST_FINAL = ("\u0622", "\u0623", "\u0624", "\u0625", "\u0626")
+_AR_POST_MAP = {"\u0622": "\u0627", "\u0623": "\u0627",
+                "\u0625": "\u0627", "\u0624": "\u0648",
+                "\u0626": "\u064a"}
+
+
+def _ar_longest_suffix(w, entries):
+    best = None
+    for s, c in entries:
+        if w.endswith(s) and (best is None or len(s) > len(best[0])):
+            best = (s, c)
+    return best
+
+
+def arabic_snowball_stem(word: str) -> str:
+    w = word
+    is_noun = True
+    is_verb = True
+    is_defined = False
+    for p, c in _AR_CHECKS1:
+        if w.startswith(p):
+            if (c == 1 and len(w) > 4) or (c == 2 and len(w) > 3):
+                is_noun, is_verb, is_defined = True, False, True
+            break
+    # normalize_pre: forward longest-match rewrite
+    out = []
+    i = 0
+    while i < len(w):
+        best = None
+        for s, rep in _AR_PRE:
+            if w.startswith(s, i) and (best is None or len(s) > len(best[0])):
+                best = (s, rep)
+        if best is not None:
+            out.append(best[1])
+            i += len(best[0])
+        else:
+            out.append(w[i])
+            i += 1
+    w = "".join(out)
+
+    def del_suffix(s, entries_or_str, guards):
+        """(new_w, ok): longest suffix with per-case min-length guard."""
+        if isinstance(entries_or_str, str):
+            got = (entries_or_str, 1) if s.endswith(entries_or_str) else None
+        else:
+            got = _ar_longest_suffix(s, entries_or_str)
+        if got is None:
+            return s, False
+        suf, c = got
+        if len(s) < guards[c]:
+            return s, False
+        return s[: len(s) - len(suf)], True
+
+    A10 = (("\u0643\u0645\u0627", 3), ("\u0647\u0645\u0627", 3),
+           ("\u0646\u0627", 2), ("\u0647\u0627", 2), ("\u0643", 1),
+           ("\u0643\u0645", 2), ("\u0647\u0645", 2),
+           ("\u0647\u0646", 2), ("\u0647", 1), ("\u064a", 1))
+    A11 = (("\u0627", 1), ("\u0648", 1), ("\u064a", 1))
+    A12 = (("\u0643\u0645\u0627", 3), ("\u0647\u0645\u0627", 3),
+           ("\u0646\u0627", 2), ("\u0647\u0627", 2), ("\u0643", 1),
+           ("\u0643\u0645", 2), ("\u0647\u0645", 2),
+           ("\u0643\u0646", 2), ("\u0647\u0646", 2), ("\u0647", 1),
+           ("\u0643\u0645\u0648", 3), ("\u0646\u064a", 2))
+    A13 = (("\u0627", 1), ("\u062a\u0627", 2),
+           ("\u062a\u0645\u0627", 4), ("\u0646\u0627", 2),
+           ("\u062a", 1), ("\u0646", 1), ("\u0627\u0646", 3),
+           ("\u062a\u0646", 2), ("\u0648\u0646", 3),
+           ("\u064a\u0646", 3), ("\u064a", 1))
+    A14 = (("\u0648\u0627", 1), ("\u062a\u0645", 1))
+    A15 = (("\u0648", 1), ("\u062a\u0645\u0648", 2))
+
+    suffix_done = False
+    if is_verb:
+        n1 = 0
+        while True:
+            w2, ok = del_suffix(w, A12, {1: 4, 2: 5, 3: 6})
+            if not ok:
+                break
+            w = w2
+            n1 += 1
+        if n1 >= 1:
+            w2, ok = del_suffix(w, A13, {1: 4, 2: 5, 3: 6, 4: 6})
+            if ok:
+                w = w2
+            else:
+                w2, ok = del_suffix(w, A15, {1: 4, 2: 6})
+                if ok:
+                    w = w2
+                # else: accept as-is (the cursor-- skip; w non-empty here)
+            suffix_done = True
+        else:
+            w2, ok = del_suffix(w, A14, {1: 5})
+            if ok:
+                w = w2
+                suffix_done = True
+            else:
+                w2, ok = del_suffix(w, A13, {1: 4, 2: 5, 3: 6, 4: 6})
+                if ok:
+                    w = w2
+                    suffix_done = True
+    if not suffix_done and is_noun:
+        saved = w
+        # optional clitic block (slices persist through failed paths)
+        w2, ok = del_suffix(w, "\u0629", {1: 4})
+        if ok:
+            w = w2
+        else:
+            handled = False
+            if not is_defined:
+                w2, ok = del_suffix(w, A10, {1: 4, 2: 5, 3: 6})
+                if ok:
+                    w = w2
+                    for tbl, g in ((A11, {1: 5}), ("\u0627\u062a", {1: 5}),
+                                   ("\u062a", {1: 4})):
+                        w2, ok2 = del_suffix(w, tbl, g)
+                        if ok2:
+                            w = w2
+                            break
+                    # else: skip-1 accept (w non-empty after guards)
+                    handled = True
+            if not handled:
+                w2, ok = del_suffix(w, "\u0646", {1: 6})
+                if ok:
+                    w = w2
+                    for tbl, g in ((A11, {1: 5}), ("\u0627\u062a", {1: 5}),
+                                   ("\u062a", {1: 4})):
+                        w2, ok2 = del_suffix(w, tbl, g)
+                        if ok2:
+                            w = w2
+                            handled = True
+                            break
+            if not handled and not is_defined:
+                w2, ok = del_suffix(w, A11, {1: 5})
+                if ok:
+                    w = w2
+                    handled = True
+            if not handled:
+                w2, ok = del_suffix(w, "\u0627\u062a", {1: 5})
+                if ok:
+                    w = w2
+                    handled = True
+        w2, ok = del_suffix(w, "\u064a", {1: 3})
+        if ok:
+            w = w2
+            suffix_done = True
+        # Step3 failed: noun branch fails, mutations persist
+    if not suffix_done:
+        if w.endswith("\u0649"):
+            w = w[:-1] + "\u064a"
+
+    # prefixes: the steps COMPOSE — each matches at the cursor position
+    # the previous step's slice left (pos), with whole-word length guards
+    pos = 0
+    A4 = (("\u0623\u0622", "\u0622"), ("\u0623\u0623", "\u0623"),
+          ("\u0623\u0624", "\u0623"), ("\u0623\u0625", "\u0625"),
+          ("\u0623\u0627", "\u0627"))
+    for p, rep in A4:
+        if w.startswith(p, pos):
+            if len(w) > 3:
+                w = w[:pos] + rep + w[pos + 2:]
+                pos += 1
+            break
+    if (
+        w[pos:pos + 1] in ("\u0641", "\u0648")
+        and len(w) > 3
+        and not w.startswith("\u0627", pos + 1)
+    ):
+        w = w[:pos] + w[pos + 1:]
+    # Step3a | noun-3b | verb-(3v? then 4v)
+    done3 = False
+    got = None
+    for p, c in _AR_CHECKS1:  # same table a_6
+        if w.startswith(p, pos):
+            got = (p, c)
+            break
+    if got is not None:
+        p, c = got
+        if (c == 1 and len(w) > 5) or (c == 2 and len(w) > 4):
+            w = w[:pos] + w[pos + len(p):]
+            done3 = True
+    if not done3 and is_noun:
+        for p, act in (("\u0628\u0627", None), ("\u0628\u0628", "\u0628"),
+                       ("\u0643\u0643", "\u0643"), ("\u0628", "")):
+            if w.startswith(p, pos):
+                if act is None:
+                    done3 = True  # با: matched, protected, no strip
+                elif len(w) > 3:
+                    w = w[:pos] + act + w[pos + len(p):]
+                    done3 = True
+                break
+    if not done3 and is_verb:
+        for p, rep in (("\u0633\u064a", "\u064a"),
+                       ("\u0633\u062a", "\u062a"),
+                       ("\u0633\u0646", "\u0646"),
+                       ("\u0633\u0623", "\u0623")):
+            if w.startswith(p, pos):
+                if len(w) > 4:
+                    w = w[:pos] + rep + w[pos + 2:]
+                    pos += 1
+                break
+        for p in ("\u062a\u0633\u062a", "\u0646\u0633\u062a",
+                  "\u064a\u0633\u062a"):
+            if w.startswith(p, pos):
+                if len(w) > 4:
+                    w = w[:pos] + "\u0627\u0633\u062a" + w[pos + 3:]
+                break
+
+    # normalize_post
+    if w[-1:] in _AR_POST_FINAL:
+        w = w[:-1] + "\u0621"
+    return "".join(_AR_POST_MAP.get(ch, ch) for ch in w)
+
+
+
+
+# ------------------------------------------------------------------- Tamil
+# snowballstem.org Tamil algorithm (Damodharan's rule set): question and
+# pronoun prefixes, plural / question / command / um / common-word-ending
+# suffixes, the vetrumai-urupukal case markers with their exception
+# classes, repeated tense-suffix stripping, and the consonant-cluster
+# ending repair (fix_ending / fix_va_start). Verified against the
+# generated org/tartarus/snowball/ext/TamilStemmer.java via the
+# compiled-program fuzz-diff.
+
+_TA_VIRAMA = "\u0bcd"
+_TA_A0 = {"\u0bb5\u0bc1": "\u0b89", "\u0bb5\u0bc2": "\u0b8a",
+          "\u0bb5\u0bca": "\u0b92", "\u0bb5\u0bcb": "\u0b93"}
+_TA_A1 = ("க", "ங", "ச", "ஞ", "த", "ந", "ப", "ம", "ய", "வ")
+_TA_A2 = ("ி", "ீ", "ை")
+_TA_A3 = ("ா", "ி", "ீ", "ு", "ூ", "ெ", "ே", "ை")
+_TA_A5 = (
+    ("ந்த", 1),
+    ("ய", 1),
+    ("வ", 1),
+    ("னு", 8),
+    ("ுக்", 7),
+    ("ுக்க்", 7),
+    ("ட்க்", 3),
+    ("ற்க்", 4),
+    ("ங்", 9),
+    ("ட்ட்", 5),
+    ("த்த்", 6),
+    ("ந்த்", 1),
+    ("ந்", 1),
+    ("ட்ப்", 3),
+    ("ய்", 2),
+    ("ன்ற்", 4),
+    ("வ்", 1),
+)
+_TA_HARD = ("க", "ச", "ட", "த", "ப", "ற")
+_TA_SOFT = ("ஞ", "ண", "ந", "ன", "ம", "ய", "ர", "ல", "ள", "ழ", "வ")
+_TA_A9 = ("ா", "ி", "ீ", "ு", "ூ", "ெ", "ே", "ை", "்")
+_TA_A10 = ("அ", "இ", "உ")
+_TA_A13 = (
+    ("கள்", 4),
+    ("ுங்கள்", 1),
+    ("ட்கள்", 3),
+    ("ற்கள்", 2),
+)
+_TA_A14 = ("ா", "ே", "ோ")
+_TA_A15 = ("பி", "வி")
+_TA_SIGNS = ("ா", "ி", "ீ", "ு", "ூ", "ெ", "ே", "ை")
+_TA_A17 = (
+    ("பட்ட", 3),
+    ("பட்டண", 3),
+    ("தான", 3),
+    ("படிதான", 3),
+    ("ென", 1),
+    ("ாகிய", 1),
+    ("குரிய", 3),
+    ("ுடைய", 1),
+    ("ல்ல", 2),
+    ("ுள்ள", 1),
+    ("ாகி", 1),
+    ("படி", 3),
+    ("ின்றி", 1),
+    ("பற்றி", 3),
+    ("படு", 3),
+    ("விடு", 3),
+    ("பட்டு", 3),
+    ("விட்டு", 3),
+    ("பட்டது", 3),
+    ("ென்று", 1),
+    ("ுடை", 1),
+    ("ில்லை", 1),
+    ("ுடன்", 1),
+    ("ிடம்", 1),
+    ("ெல்லாம்", 3),
+    ("ெனும்", 1),
+)
+_TA_A20 = (
+    ("விட", 2),
+    ("ீ", 7),
+    ("ொடு", 2),
+    ("ோடு", 2),
+    ("து", 6),
+    ("ிருந்து", 2),
+    ("ின்று", 2),
+    ("ுடை", 2),
+    ("னை", 1),
+    ("கண்", 1),
+    ("ின்", 3),
+    ("முன்", 1),
+    ("ிடம்", 4),
+    ("ிற்", 2),
+    ("மேற்", 1),
+    ("ல்", 5),
+    ("ாமல்", 2),
+    ("ால்", 2),
+    ("ில்", 2),
+    ("மேல்", 1),
+    ("ுள்", 2),
+    ("கீழ்", 1),
+)
+_TA_A23 = ("அ", "ஆ", "இ", "ஈ", "உ", "ஊ", "எ", "ஏ", "ஐ", "ஒ", "ஓ", "ஔ")
+_TA_A25 = (
+    ("க", 1),
+    ("த", 1),
+    ("ன", 1),
+    ("ப", 1),
+    ("ய", 1),
+    ("ா", 5),
+    ("கு", 6),
+    ("படு", 1),
+    ("து", 3),
+    ("ிற்று", 1),
+    ("னை", 1),
+    ("வை", 1),
+    ("னன்", 1),
+    ("பன்", 1),
+    ("வன்", 2),
+    ("ான்", 4),
+    ("னான்", 1),
+    ("மின்", 1),
+    ("னென்", 1),
+    ("ேன்", 5),
+    ("னம்", 1),
+    ("பம்", 1),
+    ("ாம்", 5),
+    ("கும்", 1),
+    ("டும்", 5),
+    ("தும்", 1),
+    ("றும்", 1),
+    ("ெம்", 5),
+    ("ேம்", 5),
+    ("ோம்", 5),
+    ("ாய்", 5),
+    ("னர்", 1),
+    ("பர்", 1),
+    ("ீயர்", 5),
+    ("வர்", 1),
+    ("ார்", 5),
+    ("னார்", 1),
+    ("மார்", 1),
+    ("கொண்டிர்", 1),
+    ("னிர்", 5),
+    ("ீர்", 5),
+    ("னள்", 1),
+    ("பள்", 1),
+    ("வள்", 1),
+    ("ாள்", 5),
+    ("னாள்", 1),
+)
+_TA_A26 = ("கிற", "கின்ற", "ாநின்ற", "கிற்", "கின்ற்", "ாநின்ற்")
+
+
+def _ta_longest(w, table):
+    best = None
+    for item in table:
+        s = item[0] if isinstance(item, tuple) else item
+        if w.endswith(s) and (best is None or
+                              len(s) > len(best[0] if isinstance(best, tuple)
+                                           else best)):
+            best = item
+    return best
+
+
+def _ta_fix_va_start(w):
+    for src, rep in _TA_A0.items():
+        if w.startswith(src):
+            return rep + w[2:]
+    return w
+
+
+def _ta_fix_ending(w, found_vetrumai=False):
+    """One fix_ending pass; returns (new_w, changed). A matched a_5
+    entry whose CONDITION fails falls through to the final-virama
+    repairs, exactly like the generated lab structure."""
+    if len(w) <= 3:
+        return w, False
+    got = _ta_longest(w, _TA_A5)
+    if got is not None:
+        s, c = got
+        base = len(w) - len(s)
+        pre = w[:base]
+        if c == 1:
+            return pre, True
+        if c == 2:
+            if _ta_longest(pre, _TA_A2) is not None:
+                return pre, True
+        elif c == 3:
+            return pre + "\u0bb3\u0bcd", True
+        elif c == 4:
+            return pre + "\u0bb2\u0bcd", True
+        elif c == 5:
+            return pre + "\u0b9f\u0bc1", True
+        elif c == 6:
+            if found_vetrumai and not pre.endswith("\u0bc8"):
+                return pre + "\u0bae\u0bcd", True
+        elif c == 7:
+            return pre + _TA_VIRAMA, True
+        elif c == 8:
+            if _ta_longest(pre, _TA_A3) is None:
+                return pre, True
+        elif c == 9:
+            # bra/ket stay on the a_5 span: a_4 only SELECTS the action
+            if pre.endswith("\u0bc8") or pre.endswith(_TA_VIRAMA):
+                return pre, True
+            return pre + "\u0bae\u0bcd", True
+    # final virama repairs
+    if not w.endswith(_TA_VIRAMA):
+        return w, False
+    body = w[:-1]
+    if body and body[-1] in _TA_HARD:
+        cut = len(body) - 1
+        if (
+            cut >= 2
+            and body[cut - 1] == _TA_VIRAMA
+            and body[cut - 2] in _TA_HARD
+        ):
+            cut -= 2
+        return w[:cut], True
+    if body and body[-1] in _TA_SOFT and len(body) >= 2 and             body[-2] == _TA_VIRAMA:
+        return w[: len(body) - 1], True
+    if body and body[-1] in _TA_A9:
+        return body, True
+    return w, False
+
+
+def _ta_fix_ending_f(w, found_vetrumai):
+    return _ta_fix_ending(w, found_vetrumai)
+
+
+def _ta_fix_endings(w, found):
+    while True:
+        w2, ch = _ta_fix_ending_f(w, found)
+        if not ch:
+            return w
+        w = w2
+
+
+def tamil_snowball_stem(word: str) -> str:
+    w = word
+    found = False
+    w, _ = _ta_fix_ending_f(w, found)
+    if len(w) <= 4:
+        return w
+    # question prefix
+    if (
+        len(w) >= 3
+        and w[0] == "\u0b8e"
+        and w[1] in _TA_A1
+        and w[2] == _TA_VIRAMA
+    ):
+        w = _ta_fix_va_start(w[3:])
+    # pronoun prefix
+    if (
+        len(w) >= 3
+        and w[0] in _TA_A10
+        and w[1] in _TA_A1
+        and w[2] == _TA_VIRAMA
+    ):
+        w = _ta_fix_va_start(w[3:])
+    # question suffixes
+    if len(w) > 4:
+        got = _ta_longest(w, _TA_A14)
+        if got is not None:
+            w = w[: len(w) - 1] + _TA_VIRAMA
+        w = _ta_fix_endings(w, found)
+    # um
+    if len(w) > 4 and w.endswith("\u0bc1\u0bae\u0bcd"):
+        w = w[:-3] + _TA_VIRAMA
+        w, _ = _ta_fix_ending_f(w, found)
+    # common word endings
+    if len(w) > 4:
+        got = _ta_longest(w, _TA_A17)
+        if got is not None:
+            s, c = got
+            base = len(w) - len(s)
+            ok = True
+            if c == 2 and _ta_longest(w[:base], _TA_SIGNS) is not None:
+                ok = False
+            if ok:
+                if c == 3:
+                    w = w[:base]
+                else:
+                    w = w[:base] + _TA_VIRAMA
+                w = _ta_fix_endings(w, found)
+    # vetrumai urupukal
+    if len(w) > 4:
+        done = False
+        got = _ta_longest(w, _TA_A20)
+        if got is not None:
+            s, c = got
+            base = len(w) - len(s)
+            pre = w[:base]
+            if c == 1:
+                w = pre
+                done = True
+            elif c == 2:
+                w = pre + _TA_VIRAMA
+                done = True
+            elif c == 3:
+                if not pre.endswith("\u0bae"):
+                    w = pre + _TA_VIRAMA
+                    done = True
+            elif c == 4:
+                if len(w) >= 7:
+                    w = pre + _TA_VIRAMA
+                    done = True
+            elif c == 5:
+                if _ta_longest(pre, _TA_SIGNS) is None:
+                    w = pre + _TA_VIRAMA
+                    done = True
+            elif c == 6:
+                if _ta_longest(pre, _TA_SIGNS) is None:
+                    w = pre
+                    done = True
+            elif c == 7:
+                w = pre + "\u0bbf"
+                done = True
+        if not done:
+            if w.endswith("\u0bc8"):
+                pre = w[:-1]
+                okv = False
+                if not (pre and pre[-1] in _TA_HARD):
+                    okv = True
+                elif (
+                    len(pre) >= 2
+                    and pre[-1] in _TA_HARD
+                    and pre[-2] == _TA_VIRAMA
+                ):
+                    okv = True
+                if okv:
+                    w = pre + _TA_VIRAMA
+                    done = True
+        if done:
+            found = True
+            if w.endswith("\u0bbf\u0ba9\u0bcd"):
+                w = w[:-3] + _TA_VIRAMA
+            w = _ta_fix_endings(w, found)
+    # plural (no length gate)
+    got = _ta_longest(w, _TA_A13)
+    if got is not None:
+        s, c = got
+        base = len(w) - len(s)
+        if c == 1:
+            if w[:base] and w[:base][-1] in _TA_HARD:
+                w = w[:base] + "\u0bc1\u0b99\u0bcd"
+            else:
+                w = w[:base] + _TA_VIRAMA
+        elif c == 2:
+            w = w[:base] + "\u0bb2\u0bcd"
+        elif c == 3:
+            w = w[:base] + "\u0bb3\u0bcd"
+        else:
+            w = w[:base]
+    # command suffixes
+    if len(w) > 4:
+        got = _ta_longest(w, _TA_A15)
+        if got is not None:
+            w = w[: len(w) - 2]
+    # tense suffixes (repeat)
+    while True:
+        if len(w) <= 4:
+            break
+        matched = False
+        got = _ta_longest(w, _TA_A25)
+        if got is not None:
+            s, c = got
+            base = len(w) - len(s)
+            pre = w[:base]
+            if c == 1:
+                w = pre
+                matched = True
+            elif c == 2:
+                if not (pre and pre[-1] in _TA_A23):
+                    w = pre
+                    matched = True
+            elif c == 3:
+                if _ta_longest(pre, _TA_SIGNS) is None:
+                    w = pre
+                    matched = True
+            elif c == 4:
+                if not pre.endswith("\u0b9a"):
+                    w = pre + _TA_VIRAMA
+                    matched = True
+            elif c == 5:
+                w = pre + _TA_VIRAMA
+                matched = True
+            elif c == 6:
+                if pre.endswith(_TA_VIRAMA):
+                    w = pre
+                    matched = True
+        got = _ta_longest(w, _TA_A26)
+        if got is not None:
+            w = w[: len(w) - len(got)]
+            matched = True
+        w = _ta_fix_endings(w, found)
+        if not matched:
+            break
+    return w
+
+
+
+
+# ------------------------------------------------------------------- Greek
+# snowballstem.org Greek algorithm (Ntais/Saroukos): backward
+# lowercasing/de-accenting, then the long cascade of noun/adjective/verb
+# suffix steps, each a delete-then-conditionally-restore rule where the
+# restore fires on an exception stem (matched as the WHOLE remaining
+# word or as a suffix, per step). Verified against the generated
+# org/tartarus/snowball/ext/GreekStemmer.java via the compiled-program
+# fuzz-diff.
+
+_EL_TOLOWER = {"Ά": "α", "Έ": "ε", "Ή": "η", "Ί": "ι", "Ό": "ο", "Ύ": "υ", "Ώ": "ω", "ΐ": "η", "Α": "α", "Β": "β", "Γ": "γ", "Δ": "δ", "Ε": "ε", "Ζ": "ζ", "Η": "η", "Θ": "θ", "Ι": "ι", "Κ": "κ", "Λ": "λ", "Μ": "μ", "Ν": "ν", "Ξ": "ξ", "Ο": "ο", "Π": "π", "Ρ": "ρ", "Σ": "σ", "Τ": "τ", "Υ": "υ", "Φ": "φ", "Χ": "χ", "Ψ": "ψ", "Ω": "ω", "Ϊ": "ι", "Ϋ": "υ", "ά": "α", "έ": "ε", "ή": "η", "ί": "ι", "ΰ": "υ", "ς": "σ", "ϊ": "η", "ϋ": "υ", "ό": "ο", "ύ": "υ", "ώ": "ω"}
+_EL_V = "\u03b1\u03b5\u03b7\u03b9\u03bf\u03c5\u03c9"
+_EL_V2 = "\u03b1\u03b5\u03b7\u03b9\u03bf\u03c9"
+_EL_A_1 = (("σκαγια", 2), ("φαγια", 1), ("ολογια", 3), ("σογια", 4), ("τατογια", 5), ("κρεατα", 6), ("περατα", 7), ("τερατα", 8), ("γεγονοτα", 11), ("καθεστωτα", 10), ("φωτα", 9), ("περατη", 7), ("σκαγιων", 2), ("φαγιων", 1), ("ολογιων", 3), ("σογιων", 4), ("τατογιων", 5), ("κρεατων", 6), ("περατων", 7), ("τερατων", 8), ("γεγονοτων", 11), ("καθεστωτων", 10), ("φωτων", 9), ("κρεασ", 6), ("περασ", 7), ("τερασ", 8), ("γεγονοσ", 11), ("κρεατοσ", 6), ("περατοσ", 7), ("τερατοσ", 8), ("γεγονοτοσ", 11), ("καθεστωτοσ", 10), ("φωτοσ", 9), ("καθεστωσ", 10), ("φωσ", 9), ("σκαγιου", 2), ("φαγιου", 1), ("ολογιου", 3), ("σογιου", 4), ("τατογιου", 5))
+_EL_A_2 = (("πα", 1), ("ξαναπα", 1), ("επα", 1), ("περιπα", 1), ("αναμπα", 1), ("εμπα", 1), ("β", 2), ("δανε", 1), ("βαθυρι", 2), ("βαρκ", 2), ("μαρκ", 2), ("λ", 2), ("μ", 2), ("κορν", 2), ("αθρο", 1), ("συναθρο", 1), ("π", 2), ("ιμπ", 2), ("ρ", 2), ("μαρ", 2), ("αμπαρ", 2), ("γκρ", 2), ("βολβορ", 2), ("γλυκορ", 2), ("πιπερορ", 2), ("πρ", 2), ("μπρ", 2), ("αρρ", 2), ("γλυκυρ", 2), ("πολυρ", 2), ("λου", 2))
+_EL_A_3 = ("ιζα", "ιζε", "ιζαμε", "ιζουμε", "ιζανε", "ιζουνε", "ιζατε", "ιζετε", "ιζει", "ιζαν", "ιζουν", "ιζεσ", "ιζεισ", "ιζω")
+_EL_A_4 = ("βι", "λι", "αλ", "εν", "σ", "χ", "υψ", "ζω")
+_EL_A_5 = ("ωθηκα", "ωθηκε", "ωθηκαμε", "ωθηκανε", "ωθηκατε", "ωθηκαν", "ωθηκεσ")
+_EL_A_6 = (("ξαναπα", 1), ("επα", 1), ("περιπα", 1), ("αναμπα", 1), ("εμπα", 1), ("χαρτοπα", 1), ("εξαρχα", 1), ("γε", 2), ("γκε", 2), ("κλε", 1), ("εκλε", 1), ("απεκλε", 1), ("αποκλε", 1), ("εσωκλε", 1), ("δανε", 1), ("πε", 1), ("επε", 1), ("μετεπε", 1), ("εσε", 1), ("γκ", 2), ("μ", 2), ("πουκαμ", 2), ("κομ", 2), ("αν", 2), ("ολο", 2), ("αθρο", 1), ("συναθρο", 1), ("π", 2), ("λαρ", 2), ("δημοκρατ", 2), ("αφ", 2), ("γιγαντοαφ", 2))
+_EL_A_7 = ("ισα", "ισαμε", "ισανε", "ισε", "ισατε", "ισαν", "ισεσ")
+_EL_A_8 = ("ξαναπα", "επα", "περιπα", "αναμπα", "εμπα", "χαρτοπα", "εξαρχα", "κλε", "εκλε", "απεκλε", "αποκλε", "εσωκλε", "δανε", "πε", "επε", "μετεπε", "εσε", "αθρο", "συναθρο")
+_EL_A_9 = ("ισουμε", "ισουνε", "ισετε", "ισει", "ισουν", "ισεισ", "ισω")
+_EL_A_10 = (("ατα", 2), ("φα", 2), ("ηφα", 2), ("μεγ", 2), ("λυγ", 2), ("ηδ", 2), ("κλε", 1), ("εσωκλε", 1), ("πλε", 1), ("δανε", 1), ("σε", 1), ("ασε", 1), ("καθ", 2), ("εχθ", 2), ("κακ", 2), ("μακ", 2), ("σκ", 2), ("φιλ", 2), ("κυλ", 2), ("μ", 2), ("γεμ", 2), ("αχν", 2), ("συναθρο", 1), ("π", 2), ("απ", 2), ("εμπ", 2), ("ευπ", 2), ("αρ", 2), ("αορ", 2), ("γυρ", 2), ("χρ", 2), ("χωρ", 2), ("κτ", 2), ("ακτ", 2), ("χτ", 2), ("αχτ", 2), ("ταχ", 2), ("σχ", 2), ("ασχ", 2), ("υψ", 2))
+_EL_A_11 = ("ιστα", "ιστε", "ιστη", "ιστοι", "ιστων", "ιστο", "ιστεσ", "ιστησ", "ιστοσ", "ιστουσ", "ιστου")
+_EL_A_12 = (("εγκλε", 1), ("αποκλε", 1), ("δανε", 2), ("αντιδανε", 2), ("σε", 1), ("μετασε", 1), ("μικροσε", 1))
+_EL_A_13 = (("ατομικ", 2), ("εθνικ", 4), ("τοπικ", 7), ("εκλεκτικ", 5), ("σκεπτικ", 6), ("γνωστικ", 3), ("αγνωστικ", 1), ("αλεξανδριν", 8), ("θεατριν", 10), ("βυζαντιν", 9))
+_EL_A_14 = ("ισμοι", "ισμων", "ισμο", "ισμοσ", "ισμουσ", "ισμου")
+_EL_A_15 = ("σ", "χ")
+_EL_A_16 = ("ουδακια", "αρακια", "ουδακι", "αρακι")
+_EL_A_17 = (("β", 2), ("βαμβ", 1), ("σλοβ", 1), ("τσεχοσλοβ", 1), ("καρδ", 2), ("ζ", 2), ("τζ", 1), ("κ", 1), ("καπακ", 1), ("σοκ", 1), ("σκ", 1), ("βαλ", 2), ("μαλ", 1), ("γλ", 2), ("τριπολ", 2), ("πλ", 1), ("λουλ", 1), ("φυλ", 1), ("καιμ", 1), ("κλιμ", 1), ("φαρμ", 1), ("γιαν", 2), ("σπαν", 1), ("ηγουμεν", 2), ("κον", 1), ("μακρυν", 2), ("π", 2), ("κατραπ", 1), ("ρ", 1), ("βρ", 1), ("λαβρ", 1), ("αμβρ", 1), ("μερ", 1), ("πατερ", 2), ("ανθρ", 1), ("κορ", 1), ("σ", 1), ("ναγκασ", 1), ("τοσ", 2), ("μουστ", 1), ("ρυ", 1), ("φ", 1), ("σφ", 1), ("αλισφ", 1), ("νυφ", 2), ("χ", 1))
+_EL_A_18 = ("ακια", "αρακια", "ιτσα", "ακι", "αρακι", "ιτσων", "ιτσασ", "ιτσεσ")
+_EL_A_19 = ("ψαλ", "αιφν", "ολο", "ιρ")
+_EL_A_20 = ("ε", "παιχν")
+_EL_A_21 = ("ιδια", "ιδιων", "ιδιο")
+_EL_A_22 = ("ιβ", "δ", "φραγκ", "λυκ", "οβελ", "μην", "ρ")
+_EL_A_23 = ("ισκε", "ισκο", "ισκοσ", "ισκου")
+_EL_A_24 = ("αδων", "αδεσ")
+_EL_A_25 = ("γιαγι", "θει", "οκ", "μαμ", "μαν", "μπαμπ", "πεθερ", "πατερ", "κυρ", "νταντ")
+_EL_A_26 = ("εδων", "εδεσ")
+_EL_A_27 = ("μιλ", "δαπ", "γηπ", "ιπ", "εμπ", "οπ", "κρασπ", "υπ")
+_EL_A_28 = ("ουδων", "ουδεσ")
+_EL_A_29 = ("τραγ", "φε", "καλιακ", "αρκ", "σκ", "πεταλ", "βελ", "λουλ", "φλ", "χν", "πλεξ", "σπ", "φρ", "σ", "λιχ")
+_EL_A_30 = ("εων", "εωσ")
+_EL_A_31 = ("δ", "ιδ", "θ", "γαλ", "ελ", "ν", "π", "παρ")
+_EL_A_32 = ("ια", "ιων", "ιου")
+_EL_A_33 = ("ικα", "ικων", "ικο", "ικου")
+_EL_A_34 = ("αδ", "συναδ", "καταδ", "αντιδ", "ενδ", "φυλοδ", "υποδ", "πρωτοδ", "εξωδ", "ηθ", "ανηθ", "ξικ", "αλ", "αμμοχαλ", "συνομηλ", "μπολ", "μουλ", "τσαμ", "βρωμ", "αμαν", "μπαν", "καλλιν", "ποστελν", "φιλον", "καλπ", "γερ", "χασ", "μποσ", "πλιατσ", "πετσ", "πιτσ", "φυσ", "μπαγιατ", "νιτ", "πικαντ", "σερτ")
+_EL_A_35 = ("αγαμε", "ηκαμε", "ηθηκαμε", "ησαμε", "ουσαμε")
+_EL_A_36 = ("βουβ", "ξεθ", "πεθ", "αποθ", "αποκ", "ουλ", "αναπ", "πικρ", "ποτ", "αποστ", "χ", "σιχ")
+_EL_A_37 = ("τρ", "τσ")
+_EL_A_38 = ("αγανε", "ηκανε", "ηθηκανε", "ησανε", "ουσανε", "οντανε", "ιοντανε", "ουντανε", "ιουντανε", "οτανε", "ιοτανε")
+_EL_A_39 = ("ταβ", "νταβ", "ψηλοταβ", "λιβ", "κλιβ", "ξηροκλιβ", "γ", "αγ", "τραγ", "τσαγ", "αθιγγ", "τσιγγ", "ατσιγγ", "στεγ", "απηγ", "σιγ", "ανοργ", "ενοργ", "καλπουζ", "θ", "μωαμεθ", "πιθ", "απιθ", "δεκ", "πελεκ", "ικ", "ανικ", "βουλκ", "βασκ", "βραχυκ", "γαλ", "καταγαλ", "ολογαλ", "βαθυγαλ", "μελ", "καστελ", "πορτολ", "πλ", "διπλ", "λαοπλ", "ψυχοπλ", "ουλ", "μ", "ολιγοδαμ", "μουσουλμ", "δραδουμ", "βραχμ", "ν", "αμερικαν", "π", "αδαπ", "χαμηλοδαπ", "πολυδαπ", "κοπ", "υποκοπ", "τσοπ", "σπ", "ερ", "γερ", "βετερ", "λουθηρ", "κορμορ", "περιτρ", "ουρ", "σ", "βασ", "πολισ", "σαρακατσ", "θυσ", "διατ", "πλατ", "τσαρλατ", "τετ", "πουριτ", "σουλτ", "μαιντ", "ζωντ", "καστ", "φ", "διαφ", "στεφ", "φωτοστεφ", "περηφ", "υπερηφ", "κοιλαρφ", "πενταρφ", "ορφ", "χ", "αμηχ", "βιομηχ", "μεγλοβιομηχ", "καπνοβιομηχ", "μικροβιομηχ", "πολυμηχ", "λιχ")
+_EL_A_40 = ("ενδ", "συνδ", "οδ", "διαθ", "καθ", "ραθ", "ταθ", "τιθ", "εκθ", "ενθ", "συνθ", "ροθ", "υπερθ", "σθ", "ευθ", "αρκ", "ωφελ", "βολ", "αιν", "πον", "ρον", "συν", "βαρ", "βρ", "αιρ", "φορ", "ευρ", "πυρ", "χωρ", "νετ", "σχ")
+_EL_A_41 = ("παγ", "δ", "αδ", "θ", "αθ", "τοκ", "σκ", "παρακαλ", "σκελ", "απλ", "εμ", "αν", "βεν", "βαρον", "κοπ", "σερπ", "αβαρ", "εναρ", "αβρ", "μπορ", "θαρρ", "ντρ", "υ", "νιφ", "συρφ")
+_EL_A_42 = ("οντασ", "ωντασ")
+_EL_A_43 = ("ομαστε", "ιομαστε")
+_EL_A_44 = ("π", "απ", "ακαταπ", "συμπ", "ασυμπ", "αμεταμφ")
+_EL_A_45 = ("ζ", "αλ", "παρακαλ", "εκτελ", "μ", "ξ", "προ", "αρ", "νισ")
+_EL_A_46 = ("ηθηκα", "ηθηκε", "ηθηκεσ")
+_EL_A_47 = ("πιθ", "οθ", "ναρθ", "σκουλ", "σκωλ", "σφ")
+_EL_A_48 = ("θ", "διαθ", "παρακαταθ", "συνθ", "προσθ")
+_EL_A_49 = ("ηκα", "ηκε", "ηκεσ")
+_EL_A_50 = ("φαγ", "ληγ", "φρυδ", "μαντιλ", "μαλλ", "ομ", "βλεπ", "ποδαρ", "κυματ", "πρωτ", "λαχ", "πανταχ")
+_EL_A_51 = ("τσα", "χαδ", "μεδ", "λαμπιδ", "δε", "πλε", "μεσαζ", "δεσποζ", "αιθ", "φαρμακ", "αγκ", "ανηκ", "λ", "μ", "αμ", "βρομ", "υποτειν", "εκλιπ", "ρ", "ενδιαφερ", "αναρρ", "πατ", "καθαρευ", "δευτερευ", "λεχ")
+_EL_A_52 = ("ουσα", "ουσε", "ουσεσ")
+_EL_A_53 = (("πελ", 1), ("λλ", 1), ("σμην", 1), ("ρπ", 1), ("πρ", 1), ("φρ", 1), ("χορτ", 1), ("οφ", 1), ("ψοφ", -1), ("σφ", 1), ("λοχ", 1), ("ναυλοχ", -1))
+_EL_A_54 = ("αμαλλι", "λ", "αμαλ", "μ", "ουλαμ", "εν", "δερβεν", "π", "αειπ", "αρτιπ", "συμπ", "νεοπ", "κροκαλοπ", "ολοπ", "προσωποπ", "σιδηροπ", "δροσοπ", "ασπ", "ανυπ", "ρ", "ασπαρ", "χαρ", "αχαρ", "απερ", "τρ", "ουρ", "τ", "διατ", "επιτ", "συντ", "ομοτ", "νομοτ", "αποτ", "υποτ", "αβαστ", "αιμοστ", "προστ", "ανυστ", "ναυ", "αφ", "ξεφ", "αδηφ", "παμφ", "πολυφ")
+_EL_A_55 = ("αγα", "αγε", "αγεσ")
+_EL_A_56 = ("ησα", "ησε", "ησου")
+_EL_A_57 = ("ν", "δωδεκαν", "επταν", "μεγαλον", "ερημον", "χερσον")
+_EL_A_58 = ("σβ", "ασβ", "απλ", "αειμν", "χρ", "αχρ", "κοινοχρ", "δυσχρ", "ευχρ", "παλιμψ")
+_EL_A_59 = ("ουνε", "ηθουνε", "ησουνε")
+_EL_A_60 = ("σπι", "ν", "εξων", "ρ", "στραβομουτσ", "κακομουτσ")
+_EL_A_61 = ("ουμε", "ηθουμε", "ησουμε")
+_EL_A_62 = ("αζ", "ωριοπλ", "ασουσ", "παρασουσ", "αλλοσουσ", "φ", "χ")
+_EL_A_63 = ("ματα", "ματων", "ματοσ")
+_EL_A_64 = ("α", "ιουμα", "ομουνα", "ιομουνα", "οσουνα", "ιοσουνα", "ε", "αγατε", "ηκατε", "ηθηκατε", "ησατε", "ουσατε", "ειτε", "ηθειτε", "ιεμαστε", "ουμαστε", "ιουμαστε", "ιεσαστε", "οσαστε", "ιοσαστε", "η", "ι", "αμαι", "ιεμαι", "ομαι", "ουμαι", "ασαι", "εσαι", "ιεσαι", "αται", "εται", "ιεται", "ονται", "ουνται", "ιουνται", "ει", "αει", "ηθει", "ησει", "οι", "αν", "αγαν", "ηκαν", "ηθηκαν", "ησαν", "ουσαν", "οντουσαν", "ιοντουσαν", "ονταν", "ιονταν", "ουνταν", "ιουνταν", "οταν", "ιοταν", "ομασταν", "ιομασταν", "οσασταν", "ιοσασταν", "ουν", "ηθουν", "ομουν", "ιομουν", "ησουν", "οσουν", "ιοσουν", "ων", "ηδων", "ο", "ασ", "εσ", "ηδεσ", "ησεσ", "ησ", "εισ", "ηθεισ", "οσ", "υσ", "ουσ", "υ", "ου", "ω", "αω", "ηθω", "ησω")
+_EL_A_65 = ("οτερ", "εστερ", "υτερ", "ωτερ", "οτατ", "εστατ", "υτατ", "ωτατ")
+
+
+def _el_longest(w, sufs):
+    best = None
+    for item in sufs:
+        s = item[0] if isinstance(item, tuple) else item
+        if w.endswith(s) and (best is None or
+                              len(s) > len(best[0] if isinstance(best, tuple)
+                                           else best)):
+            best = item
+    return best
+
+
+def greek_snowball_stem(word: str) -> str:
+    w = "".join(_EL_TOLOWER.get(ch, ch) for ch in word)
+    if len(w) < 3:
+        return w
+    test1 = True
+
+    def dele(table):
+        nonlocal w, test1
+        got = _el_longest(w, table)
+        if got is None:
+            return False
+        s = got[0] if isinstance(got, tuple) else got
+        w = w[: len(w) - len(s)]
+        test1 = False
+        return True
+
+    # step 1: irregular stems
+    got = _el_longest(w, _EL_A_1)
+    if got is not None:
+        s, c = got
+        w = w[: len(w) - len(s)] + {1: 'φα', 2: 'σκα', 3: 'ολο', 4: 'σο', 5: 'τατο', 6: 'κρε', 7: 'περ', 8: 'τερ', 9: 'φω', 10: 'καθεστ', 11: 'γεγον'}[c]
+        test1 = False
+
+    # steps s1..s10: delete, then exception restore
+    def whole_append(pairs_or_set, append_map):
+        nonlocal w
+        got = _el_longest(w, pairs_or_set)
+        if got is None:
+            return
+        if isinstance(got, tuple):
+            s, c = got
+        else:
+            s, c = got, 1
+        if len(s) == len(w):
+            w = w + append_map[c]
+
+    def suffix_append(table, append_map):
+        nonlocal w
+        got = _el_longest(w, table)
+        if got is None:
+            return False
+        c = got[1] if isinstance(got, tuple) else 1
+        if c == -1:
+            return True  # protected: block later branches, no append
+        w = w + append_map[c]
+        return True
+
+    if dele(_EL_A_3):
+        whole_append(_EL_A_2, {1: "\u03b9", 2: "\u03b9\u03b6"})
+    if dele(_EL_A_5):
+        whole_append(_EL_A_4, {1: "\u03c9\u03bd"})
+    # s3: the ισα whole-word special
+    if w == "\u03b9\u03c3\u03b1":
+        w = "\u03b9\u03c3"
+    elif dele(_EL_A_7):
+        whole_append(_EL_A_6, {1: "\u03b9", 2: "\u03b9\u03c3"})
+    if dele(_EL_A_9):
+        whole_append(_EL_A_8, {1: "\u03b9"})
+    if dele(_EL_A_11):
+        whole_append(_EL_A_10, {1: "\u03b9", 2: "\u03b9\u03c3\u03c4"})
+    if dele(_EL_A_14):
+        got = _el_longest(w, _EL_A_12)
+        if got is not None and len(got[0]) == len(w):
+            w = w + {1: "\u03b9\u03c3\u03bc", 2: "\u03b9"}[got[1]]
+        else:
+            got = _el_longest(w, _EL_A_13)
+            if got is not None:
+                s, c = got
+                w = w[: len(w) - len(s)] + {1: 'αγνωστ', 2: 'ατομ', 3: 'γνωστ', 4: 'εθν', 5: 'εκλεκτ', 6: 'σκεπτ', 7: 'τοπ', 8: 'αλεξανδρ', 9: 'βυζαντ', 10: 'θεατρ'}[c]
+    if dele(_EL_A_16):
+        whole_append(_EL_A_15, {1: "\u03b1\u03c1\u03b1\u03ba"})
+    if dele(_EL_A_18):
+        got = _el_longest(w, _EL_A_17)
+        if got is not None and len(got[0]) == len(w):
+            w = w + {1: "\u03b1\u03ba", 2: "\u03b9\u03c4\u03c3"}[got[1]]
+        elif w.endswith("\u03ba\u03bf\u03c1"):
+            w = w + "\u03b9\u03c4\u03c3"
+    if dele(_EL_A_21):
+        got = _el_longest(w, _EL_A_19)
+        if got is not None and len(got) == len(w):
+            w = w + "\u03b9\u03b4"
+        elif _el_longest(w, _EL_A_20) is not None:
+            w = w + "\u03b9\u03b4"
+    if dele(_EL_A_23):
+        whole_append(_EL_A_22, {1: "\u03b9\u03c3\u03ba"})
+
+    # step 2a-2d
+    got = _el_longest(w, _EL_A_24)
+    if got is not None:
+        w = w[: len(w) - len(got)]
+        if _el_longest(w, _EL_A_25) is None:
+            w = w + "\u03b1\u03b4"
+    got = _el_longest(w, _EL_A_26)
+    if got is not None:
+        w = w[: len(w) - len(got)]
+        if _el_longest(w, _EL_A_27) is not None:
+            w = w + "\u03b5\u03b4"
+    got = _el_longest(w, _EL_A_28)
+    if got is not None:
+        w = w[: len(w) - len(got)]
+        if _el_longest(w, _EL_A_29) is not None:
+            w = w + "\u03bf\u03c5\u03b4"
+    if dele(_EL_A_30):
+        whole_append(_EL_A_31, {1: "\u03b5"})
+
+    # step 3, 4
+    if dele(_EL_A_32):
+        if w and w[-1] in _EL_V:
+            w = w + "\u03b9"
+    if dele(_EL_A_33):
+        if w and w[-1] in _EL_V:
+            w = w + "\u03b9\u03ba"
+        else:
+            whole_append(_EL_A_34, {1: "\u03b9\u03ba"})
+
+    # step 5a
+    if w == "\u03b1\u03b3\u03b1\u03bc\u03b5":
+        w = "\u03b1\u03b3\u03b1\u03bc"
+    dele(_EL_A_35)
+    if w.endswith("\u03b1\u03bc\u03b5"):
+        w = w[:-3]
+        test1 = False
+        whole_append(_EL_A_36, {1: "\u03b1\u03bc"})
+    # step 5b
+    if dele(_EL_A_38):
+        got = _el_longest(w, _EL_A_37)
+        if got is not None and len(got) == len(w):
+            w = w + "\u03b1\u03b3\u03b1\u03bd"
+    if w.endswith("\u03b1\u03bd\u03b5"):
+        w = w[:-3]
+        test1 = False
+        if w and w[-1] in _EL_V2:
+            w = w + "\u03b1\u03bd"
+        else:
+            whole_append(_EL_A_39, {1: "\u03b1\u03bd"})
+    # step 5c
+    if w.endswith("\u03b7\u03c3\u03b5\u03c4\u03b5"):
+        w = w[:-5]
+        test1 = False
+    if w.endswith("\u03b5\u03c4\u03b5"):
+        w = w[:-3]
+        test1 = False
+        if w and w[-1] in _EL_V2:
+            w = w + "\u03b5\u03c4"
+        elif _el_longest(w, _EL_A_40) is not None:
+            w = w + "\u03b5\u03c4"
+        else:
+            whole_append(_EL_A_41, {1: "\u03b5\u03c4"})
+    # step 5d
+    if dele(_EL_A_42):
+        if w == "\u03b1\u03c1\u03c7":
+            w = w + "\u03bf\u03bd\u03c4"
+        elif w.endswith("\u03ba\u03c1\u03b5"):
+            w = w + "\u03c9\u03bd\u03c4"
+    # step 5e
+    if dele(_EL_A_43):
+        if w == "\u03bf\u03bd":
+            w = w + "\u03bf\u03bc\u03b1\u03c3\u03c4"
+    # step 5f
+    if w.endswith("\u03b9\u03b5\u03c3\u03c4\u03b5"):
+        w = w[:-5]
+        test1 = False
+        whole_append(_EL_A_44, {1: "\u03b9\u03b5\u03c3\u03c4"})
+    if w.endswith("\u03b5\u03c3\u03c4\u03b5"):
+        w = w[:-4]
+        test1 = False
+        whole_append(_EL_A_45, {1: "\u03b9\u03b5\u03c3\u03c4"})
+    # step 5g
+    dele(_EL_A_46)
+    if dele(_EL_A_49):
+        got = _el_longest(w, _EL_A_47)
+        if got is not None:
+            w = w + "\u03b7\u03ba"
+        else:
+            whole_append(_EL_A_48, {1: "\u03b7\u03ba"})
+    # step 5h
+    if dele(_EL_A_52):
+        got = _el_longest(w, _EL_A_50)
+        if got is not None:
+            w = w + "\u03bf\u03c5\u03c3"
+        else:
+            whole_append(_EL_A_51, {1: "\u03bf\u03c5\u03c3"})
+    # step 5j (runs before 5i, like the generated main)
+    if dele(_EL_A_56):
+        whole_append(_EL_A_57, {1: "\u03b7\u03c3"})
+    # step 5i
+    if dele(_EL_A_55):
+        if w.endswith("\u03ba\u03bf\u03bb\u03bb"):
+            w = w + "\u03b1\u03b3"
+        elif not suffix_append(_EL_A_53, {1: "\u03b1\u03b3"}):
+            whole_append(_EL_A_54, {1: "\u03b1\u03b3"})
+    # step 5k
+    if w.endswith("\u03b7\u03c3\u03c4\u03b5"):
+        w = w[:-4]
+        test1 = False
+        whole_append(_EL_A_58, {1: "\u03b7\u03c3\u03c4"})
+    # step 5l
+    if dele(_EL_A_59):
+        whole_append(_EL_A_60, {1: "\u03bf\u03c5\u03bd"})
+    # step 5m
+    if dele(_EL_A_61):
+        whole_append(_EL_A_62, {1: "\u03bf\u03c5\u03bc"})
+
+    # step 6: μα-normalization + final vowel strip gated on test1
+    got = _el_longest(w, _EL_A_63)
+    if got is not None:
+        w = w[: len(w) - len(got)] + "\u03bc\u03b1"
+    if test1:
+        got = _el_longest(w, _EL_A_64)
+        if got is not None:
+            w = w[: len(w) - len(got)]
+    # step 7
+    got = _el_longest(w, _EL_A_65)
+    if got is not None:
+        w = w[: len(w) - len(got)]
+    return w
+
+
+
+
+# ----------------------------------------------------- Dutch (2024 revision)
+# snowballstem.org's revised Dutch algorithm (Snowball 3.0 "dutch"; the
+# classic algorithm lives on as dutch_porter above): ij-aware measure
+# regions, the V/VX/C boundary predicates, vowel lengthening after
+# removals, plural/diminutive/derivational steps with their restorations,
+# ge- prefix/infix removal with the vowel-cluster and exception checks,
+# and the final undoubling with v->f / z->s. Verified against the
+# generated org/tartarus/snowball/ext/DutchStemmer.java via the
+# compiled-program fuzz-diff.
+
+_NL2_V = set("aeiouy\u00e0\u00e1\u00e2\u00e4\u00e8\u00e9\u00ea\u00eb"
+             "\u00ec\u00ed\u00ee\u00ef\u00f2\u00f3\u00f4\u00f6"
+             "\u00f9\u00fa\u00fb\u00fc")
+_NL2_V_WX = _NL2_V | set("wx")
+_NL2_AIOU = set("aiou\u00e0\u00e1\u00e2\u00e4\u00ec\u00ed\u00ee"
+                "\u00ef\u00f2\u00f3\u00f4\u00f6\u00f9\u00fa\u00fb"
+                "\u00fc")
+_NL2_AEIOU = _NL2_AIOU | set("e\u00e8\u00e9\u00ea\u00eb")
+_NL2_E = set("e\u00e8\u00e9\u00ea\u00eb")
+_NL2_LENGTHEN_1 = set("aou\u00e0\u00e1\u00e2\u00e4\u00f2\u00f3"
+                      "\u00f4\u00f6\u00f9\u00fa\u00fb\u00fc")
+_NL2_LENGTHEN_2 = set("e\u00e8\u00e9\u00ea")
+
+
+def _nl2_measure(w):
+    n = len(w)
+    p1 = p2 = n
+    i = 0
+    while i < n and w[i] not in _NL2_V:
+        i += 1
+
+    def cluster(j):
+        c = 0
+        while j < n:
+            if w.startswith("ij", j):
+                j += 2
+            elif w[j] in _NL2_V:
+                j += 1
+            else:
+                break
+            c += 1
+        return j if c else None
+
+    j = cluster(i)
+    if j is not None and j < n and w[j] not in _NL2_V:
+        p1 = j + 1
+        k = p1
+        while k < n and w[k] not in _NL2_V:
+            k += 1
+        k2 = cluster(k)
+        if k2 is not None and k2 < n and w[k2] not in _NL2_V:
+            p2 = k2 + 1
+    return p1, p2
+
+
+def _nl2_V(w, pos):
+    return (pos >= 1 and w[pos - 1] in _NL2_V) or w[max(0, pos - 2):pos] == "ij"
+
+
+def _nl2_VX(w, pos):
+    if pos < 1:
+        return False
+    return (pos >= 2 and w[pos - 2] in _NL2_V) or         w[max(0, pos - 3):pos - 1] == "ij"
+
+
+def _nl2_C(w, pos):
+    if w[max(0, pos - 2):pos] == "ij":
+        return False
+    return pos >= 1 and w[pos - 1] not in _NL2_V
+
+
+def _nl2_lengthen(w):
+    n = len(w)
+    if n < 2 or w[-1] in _NL2_V_WX:
+        return w
+    # the vowel (or e-diaeresis pair) before the final consonant
+    if n >= 3 and w[n - 3:n - 1] == "e\u00eb":
+        return w[: n - 3] + "e\u00ebe" + w[-1]
+    if n >= 3 and w[n - 3:n - 1] == "i\u00eb":
+        return w[: n - 3] + "iee" + w[-1]
+    v = w[n - 2]
+    vpos = n - 2
+    if v in _NL2_LENGTHEN_1:
+        if vpos == 0 or w[vpos - 1] not in _NL2_AEIOU:
+            return w[: n - 1] + v + w[-1]
+        return w
+    if v in _NL2_LENGTHEN_2:
+        if not (vpos == 0 or w[vpos - 1] not in _NL2_AEIOU):
+            return w
+        if vpos >= 1:
+            c1 = vpos - 1  # the consumed non-AEIOU char
+            if c1 >= 1 and w[c1 - 1] in _NL2_AIOU:
+                return w
+            if c1 >= 1 and w[c1 - 1] in _NL2_E and c1 - 1 == 0:
+                return w
+            # [non-AEIOU][any][AIOU][non-AEIOU] pattern before the e
+            if (
+                c1 >= 3
+                and w[c1 - 2] in _NL2_AIOU
+                and w[c1 - 3] not in _NL2_AEIOU
+            ):
+                return w
+        return w[: n - 1] + v + w[-1]
+    return w
+
+
+def dutch2024_snowball_stem(word: str) -> str:
+    w = word
+    p1, p2 = _nl2_measure(w)
+    stemmed = False
+
+    def in_r1(base):
+        return base >= p1
+
+    def in_r2(base):
+        return base >= p2
+
+    # ---- Step 1
+    saved = w
+    got = _el_longest(w, (("nde", 8), ("'s", 1), ("ies", 3), ("aus", 6),
+                          ("\u00e9s", 5), ("es", 4), ("en", 7), ("s", 2)))
+    if got is not None:
+        s, c = got
+        base = len(w) - len(s)
+        ok = False
+        if c == 1:
+            w = w[:base]
+            ok = True
+        elif c == 2:
+            if in_r1(base) and not (
+                base >= 1 and w[base - 1] == "t" and in_r1(base - 1)
+            ) and _nl2_C(w, base):
+                w = w[:base]
+                ok = True
+        elif c == 3:
+            if in_r1(base):
+                w = w[:base] + "ie"
+                ok = True
+        elif c == 4:
+            if w.endswith("ar", 0, base) and in_r1(base - 2) and                     _nl2_C(w, base - 2):
+                w = _nl2_lengthen(w[:base])
+                ok = True
+            elif w.endswith("er", 0, base) and in_r1(base - 2) and                     _nl2_C(w, base - 2):
+                w = w[:base]
+                ok = True
+            elif in_r1(base) and _nl2_C(w, base):
+                w = w[:base] + "e"
+                ok = True
+        elif c == 5:
+            if in_r1(base):
+                w = w[:base] + "\u00e9"
+                ok = True
+        elif c == 6:
+            if in_r1(base) and _nl2_V(w, base):
+                w = w[:base] + "au"
+                ok = True
+        elif c == 7:
+            if w.endswith("hed", 0, base) and in_r1(base - 3):
+                w = w[: base - 3] + "heid"
+                ok = True
+            elif w.endswith("nd", 0, base):
+                w = w[:base]
+                ok = True
+            elif w.endswith("d", 0, base) and in_r1(base - 1) and                     _nl2_C(w, base - 1):
+                w = w[: base - 1]
+                ok = True
+            elif (w.endswith("i", 0, base) or w.endswith("j", 0, base)) and                     _nl2_V(w, base - 1):
+                w = w[:base]
+                ok = True
+            elif in_r1(base) and _nl2_C(w, base):
+                w = _nl2_lengthen(w[:base])
+                ok = True
+        elif c == 8:
+            w = w[:base] + "nd"
+            ok = True
+        if ok:
+            stemmed = True
+        else:
+            w = saved
+
+    # ---- Step 2
+    saved = w
+    got = _el_longest(w, (("ische", 4), ("lijke", 3), ("ieve", 11),
+                          ("ene", 10), ("de", 5), ("ge", 2), ("je", 1),
+                          ("le", 9), ("re", 8), ("se", 7), ("te", 6)))
+    if got is not None:
+        s, c = got
+        base = len(w) - len(s)
+        ok = False
+        if c == 1:
+            if w.endswith("'t", 0, base):
+                w = w[: base - 2]
+                ok = True
+            elif w.endswith("et", 0, base) and in_r1(base - 2) and                     _nl2_C(w, base - 2):
+                w = w[: base - 2]
+                ok = True
+            elif w.endswith("rnt", 0, base):
+                w = w[: base - 3] + "rn"
+                ok = True
+            elif w.endswith("t", 0, base) and in_r1(base - 1) and                     _nl2_VX(w, base - 1):
+                w = w[: base - 1]
+                ok = True
+            elif w.endswith("ink", 0, base):
+                w = w[: base - 3] + "ing"
+                ok = True
+            elif w.endswith("mp", 0, base):
+                w = w[: base - 2] + "m"
+                ok = True
+            elif w.endswith("'", 0, base) and in_r1(base - 1):
+                w = w[: base - 1]
+                ok = True
+            elif in_r1(base) and _nl2_C(w, base):
+                w = w[:base]
+                ok = True
+        elif c == 2:
+            if in_r1(base):
+                w = w[:base] + "g"
+                ok = True
+        elif c == 3:
+            if in_r1(base):
+                w = w[:base] + "lijk"
+                ok = True
+        elif c == 4:
+            if in_r1(base):
+                w = w[:base] + "isch"
+                ok = True
+        elif c == 5:
+            if in_r1(base) and _nl2_C(w, base):
+                w = w[:base]
+                ok = True
+        elif c == 6:
+            if in_r1(base):
+                w = w[:base] + "t"
+                ok = True
+        elif c == 7:
+            if in_r1(base):
+                w = w[:base] + "s"
+                ok = True
+        elif c == 8:
+            if in_r1(base):
+                w = w[:base] + "r"
+                ok = True
+        elif c == 9:
+            if in_r1(base):
+                w = _nl2_lengthen(w[:base] + "l")
+                ok = True
+        elif c == 10:
+            if in_r1(base) and _nl2_C(w, base):
+                w = _nl2_lengthen(w[:base] + "en")
+                ok = True
+        elif c == 11:
+            if in_r1(base) and _nl2_C(w, base):
+                w = w[:base] + "ief"
+                ok = True
+        if ok:
+            stemmed = True
+        else:
+            w = saved
+
+    # ---- Step 3
+    saved = w
+    got = _el_longest(w, (("iteit", 2), ("heid", 3), ("atie", 1),
+                          ("isme", 5), ("arij", 6), ("erij", 5),
+                          ("rder", 4), ("ster", 3), ("ing", 5), ("fie", 7),
+                          ("gie", 8), ("sel", 3), ("dst", 10), ("tst", 9)))
+    if got is not None:
+        s, c = got
+        base = len(w) - len(s)
+        ok = False
+        if c == 1:
+            if in_r1(base):
+                w = w[:base] + "eer"
+                ok = True
+        elif c == 2:
+            if in_r1(base):
+                w = _nl2_lengthen(w[:base])
+                ok = True
+        elif c == 3:
+            if in_r1(base):
+                w = w[:base]
+                ok = True
+        elif c == 4:
+            w = w[:base] + "r"
+            ok = True
+        elif c == 5:
+            if w.endswith("ild", 0, base):
+                w = w[:base] + "er"
+                ok = True
+            elif in_r1(base):
+                w = _nl2_lengthen(w[:base])
+                ok = True
+        elif c == 6:
+            if in_r1(base) and _nl2_C(w, base):
+                w = w[:base] + "aar"
+                ok = True
+        elif c == 7:
+            if in_r2(base):
+                w = _nl2_lengthen(w[:base] + "f")
+                ok = True
+        elif c == 8:
+            if in_r2(base):
+                w = _nl2_lengthen(w[:base] + "g")
+                ok = True
+        elif c == 9:
+            if in_r1(base) and _nl2_C(w, base):
+                w = w[:base] + "t"
+                ok = True
+        elif c == 10:
+            if in_r1(base) and _nl2_C(w, base):
+                w = w[:base] + "d"
+                ok = True
+        if ok:
+            stemmed = True
+        else:
+            w = saved
+
+    # ---- Step 4 (branch 2 on ANY branch-1 failure)
+    saved = w
+    done4 = False
+    got = _el_longest(w, (("achtiger", 3), ("achtig", 3), ("erigst", 9),
+                          ("eriger", 9), ("lijker", 8), ("lijkst", 8),
+                          ("ioneel", 1), ("atief", 2), ("erig", 9),
+                          ("baar", 3), ("laar", 5), ("naar", 4),
+                          ("raar", 6), ("tant", 7), ("end", 9)))
+    if got is not None:
+        s, c = got
+        base = len(w) - len(s)
+        if c == 1 and in_r1(base):
+            w = w[:base] + "ie"
+            done4 = True
+        elif c == 2 and in_r1(base):
+            w = w[:base] + "eer"
+            done4 = True
+        elif c == 3 and in_r1(base):
+            w = w[:base]
+            done4 = True
+        elif c == 4 and in_r1(base) and _nl2_V(w, base):
+            w = w[:base] + "n"
+            done4 = True
+        elif c == 5 and in_r1(base) and _nl2_V(w, base):
+            w = w[:base] + "l"
+            done4 = True
+        elif c == 6 and in_r1(base) and _nl2_V(w, base):
+            w = w[:base] + "r"
+            done4 = True
+        elif c == 7 and in_r1(base):
+            w = w[:base] + "teer"
+            done4 = True
+        elif c == 8 and in_r1(base):
+            w = w[:base] + "lijk"
+            done4 = True
+        elif c == 9 and in_r1(base) and _nl2_C(w, base):
+            w = _nl2_lengthen(w[:base])
+            done4 = True
+    if done4:
+        stemmed = True
+    else:
+        w = saved
+        got = _el_longest(w, ("iger", "igst", "ig"))
+        if got is not None:
+            base = len(w) - len(got)
+            if (
+                in_r1(base)
+                and not (base == 3 and w[:3] == "inn")
+                and _nl2_C(w, base)
+            ):
+                w = _nl2_lengthen(w[:base])
+                stemmed = True
+
+    # ---- Lose_prefix + Step_1c
+    def ge_checks(s, start):
+        """vowel-or-ij cluster after `start`, then a consonant, with at
+        least 3 chars after the ge."""
+        if start + 3 > len(s):
+            return False
+        j = start
+        while j < len(s) and not (s.startswith("ij", j) or s[j] in _NL2_V):
+            j += 1
+        if j >= len(s):
+            return False
+        while j < len(s):
+            if s.startswith("ij", j):
+                j += 2
+            elif s[j] in _NL2_V:
+                j += 1
+            else:
+                break
+        return j < len(s)
+
+    def step_1c(s, q1):
+        got = _el_longest(s, ("d", "t"))
+        if got is None:
+            return s
+        base = len(s) - 1
+        if base < q1 or not _nl2_C(s, base):
+            return s
+        if got == "d":
+            if s.endswith("nd", 0, base + 1) and base - 1 >= q1:
+                return s
+            if s[:base] == "in":
+                return s[:base] + "n"
+            return s[:base]
+        if s.endswith("ht", 0, base + 1) and base - 1 >= q1:
+            return s
+        if s[:base] == "en":
+            return s
+        return s[:base]
+
+    ge_removed = False
+    if w.startswith("ge") and ge_checks(w, 2):
+        rest = w[2:]
+        blocked = False
+        for exc, bad in (("vali", False), ("eft", True), ("vaa", True),
+                         ("vare", True), ("val", True)):
+            if rest.startswith(exc):
+                blocked = bad
+                break
+        if not blocked:
+            if rest.startswith("\u00eb"):
+                rest = "e" + rest[1:]
+            elif rest.startswith("\u00ef"):
+                rest = "i" + rest[1:]
+            w = rest
+            ge_removed = True
+    if ge_removed:
+        p1, p2 = _nl2_measure(w)
+        stemmed = True
+        w = step_1c(w, p1)
+
+    # ---- Lose_infix + Step_1c
+    ge_removed = False
+    gpos = w.find("ge", 1)
+    if gpos >= 1 and ge_checks(w, gpos + 2):
+        rest = w[gpos + 2:]
+        if rest.startswith("\u00eb"):
+            rest = "e" + rest[1:]
+        elif rest.startswith("\u00ef"):
+            rest = "i" + rest[1:]
+        w = w[:gpos] + rest
+        ge_removed = True
+    if ge_removed:
+        p1, p2 = _nl2_measure(w)
+        stemmed = True
+        w = step_1c(w, p1)
+
+    # ---- Step 7 (kt/ft/pt) and Step 6 (undoubling) gated on stemmed
+    got = _el_longest(w, ("kt", "ft", "pt"))
+    if got is not None:
+        w = w[:-2] + {"kt": "k", "ft": "f", "pt": "p"}[got]
+        stemmed = True
+    if stemmed:
+        got = _el_longest(
+            w, ("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll", "mm",
+                "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww", "xx", "zz",
+                "v", "z"))
+        if got is not None:
+            if got == "nn" and w[:-2] == "i":
+                pass
+            elif got == "v":
+                w = w[:-1] + "f"
+            elif got == "z":
+                w = w[:-1] + "s"
+            else:
+                w = w[:-2] + got[0]
+    return w
+
+
 SNOWBALL_LANGS = {
     "English": english_snowball_stem,
     "German": german_snowball_stem,
     "German2": german_snowball_stem,
     "French": french_snowball_stem,
-    "Dutch": dutch_snowball_stem,
+    # "Dutch" follows the reference's SnowballFilter name resolution: the
+    # 2024-revised algorithm (ext/DutchStemmer.java). The classic
+    # algorithm stays reachable as Dutch_porter, like the reference.
+    "Dutch": dutch2024_snowball_stem,
     "Dutch_porter": dutch_snowball_stem,
     "Russian": russian_snowball_stem,
     "Swedish": swedish_snowball_stem,
@@ -8101,6 +10002,11 @@ SNOWBALL_LANGS = {
     "Serbian": serbian_snowball_stem,
     "Estonian": estonian_snowball_stem,
     "Esperanto": esperanto_snowball_stem,
+    "Yiddish": yiddish_snowball_stem,
+    "Arabic": arabic_snowball_stem,
+    "Tamil": tamil_snowball_stem,
+    "Greek": greek_snowball_stem,
+    "Dutch2024": dutch2024_snowball_stem,
 }
 
 

@@ -194,7 +194,10 @@ def test_snowball_language_lookup_round4():
     assert snowball_stem("German")("kinder") == "kind"
     assert snowball_stem("German2")("kinder") == "kind"
     assert snowball_stem("French")("continuellement") == "continuel"
-    assert snowball_stem("Dutch")("opheffen") == "opheff"
+    # "Dutch" is the 2024-revised algorithm (like the reference's
+    # SnowballFilter name resolution); the classic one is Dutch_porter
+    assert snowball_stem("Dutch")("opheffen") == "ophef"
+    assert snowball_stem("Dutch_porter")("opheffen") == "opheff"
     assert snowball_stem("Russian")("книгами") == "книг"
 
 
@@ -532,7 +535,9 @@ def test_snowball_reference_program_pairs():
         fx = json.load(f)
     assert set(fx) == {"Turkish", "Romanian", "Finnish", "Hungarian",
                        "Irish", "Hindi", "Armenian", "Lithuanian",
-                       "Nepali", "Basque", "Catalan", "Polish"}
+                       "Nepali", "Basque", "Catalan", "Polish",
+                       "Serbian", "Estonian", "Esperanto", "Dutch_porter",
+                       "Yiddish", "Arabic", "Tamil", "Greek", "Dutch"}
     total = 0
     for lang, pairs in fx.items():
         stemmer = snowball_stem(lang)
@@ -540,7 +545,7 @@ def test_snowball_reference_program_pairs():
                if stemmer(w) != s]
         assert not bad, (lang, bad[:5])
         total += len(pairs)
-    assert total > 5500
+    assert total > 10000
 
 
 def test_snowball_irish_and_hindi():
