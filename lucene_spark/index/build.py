@@ -276,6 +276,7 @@ def _make_inverter(cfg: IndexConfig):
             pos_parts: list[np.ndarray] = []
             off_parts: list[np.ndarray] = []
             counts = np.zeros(n_docs, dtype=np.int64)
+            emitted = np.zeros(n_docs, dtype=np.int64)
             for i, text in enumerate(texts):
                 if with_offsets:
                     t, p, o, n = analyzer.term_position_offset_arrays(text)
@@ -284,7 +285,12 @@ def _make_inverter(cfg: IndexConfig):
                     t, p, n = analyzer.term_position_arrays(text)
                 terms_all.extend(t)
                 pos_parts.append(p)
+                # field length (norms) vs emitted rows: expander chains
+                # (shingles / overlay phonemes at posIncr 0) emit MORE
+                # tokens than the field length — the row fan-out must use
+                # the emitted count or the batch lexsort misaligns
                 counts[i] = n
+                emitted[i] = len(t)
             if not terms_all:
                 yield pd.DataFrame(
                     {
@@ -298,7 +304,7 @@ def _make_inverter(cfg: IndexConfig):
                     }
                 )
                 continue
-            doc_ord = np.repeat(np.arange(n_docs), counts)
+            doc_ord = np.repeat(np.arange(n_docs), emitted)
             pos_flat = np.concatenate(pos_parts)
             codes, uniq = pd.factorize(np.asarray(terms_all, dtype=object))
             order = np.lexsort((codes, doc_ord))  # stable: pos stays ascending
