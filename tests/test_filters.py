@@ -1007,3 +1007,40 @@ def test_snowball_round4_index_rank_identity(spark, spec, texts, query_word):
     want = oracle.top_k(oracle.term_scores(q_term), 5)
     assert got == want
     assert len(got) >= 2  # the stem unifies >= 2 surface forms
+
+
+def test_expander_chain_index_build(spark):
+    """Expander analyzers (shingles / overlay phonemes) emit MORE tokens
+    than the field length; the batch inverter must fan rows out by the
+    EMITTED count while norms keep the field length. Regression for the
+    round-4 fix: a shingle index builds and serves both unigrams and
+    shingles, and an overlay-phoneme index matches both surface and
+    phoneme terms."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+
+    docs = spark.createDataFrame(
+        [(i, "spark merge join") for i in range(8)], "doc_id long, text string"
+    )
+    an = FilteredAnalyzer(shingle_size=2)
+    cfg = IndexConfig(text_col="text", field_name="text", doc_id_col="doc_id",
+                      docs_per_segment=4, analyzer=an)
+    s = IndexSearcher(build_index(spark, docs, cfg))
+    assert s.search(Q.TermQuery("text", "spark"), k=10).count() == 8
+    assert s.search(Q.TermQuery("text", "spark merge"), k=10).count() == 8
+
+    from lucene_spark.analysis.beidermorse import beider_morse_terms
+
+    bm = FilteredAnalyzer(overlay_filters=(lambda t: beider_morse_terms(t),))
+    docs2 = spark.createDataFrame(
+        [(1, "schwarz"), (2, "shvarts")], "doc_id long, text string"
+    )
+    cfg2 = IndexConfig(text_col="text", field_name="text",
+                       doc_id_col="doc_id", docs_per_segment=4, analyzer=bm)
+    s2 = IndexSearcher(build_index(spark, docs2, cfg2))
+    # the shared phoneme reaches BOTH spellings; surfaces still match
+    assert s2.search(Q.TermQuery("text", "Sfars"), k=10).count() == 2
+    assert s2.search(Q.TermQuery("text", "schwarz"), k=10).count() == 1
