@@ -698,7 +698,7 @@ def make_filter(spec):
             # PhoneticFilter(inject=false) semantics: replace the token
             # with its code; empty/equal/raising encodes pass through
             return ph.phonetic_replace(encoders[spec])
-    if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_", "persian_", "hindi_", "minimal_", "sorani_", "plural_")):
+    if isinstance(spec, str) and spec.startswith(("light_", "german_", "arabic_", "persian_", "hindi_", "minimal_", "sorani_", "plural_", "possessive_")):
         from lucene_spark.analysis import stemmers
 
         by_lang = {
@@ -719,6 +719,8 @@ def make_filter(spec):
             "persian_normalization": stemmers.persian_normalize,
             "hindi_normalization": stemmers.hindi_normalize,
             "light_hi": stemmers.hindi_light_stem,
+            "minimal_en": stemmers.english_minimal_stem,
+            "possessive_en": stemmers.english_possessive_strip,
             "light_id": stemmers.indonesian_stem,
             "minimal_de": stemmers.german_minimal_stem,
             "minimal_fr": stemmers.french_minimal_stem,

