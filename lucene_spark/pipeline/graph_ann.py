@@ -199,6 +199,7 @@ def build_knn_graph(
     rounds: int = 2,
     broadcast_vectors: bool | None = None,
     seed_local_topk: bool = True,
+    rounds_local: bool = True,
 ) -> DataFrame:
     """Approximate k-NN graph (src, dst, cosine) via NN-descent.
 
@@ -266,10 +267,34 @@ def build_knn_graph(
             _score_pairs(cand.distinct(), vecs, broadcast_vectors), k_graph
         ).localCheckpoint()
 
+    round_kernel = None
+    if rounds_local and broadcast_vectors and rounds > 0:
+        round_kernel = _make_round_kernel(vecs, k_graph)
     for _ in range(rounds):
         und = graph.select("src", "dst").unionByName(
             graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        if round_kernel is not None:
+            # fused round: ONE shuffle. The candidate stream (existing
+            # edges + neighbor-of-neighbor pairs, duplicates included)
+            # groups by src and a numpy kernel dedupes, scores against
+            # the Python-broadcast vector matrix (same exact float64
+            # arithmetic as the seed kernel) and prunes to k_graph —
+            # replacing the distinct + score-join + dropDuplicates +
+            # window chain (4 shuffles of ~N*k^2 rows) of the SQL path,
+            # which remains below for the A/B pin.
+            non = (
+                und.alias("a")
+                .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .filter(F.col("a.src") != F.col("b.dst"))
+                .select(F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst"))
+            )
+            cand = graph.select("src", "dst").unionByName(non)
+            graph = cand.groupBy("src").applyInPandas(
+                round_kernel, schema="src long, dst long, cosine double"
+            ).localCheckpoint()
+            continue
         non = (
             und.alias("a")
             .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
@@ -282,6 +307,54 @@ def build_knn_graph(
         ).dropDuplicates(["src", "dst"])
         graph = _prune_topk(merged, k_graph).localCheckpoint()
     return graph
+
+
+def _make_round_kernel(vecs: DataFrame, k_graph: int):
+    """Per-src NN-descent round kernel with a Python-broadcast vector
+    matrix (sorted-id index + int64 matrix + norms). Memory budget is the
+    same 2^22-row gate as the JVM-side broadcast (~2 GB matrix); each
+    Python worker holds one copy, the price of scoring without a join.
+    Bit-identical to the SQL round (pinned by
+    ``test_graph_round_local_bit_identical``): float64 products of the
+    quantized vectors are exact below 2^53 and the (cosine desc, dst asc)
+    order matches ``_prune_topk``."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = vecs.toPandas()
+    order = np.argsort(pdf["id_node"].to_numpy())
+    ids_sorted = pdf["id_node"].to_numpy()[order].astype(np.int64)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.int64) for v in pdf["qv_id_node"]]
+    )[order]
+    assert int(np.abs(mat).max(initial=0)) < (1 << 23), "quantized overflow"
+    matf = mat.astype(np.float64)
+    norms = np.sqrt(pdf["n_id_node"].to_numpy()[order].astype(np.float64))
+    sc = vecs.sparkSession.sparkContext
+    bc = sc.broadcast((ids_sorted, matf, norms))
+
+    def per_src(pdf_g: pd.DataFrame) -> pd.DataFrame:
+        ids_s, m, nr = bc.value
+        src = int(pdf_g["src"].iloc[0])
+        dst = np.unique(pdf_g["dst"].to_numpy(dtype=np.int64))
+        dst = dst[dst != src]
+        if dst.size == 0:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"),
+                 "dst": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        six = int(np.searchsorted(ids_s, src))
+        dix = np.searchsorted(ids_s, dst)
+        dots = m[dix] @ m[six]
+        cos = dots / (nr[dix] * nr[six])
+        top = np.lexsort((dst, -cos))[:k_graph]
+        return pd.DataFrame(
+            {"src": np.full(top.size, src, dtype=np.int64),
+             "dst": dst[top], "cosine": cos[top]}
+        )
+
+    return per_src
 
 
 def graph_search_topk(

@@ -536,3 +536,24 @@ def test_ivf_recall_grows_with_probes(spark):
     assert r1 <= r4 <= r16, (r1, r4, r16)
     assert r16 == 1.0, r16
     assert r4 > r1, (r1, r4)
+
+
+def test_graph_round_local_bit_identical(spark):
+    """The fused NN-descent round kernel (one groupBy-src shuffle, numpy
+    scoring against the Python-broadcast vector matrix) must produce the
+    EXACT same graph as the SQL round chain (distinct + broadcast score
+    join + dropDuplicates + window prune) across multiple rounds."""
+    from lucene_spark.pipeline import graph_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").filter(
+        F.col("vec_id") < 2500
+    )
+    kw = dict(id_col="vec_id", k_graph=8, dim=64, rounds=2)
+    fused = graph_ann.build_knn_graph(emb, rounds_local=True, **kw)
+    sql = graph_ann.build_knn_graph(emb, rounds_local=False, **kw)
+    a = {(r["src"], r["dst"]): r["cosine"] for r in fused.collect()}
+    b = {(r["src"], r["dst"]): r["cosine"] for r in sql.collect()}
+    assert a.keys() == b.keys(), (
+        len(a.keys() - b.keys()), len(b.keys() - a.keys()))
+    diffs = [k for k in a if a[k] != b[k]]
+    assert not diffs, diffs[:5]
