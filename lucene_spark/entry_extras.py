@@ -3056,3 +3056,239 @@ def standard_parser_query(spark, sf_dir):
         "(sort group dup)@2 AND fn:phrase(key value)", "text"
     )
     return s.search(q, k=10).select("doc_id", "score")
+
+
+# ---- KStem (analysis/en/KStemFilter.java:40, KStemmer.java:71) -------------
+
+#: fixture lexicon for the dictionary-validated stemmer: the -er routine
+#: strips the agentive suffix only when the ROOT validates, so exactly
+#: these three corpus surfaces conflate (customer/filter/order) and every
+#: other corpus token — including 'table', 'value', 'query', whose roots
+#: are NOT in the lexicon — passes through unchanged. Pinned over the
+#: full corpus vocabulary by tests/test_entry_analysis_pairs.py.
+_KSTEM_LEXICON = ("custom", "filt", "ord")
+_KSTEM_MAP = (("customer", "custom"), ("filter", "filt"), ("order", "ord"))
+
+_KSTEM_CACHE: dict = {}
+
+
+def _kstem_filter():
+    from lucene_spark.analysis.kstem import KStem
+
+    if "filter" not in _KSTEM_CACHE:
+        _KSTEM_CACHE["filter"] = KStem(lexicon=_KSTEM_LEXICON).stem
+    return _KSTEM_CACHE["filter"]
+
+
+def _get_kstem_searcher(spark, sf_dir):
+    if sf_dir not in _KSTEM_CACHE:
+        from lucene_spark.analysis.filters import FilteredAnalyzer
+        from lucene_spark.entry_impl import _docs
+        from lucene_spark.index.build import IndexConfig, build_index
+        from lucene_spark.search.searcher import IndexSearcher
+
+        cfg = IndexConfig(
+            text_col="text",
+            field_name="text",
+            doc_id_col="doc_id",
+            docs_per_segment=1024,
+            analyzer=FilteredAnalyzer(filters=(_kstem_filter(),)),
+        )
+        _KSTEM_CACHE[sf_dir] = IndexSearcher(
+            build_index(spark, _docs(spark, sf_dir, "documents"), cfg)
+        )
+    return _KSTEM_CACHE[sf_dir]
+
+
+def _mapped_tok(pairs) -> str:
+    """Tokenization CTE with a surface->term VALUES overlay (the hunspell
+    oracle's shape): mapped tokens rewrite, everything else passes
+    through — a 1:1 stream, so positions, doc lengths and norms are the
+    plain tokenizer's."""
+    values = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    return f"""
+  SELECT t.doc_id, coalesce(m.stem, t.term) AS term, t.pos
+  FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_SQL}')) AS term,
+           unnest(generate_series(1, len(regexp_extract_all(text, '{_TOKEN_SQL}')))) - 1 AS pos
+    FROM documents) t
+  LEFT JOIN (VALUES {values}) m(form, stem) ON t.term = m.form
+""".strip()
+
+
+def _register_kstem() -> None:
+    from lucene_spark.entry_impl import _bm25_ctes
+
+    tok = _mapped_tok(_KSTEM_MAP)
+
+    @register(
+        "kstem_query",
+        f"""WITH {_bm25_ctes(tok)},
+{_term_scores_cte('k1', 'filt')},
+{_term_scores_cte('k2', 'ord')},
+u AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM u GROUP BY doc_id
+)
+{_topk_sql('sc')}""",
+    )
+    def kstem_query(spark, sf_dir):
+        """BM25 over a KStem-analyzed field (KStemFilter.java:40 /
+        KStemmer.java:71 — Krovetz's dictionary-VALIDATED stemmer): with
+        the fixture lexicon (custom, filt, ord) the -er routine conflates
+        exactly customer->custom, filter->filt, order->ord, while
+        'table'/'value'/'query' survive untouched because their candidate
+        roots fail dictionary validation — the behavior that separates
+        KStem from suffix strippers. The oracle replays the surface->root
+        map (derived from the lexicon, pinned over the corpus vocabulary
+        by tests/test_entry_analysis_pairs.py) and sums the two root
+        scores float32-exactly."""
+        s = _get_kstem_searcher(spark, sf_dir)
+        q = Q.BooleanQuery.of(
+            should=[Q.TermQuery("text", "filt"), Q.TermQuery("text", "ord")]
+        )
+        return s.search(q, k=10).select("doc_id", "score")
+
+
+_register_kstem()
+
+
+# ---- Snowball English / Porter2 field (analysis/snowball/ ------------------
+# SnowballPorterFilterFactory.java + EnglishStemmer generated program)
+
+#: the full surface->stem image of the Porter2 program over the corpus
+#: vocabulary (31 distinct tokens at every sf — pinned by
+#: tests/test_entry_analysis_pairs.py): the five e/y-final tokens rewrite,
+#: everything else is already a Porter2 fixpoint.
+_SNOWBALL_EN_MAP = (
+    ("customer", "custom"),
+    ("merge", "merg"),
+    ("query", "queri"),
+    ("table", "tabl"),
+    ("value", "valu"),
+)
+
+_SNOWBALL_CACHE: dict = {}
+
+
+def _get_snowball_searcher(spark, sf_dir):
+    if sf_dir not in _SNOWBALL_CACHE:
+        from lucene_spark.analysis.filters import FilteredAnalyzer
+        from lucene_spark.entry_impl import _docs
+        from lucene_spark.index.build import IndexConfig, build_index
+        from lucene_spark.search.searcher import IndexSearcher
+
+        cfg = IndexConfig(
+            text_col="text",
+            field_name="text",
+            doc_id_col="doc_id",
+            docs_per_segment=1024,
+            analyzer=FilteredAnalyzer(filters=("snowball_en",)),
+        )
+        _SNOWBALL_CACHE[sf_dir] = IndexSearcher(
+            build_index(spark, _docs(spark, sf_dir, "documents"), cfg)
+        )
+    return _SNOWBALL_CACHE[sf_dir]
+
+
+def _register_snowball_en() -> None:
+    from lucene_spark.entry_impl import _bm25_ctes
+
+    tok = _mapped_tok(_SNOWBALL_EN_MAP)
+
+    @register(
+        "snowball_en_query",
+        f"""WITH {_bm25_ctes(tok)},
+{_term_scores_cte('s1', 'tabl')},
+{_term_scores_cte('s2', 'queri')},
+u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM u GROUP BY doc_id
+)
+{_topk_sql('sc')}""",
+    )
+    def snowball_en_query(spark, sf_dir):
+        """BM25 over a Snowball English (Porter2) field — the generated
+        EnglishStemmer program the reference runs through
+        SnowballPorterFilterFactory (analysis/common/.../snowball/): the
+        index analyzer stems every token ('table'->'tabl',
+        'query'->'queri', ...), and the query searches the stems. The
+        oracle rewrites the token stream with the full vocabulary image
+        of the Porter2 program (all five rewrites listed above, pinned
+        against the engine's own stemmer over the corpus vocabulary by
+        tests/test_entry_analysis_pairs.py) and replays BM25
+        float32-exactly."""
+        s = _get_snowball_searcher(spark, sf_dir)
+        q = Q.BooleanQuery.of(
+            should=[Q.TermQuery("text", "tabl"), Q.TermQuery("text", "queri")]
+        )
+        return s.search(q, k=10).select("doc_id", "score")
+
+
+_register_snowball_en()
+
+
+# ---- Beider-Morse phonetic field (analysis/phonetic/ -----------------------
+# BeiderMorseFilter.java:39)
+
+_BM_CACHE: dict = {}
+
+
+def _get_beider_morse_searcher(spark, sf_dir):
+    if sf_dir not in _BM_CACHE:
+        from lucene_spark.analysis.beidermorse import beider_morse_terms
+        from lucene_spark.analysis.filters import FilteredAnalyzer
+        from lucene_spark.entry_impl import _docs
+        from lucene_spark.index.build import IndexConfig, build_index
+        from lucene_spark.search.searcher import IndexSearcher
+
+        cfg = IndexConfig(
+            text_col="text",
+            field_name="text",
+            doc_id_col="doc_id",
+            docs_per_segment=1024,
+            # overlay == KeywordRepeat-composed BeiderMorseFilter: every
+            # phoneme alternative lands at the source position (posIncr
+            # 0, discounted from norms), the surface form stays indexed
+            analyzer=FilteredAnalyzer(overlay_filters=(beider_morse_terms,)),
+        )
+        _BM_CACHE[sf_dir] = IndexSearcher(
+            build_index(spark, _docs(spark, sf_dir, "documents"), cfg)
+        )
+    return _BM_CACHE[sf_dir]
+
+
+def _register_beider_morse() -> None:
+    @register(
+        "beider_morse_query",
+        f"""WITH {BASE_CTES},
+bm_w(w) AS (SELECT {_idf_sql("(SELECT count(*) FROM tf WHERE term='filter')")}),
+bmf AS (SELECT doc_id, freq FROM tf WHERE term = 'filter'),
+sc AS (
+  SELECT bmf.doc_id, {_score_expr('bm_w.w', 'bmf.freq', 'i.inv')} AS score
+  FROM bmf JOIN invn i USING (doc_id) CROSS JOIN bm_w
+)
+{_topk_sql('sc')}""",
+    )
+    def beider_morse_query(spark, sf_dir):
+        """Beider-Morse phonetic matching (BeiderMorseFilter.java:39):
+        the index carries every BMPM phoneme alternative as a posIncr-0
+        overlay, and the query encodes the MISSPELLING 'philter' — the
+        ph->f rule lands on the same phoneme 'faltar' as the corpus
+        surface 'filter', so the phonetic term query finds documents the
+        literal term query would miss. Over this corpus vocabulary the
+        preimage of 'faltar' is exactly {{'filter'}} (no other token
+        shares the phoneme — pinned by tests/test_entry_analysis_pairs
+        .py), so the oracle scores the surface term with plain BM25:
+        identical df, tf and norms (overlays are discounted), identical
+        float32 score chain."""
+        from lucene_spark.analysis.beidermorse import beider_morse_terms
+
+        s = _get_beider_morse_searcher(spark, sf_dir)
+        (code,) = beider_morse_terms("philter")  # == the code of 'filter'
+        return s.search(Q.TermQuery("text", code), k=10).select("doc_id", "score")
+
+
+_register_beider_morse()

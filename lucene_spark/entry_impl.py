@@ -1065,12 +1065,12 @@ _PRIORITY = [
     "boolean_and",
     "standard_parser_query",
     "disjunction_max",
-    "synonym_query",
+    "kstem_query",
     "word_delimiter_query",
     "phrase_query",
     "sloppy_phrase_query",
     "prefix_query",
-    "word_break_query",
+    "snowball_en_query",
     "point_range_query",
     "total_hit_count",
     "facet_counts",
@@ -1104,7 +1104,7 @@ _PRIORITY = [
     "shape_polygon_intersects",
     "lm_dirichlet_query",
     "fuzzy_like_this_query",
-    "phonetic_query",
+    "beider_morse_query",
     "multimodal_image_meta",
     "id_version_seek_exact",
     "multimodal_audio_meta",
