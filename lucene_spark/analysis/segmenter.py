@@ -164,3 +164,111 @@ class DictionarySegmenter:
         for t in toks:
             post.setdefault(t.term, []).append(t.position)
         return post, len(toks)
+
+
+@dataclass
+class LatticeSegmenter(DictionarySegmenter):
+    """Cost-based Viterbi lattice segmentation — the actual decoding
+    model behind the reference's JapaneseTokenizer / KoreanTokenizer
+    (``analysis/kuromoji/.../JapaneseTokenizer.java:96``,
+    ``nori/.../KoreanTokenizer.java``; the published MeCab model those
+    tokenizers implement): every dictionary entry carries a word cost and
+    a (left_id, right_id) connection-class pair, a connection matrix
+    prices each adjacency, and the emitted segmentation is the minimum-
+    total-cost path through the lattice of all dictionary words (plus
+    single-character unknown-word nodes) spanning the run.
+
+    This subsumes greedy longest-match (zero costs = prefer fewer, hence
+    longer, tokens) and fixes its classic failure: with entries
+    {nihon, ninjin, nihonjin, jin} costed like a real lexicon, the run
+    nihon+ninjin decodes as [nihon, ninjin] even though longest-match
+    would grab nihonjin first and strand a high-cost tail.
+
+    All dictionary data is pluggable (``entries``: word -> (word_cost,
+    left_id, right_id); ``connections``: (right_id, left_id) -> cost —
+    missing pairs cost 0), so a real MeCab-format lexicon drops in as
+    data exactly like hunspell's .dic. Decoding is deterministic: ties
+    break toward the LONGER incoming word, then lexicographically.
+    """
+
+    entries: dict = field(default_factory=dict)
+    connections: dict = field(default_factory=dict)
+    #: cost of a single-character unknown-word node — high enough that
+    #: any dictionary path is preferred, finite so decoding never fails
+    unknown_cost: int = 10_000
+    #: connection class of unknown nodes and of the run boundaries
+    unknown_id: int = 0
+
+    def __post_init__(self):
+        self.entries = {
+            java_lower(w): tuple(v) for w, v in dict(self.entries).items()
+        }
+        # DictionarySegmenter's machinery (run splitting, Standard
+        # delegation, token surface) keys off `words`; the lattice only
+        # changes HOW a run splits.
+        self.words = frozenset(self.entries)
+        super().__post_init__()
+
+    @classmethod
+    def from_dataframe(
+        cls,
+        df,
+        word_col: str = "word",
+        cost_col: str = "cost",
+        left_col: str = "left_id",
+        right_col: str = "right_id",
+        **kw,
+    ):
+        """Collect a costed word table to the driver (same bounded-
+        dictionary budget as DictionarySegmenter.from_dataframe)."""
+        rows = df.select(word_col, cost_col, left_col, right_col).collect()
+        return cls(
+            entries={
+                r[word_col]: (int(r[cost_col]), int(r[left_col]), int(r[right_col]))
+                for r in rows
+            },
+            **kw,
+        )
+
+    def _segment_run(self, run: str, base: int) -> list[tuple[str, int, int]]:
+        """Viterbi over one CJK run -> (word, start, end) min-cost path."""
+        n = len(run)
+        INF = float("inf")
+        # best[i] = (cost, right_id, word, start) of the cheapest path
+        # covering run[:i] whose last word ends at i
+        best: list[tuple] = [(INF, 0, "", 0)] * (n + 1)
+        best[0] = (0, self.unknown_id, "", 0)
+        conn = self.connections
+        for i in range(n):
+            c_i, rid_i, _, _ = best[i]
+            if c_i == INF:
+                continue
+            # dictionary words starting at i, plus the unknown single char
+            cands = []
+            for ln in range(1, min(self._max_word, n - i) + 1):
+                w = run[i : i + ln]
+                e = self.entries.get(w)
+                if e is not None:
+                    cands.append((w, e[0], e[1], e[2]))
+            ch = run[i]
+            if ch not in self.entries:
+                cands.append((ch, self.unknown_cost, self.unknown_id, self.unknown_id))
+            for w, wcost, lid, rid in cands:
+                j = i + len(w)
+                cost = c_i + wcost + conn.get((rid_i, lid), 0)
+                cur = best[j]
+                if cost < cur[0] or (
+                    cost == cur[0]
+                    and cur[0] != INF
+                    and (len(w), w) > (len(cur[2]), cur[2])
+                ):
+                    best[j] = (cost, rid, w, i)
+        # every position is reachable (the unknown node guarantees it)
+        out: list[tuple[str, int, int]] = []
+        j = n
+        while j > 0:
+            _, _, w, i = best[j]
+            out.append((w, base + i, base + j))
+            j = i
+        out.reverse()
+        return out

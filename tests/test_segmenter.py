@@ -94,3 +94,126 @@ def test_from_dataframe_builds_dictionary(spark):
     df = spark.createDataFrame([("東京",), ("大学",)], "word string")
     s = DictionarySegmenter.from_dataframe(df)
     assert s.terms("東京大学") == ["東京", "大学"]  # no 4-char entry here
+
+
+# ---------------------------------------------------------------- lattice
+
+
+def lat():
+    from lucene_spark.analysis.segmenter import LatticeSegmenter
+
+    # a costed mini-lexicon around the classic longest-match trap
+    # 日本人参: greedy grabs 日本人 and strands 参; the cost model
+    # (compound nouns priced above their parts, like a real lexicon)
+    # decodes 日本 + 人参
+    return LatticeSegmenter(
+        entries={
+            "日本": (0, 1, 1),
+            "人参": (0, 1, 1),
+            "日本人": (100, 1, 1),
+            "参": (100, 1, 1),
+            "政権": (0, 1, 1),
+            "参政権": (50, 1, 1),
+        }
+    )
+
+
+def test_viterbi_beats_greedy_on_compound_trap():
+    assert lat().terms("日本人参") == ["日本", "人参"]
+    assert DictionarySegmenter(words=frozenset(lat().entries)).terms(
+        "日本人参"
+    ) == ["日本人", "参"]
+
+
+def test_viterbi_total_cost_not_local_choice():
+    # 参政権(50) < 参(100)+政権(0)? no: 100 > 50, lattice takes the
+    # single cheaper entry even though 政権 itself is free
+    assert lat().terms("参政権") == ["参政権"]
+
+
+def test_unknown_nodes_keep_every_position_reachable():
+    assert lat().terms("私は日本") == ["私", "は", "日本"]
+
+
+def test_connection_matrix_prices_adjacency():
+    from lucene_spark.analysis.segmenter import LatticeSegmenter
+
+    entries = {
+        "東京": (10, 2, 2),
+        "東": (10, 3, 3),
+        "京都": (10, 4, 4),
+        "都": (10, 5, 5),
+    }
+    # flat word costs: 東京+都 and 東+京都 tie at 20 until the
+    # connection matrix penalizes the 東京->都 adjacency
+    assert LatticeSegmenter(
+        entries=entries, connections={(2, 5): 1000}
+    ).terms("東京都") == ["東", "京都"]
+    assert LatticeSegmenter(
+        entries=entries, connections={(3, 4): 1000}
+    ).terms("東京都") == ["東京", "都"]
+
+
+def test_lattice_tie_break_is_deterministic():
+    from lucene_spark.analysis.segmenter import LatticeSegmenter
+
+    # exact tie between 東京+都 and 東+京都 -> longer LAST word wins
+    entries = {
+        "東京": (10, 1, 1),
+        "東": (10, 1, 1),
+        "京都": (10, 1, 1),
+        "都": (10, 1, 1),
+    }
+    s = LatticeSegmenter(entries=entries)
+    assert s.terms("東京都") == ["東", "京都"]
+
+
+def test_lattice_offsets_and_mixed_script():
+    toks = lat().tokens("spark 日本人参 join")
+    assert [t.term for t in toks] == ["spark", "日本", "人参", "join"]
+    text = "spark 日本人参 join"
+    for t in toks:
+        assert text[t.start_offset : t.end_offset] == t.term
+
+
+def test_lattice_corpus_indexes_and_matches(spark):
+    """The lattice analyzer is a drop-in IndexConfig.analyzer: the
+    compound trap decodes cost-correctly in the INDEX, so the word-level
+    term query matches and is rank-identical to the pure-Python oracle."""
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+    from tests.oracle import OracleIndex
+
+    texts = [
+        "日本人参を食べる",
+        "日本の政権",
+        "参政権の話",
+        "plain english row",
+    ]
+    an = lat()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    cfg = IndexConfig(doc_id_col="doc_id", docs_per_segment=4, analyzer=an)
+    idx = build_index(spark, docs, cfg)
+    s = IndexSearcher(idx)
+    oracle = OracleIndex({i: t for i, t in enumerate(texts)}, analyzer=an)
+
+    got = [
+        (int(r["doc_id"]), float(r["score"]))
+        for r in s.search(Q.TermQuery("content", "人参"), k=5).collect()
+    ]
+    assert got == oracle.top_k(oracle.term_scores("人参"), 5)
+    assert [d for d, _ in got] == [0]
+
+
+def test_lattice_from_dataframe(spark):
+    from lucene_spark.analysis.segmenter import LatticeSegmenter
+
+    df = spark.createDataFrame(
+        [("日本", 0, 1, 1), ("人参", 0, 1, 1), ("日本人", 100, 1, 1), ("参", 100, 1, 1)],
+        "word string, cost int, left_id int, right_id int",
+    )
+    s = LatticeSegmenter.from_dataframe(df)
+    assert s.terms("日本人参") == ["日本", "人参"]
