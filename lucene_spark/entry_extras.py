@@ -3292,3 +3292,48 @@ sc AS (
 
 
 _register_beider_morse()
+
+
+# ---- Collation sort keys (analysis/icu/.../ICUCollationKeyAnalyzer.java:47,
+# ICUCollationDocValuesField) -------------------------------------------------
+
+
+def _register_collation() -> None:
+    @register(
+        "collation_sort_query",
+        """
+SELECT n_name,
+       CAST(row_number() OVER (
+           ORDER BY CAST(regexp_extract(n_name, '[0-9]+') AS INT)
+       ) AS INT) AS rk
+FROM nation
+ORDER BY rk ASC
+""".strip(),
+    )
+    def collation_sort_query(spark, sf_dir):
+        """Numeric-collation sorting (the ICU collation role,
+        ICUCollationKeyAnalyzer.java:47 + UCOL_NUMERIC_COLLATION): the
+        nation names NATION_0..NATION_24 are keyed by an Arrow-batched
+        collation-key UDF with numeric mode on, so NATION_2 sorts before
+        NATION_10 where codepoint order would interleave them; ranking
+        is over the BINARY keys, which a plain ORDER BY range-sorts — at
+        scale this is Spark's range-partitioned sort on the key column
+        (the reason the reference materializes keys instead of sorting
+        through a Collator). The 25-row window here is a toy stand-in
+        for that sort. The oracle re-derives the order by extracting the
+        numeric run, the value numeric collation compares by."""
+        from pyspark.sql import Window
+
+        from lucene_spark.analysis.collation import collation_key_udf
+        from lucene_spark.entry_impl import _docs
+
+        nat = _docs(spark, sf_dir, "nation")
+        key = collation_key_udf(numeric=True)
+        keyed = nat.select("n_name", key(F.col("n_name")).alias("ck"))
+        w = Window.orderBy("ck", "n_name")
+        return keyed.select(
+            "n_name", F.row_number().over(w).alias("rk")
+        ).orderBy(F.asc("rk"))
+
+
+_register_collation()

@@ -1075,7 +1075,7 @@ _PRIORITY = [
     "total_hit_count",
     "facet_counts",
     "grouping_top2_per_lang",
-    "sort_by_field",
+    "collation_sort_query",
     "spell_check_query",
     "covering_query",
     "top_terms_by_df",
