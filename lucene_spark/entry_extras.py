@@ -3337,3 +3337,81 @@ ORDER BY rk ASC
 
 
 _register_collation()
+
+
+# ---- ICU transform filter (analysis/icu/.../ICUTransformFilter.java:60) ----
+
+#: the transform ruleset the driver pair indexes with: a compact
+#: orthography normalizer exercising ordered rules, an identity digraph
+#: guard, and a variable-free post-context. Its full image over the
+#: corpus vocabulary (pinned by tests/test_entry_analysis_pairs.py):
+_TRANSLIT_RULES = "qu > kw ; ch > ch ; c } [ei] > s ; c > k ; ph > f ;"
+_TRANSLIT_MAP = (
+    ("column", "kolumn"),
+    ("customer", "kustomer"),
+    ("query", "kwery"),
+    ("scan", "skan"),
+    ("vector", "vektor"),
+)
+
+_TRANSLIT_CACHE: dict = {}
+
+
+def _get_translit_searcher(spark, sf_dir):
+    if sf_dir not in _TRANSLIT_CACHE:
+        from lucene_spark.analysis.filters import FilteredAnalyzer
+        from lucene_spark.analysis.translit import Transliterator
+        from lucene_spark.entry_impl import _docs
+        from lucene_spark.index.build import IndexConfig, build_index
+        from lucene_spark.search.searcher import IndexSearcher
+
+        cfg = IndexConfig(
+            text_col="text",
+            field_name="text",
+            doc_id_col="doc_id",
+            docs_per_segment=1024,
+            analyzer=FilteredAnalyzer(
+                filters=(Transliterator(_TRANSLIT_RULES),)
+            ),
+        )
+        _TRANSLIT_CACHE[sf_dir] = IndexSearcher(
+            build_index(spark, _docs(spark, sf_dir, "documents"), cfg)
+        )
+    return _TRANSLIT_CACHE[sf_dir]
+
+
+def _register_translit() -> None:
+    from lucene_spark.entry_impl import _bm25_ctes
+
+    tok = _mapped_tok(_TRANSLIT_MAP)
+
+    @register(
+        "icu_transform_query",
+        f"""WITH {_bm25_ctes(tok)},
+{_term_scores_cte('t1', 'kwery')},
+{_term_scores_cte('t2', 'skan')},
+u AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2),
+sc AS (
+  SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+  FROM u GROUP BY doc_id
+)
+{_topk_sql('sc')}""",
+    )
+    def icu_transform_query(spark, sf_dir):
+        """BM25 over a transliterated field (ICUTransformFilter.java:60,
+        here driven by the in-tree rule engine instead of ICU4J data):
+        the index analyzer rewrites every token through the orthography
+        ruleset (qu>kw, context-sensitive c>s/k, ph>f with the ch
+        digraph protected by an identity rule), and the query searches
+        the transformed terms. The oracle replays the ruleset's full
+        vocabulary image as a surface->term map (pinned against the
+        engine's own Transliterator by tests/test_entry_analysis_pairs
+        .py) and sums the two term scores float32-exactly."""
+        s = _get_translit_searcher(spark, sf_dir)
+        q = Q.BooleanQuery.of(
+            should=[Q.TermQuery("text", "kwery"), Q.TermQuery("text", "skan")]
+        )
+        return s.search(q, k=10).select("doc_id", "score")
+
+
+_register_translit()

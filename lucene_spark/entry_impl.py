@@ -1078,7 +1078,7 @@ _PRIORITY = [
     "collation_sort_query",
     "spell_check_query",
     "covering_query",
-    "top_terms_by_df",
+    "icu_transform_query",
     "block_join_parent",
     "query_time_join_scored",
     "classic_similarity_query",

@@ -58,3 +58,13 @@ def test_beider_morse_faltar_preimage_is_exactly_filter(sf_dir):
     # and the misspelling really is single-code, so the query term is
     # deterministic
     assert code == "faltar"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_translit_oracle_map_is_the_full_vocab_image(sf_dir):
+    from lucene_spark.analysis.translit import Transliterator
+    from lucene_spark.entry_extras import _TRANSLIT_MAP, _TRANSLIT_RULES
+
+    t = Transliterator(_TRANSLIT_RULES)
+    image = {w: t(w) for w in _vocab(sf_dir) if t(w) != w}
+    assert image == dict(_TRANSLIT_MAP)
