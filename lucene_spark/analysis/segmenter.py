@@ -231,17 +231,21 @@ class LatticeSegmenter(DictionarySegmenter):
         )
 
     def _segment_run(self, run: str, base: int) -> list[tuple[str, int, int]]:
-        """Viterbi over one CJK run -> (word, start, end) min-cost path."""
+        """Viterbi over one CJK run -> (word, start, end) min-cost path.
+
+        The DP state is (position, right_id) — NOT position alone: the
+        connection cost of the NEXT word depends on the incoming
+        connection class, so two equal-cost prefixes ending at the same
+        position with different right ids are both live (the lattice
+        keeps one best path per NODE, exactly the MeCab formulation)."""
         n = len(run)
-        INF = float("inf")
-        # best[i] = (cost, right_id, word, start) of the cheapest path
-        # covering run[:i] whose last word ends at i
-        best: list[tuple] = [(INF, 0, "", 0)] * (n + 1)
-        best[0] = (0, self.unknown_id, "", 0)
         conn = self.connections
+        # best[i][rid] = (cost, word, start, prev_rid) of the cheapest
+        # path covering run[:i] whose last word has connection class rid
+        best: list[dict] = [dict() for _ in range(n + 1)]
+        best[0][self.unknown_id] = (0, "", 0, self.unknown_id)
         for i in range(n):
-            c_i, rid_i, _, _ = best[i]
-            if c_i == INF:
+            if not best[i]:
                 continue
             # dictionary words starting at i, plus the unknown single char
             cands = []
@@ -252,23 +256,31 @@ class LatticeSegmenter(DictionarySegmenter):
                     cands.append((w, e[0], e[1], e[2]))
             ch = run[i]
             if ch not in self.entries:
-                cands.append((ch, self.unknown_cost, self.unknown_id, self.unknown_id))
-            for w, wcost, lid, rid in cands:
-                j = i + len(w)
-                cost = c_i + wcost + conn.get((rid_i, lid), 0)
-                cur = best[j]
-                if cost < cur[0] or (
-                    cost == cur[0]
-                    and cur[0] != INF
-                    and (len(w), w) > (len(cur[2]), cur[2])
-                ):
-                    best[j] = (cost, rid, w, i)
-        # every position is reachable (the unknown node guarantees it)
+                cands.append(
+                    (ch, self.unknown_cost, self.unknown_id, self.unknown_id)
+                )
+            for rid_i, (c_i, _, _, _) in best[i].items():
+                for w, wcost, lid, rid in cands:
+                    j = i + len(w)
+                    cost = c_i + wcost + conn.get((rid_i, lid), 0)
+                    cur = best[j].get(rid)
+                    if (
+                        cur is None
+                        or cost < cur[0]
+                        or (cost == cur[0] and (len(w), w) > (len(cur[1]), cur[1]))
+                    ):
+                        best[j][rid] = (cost, w, i, rid_i)
+        # every position is reachable (the unknown node guarantees it);
+        # final tie-break: cheapest, then longer last word, then rid
         out: list[tuple[str, int, int]] = []
         j = n
+        rid = min(
+            best[n],
+            key=lambda r: (best[n][r][0], -len(best[n][r][1]), best[n][r][1], r),
+        )
         while j > 0:
-            _, _, w, i = best[j]
+            cost, w, i, prev_rid = best[j][rid]
             out.append((w, base + i, base + j))
-            j = i
+            j, rid = i, prev_rid
         out.reverse()
         return out

@@ -217,3 +217,98 @@ def test_lattice_from_dataframe(spark):
     )
     s = LatticeSegmenter.from_dataframe(df)
     assert s.terms("日本人参") == ["日本", "人参"]
+
+
+def test_lattice_path_is_globally_optimal_property():
+    """Hypothesis pin: over random dictionaries/costs/texts, the Viterbi
+    path's total cost equals the brute-force minimum over ALL
+    segmentations (dictionary words + single-char unknown nodes)."""
+    from hypothesis import given, settings, strategies as st
+
+    from lucene_spark.analysis.segmenter import LatticeSegmenter
+
+    ALPHA = "東京都大学"
+
+    @st.composite
+    def case(draw):
+        words = draw(
+            st.lists(
+                st.text(ALPHA, min_size=1, max_size=3), min_size=1,
+                max_size=6, unique=True,
+            )
+        )
+        entries = {
+            w: (draw(st.integers(0, 50)), draw(st.integers(0, 3)),
+                draw(st.integers(0, 3)))
+            for w in words
+        }
+        conn = {
+            (draw(st.integers(0, 3)), draw(st.integers(0, 3))):
+                draw(st.integers(0, 30))
+            for _ in range(draw(st.integers(0, 4)))
+        }
+        text = draw(st.text(ALPHA, min_size=1, max_size=7))
+        return entries, conn, text
+
+    def brute_min(entries, conn, text, unk_cost, unk_id):
+        best = {}
+
+        def rec(i, rid):
+            if i == len(text):
+                return 0
+            key = (i, rid)
+            if key in best:
+                return best[key]
+            out = None
+            cands = [
+                (w, e[0], e[1], e[2])
+                for w, e in entries.items()
+                if text.startswith(w, i)
+            ]
+            if text[i] not in entries:
+                cands.append((text[i], unk_cost, unk_id, unk_id))
+            for w, wc, lid, rid2 in cands:
+                c = wc + conn.get((rid, lid), 0) + rec(i + len(w), rid2)
+                if out is None or c < out:
+                    out = c
+            best[key] = out
+            return out
+
+        return rec(0, unk_id)
+
+    @settings(max_examples=150, deadline=None)
+    @given(case())
+    def check(c):
+        entries, conn, text = c
+        seg = LatticeSegmenter(entries=entries, connections=conn)
+        got = seg._segment_run(text, 0)
+        # recompute the emitted path's cost
+        cost, rid = 0, seg.unknown_id
+        for w, s, e in got:
+            assert text[s:e] == w
+            ent = seg.entries.get(w)
+            wc, lid, rid2 = (
+                ent if ent is not None
+                else (seg.unknown_cost, seg.unknown_id, seg.unknown_id)
+            )
+            cost += wc + conn.get((rid, lid), 0)
+            rid = rid2
+        assert "".join(w for w, _, _ in got) == text
+        assert cost == brute_min(
+            entries, conn, text, seg.unknown_cost, seg.unknown_id
+        )
+
+    check()
+
+
+def test_lattice_keeps_per_rid_states_not_per_position():
+    """Regression: two zero-cost prefixes end at the same position with
+    DIFFERENT right ids; collapsing to one state per position would keep
+    the longer word and pay the 100-cost adjacency. The MeCab-style
+    (position, right_id) state space finds the free path."""
+    from lucene_spark.analysis.segmenter import LatticeSegmenter
+
+    entries = {"東京": (0, 2, 2), "東": (0, 1, 1), "京": (0, 1, 1), "都": (0, 3, 3)}
+    conn = {(2, 3): 100, (1, 3): 0, (1, 1): 0}
+    s = LatticeSegmenter(entries=entries, connections=conn)
+    assert s.terms("東京都") == ["東", "京", "都"]
