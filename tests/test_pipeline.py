@@ -557,3 +557,36 @@ def test_graph_round_local_bit_identical(spark):
         len(a.keys() - b.keys()), len(b.keys() - a.keys()))
     diffs = [k for k in a if a[k] != b[k]]
     assert not diffs, diffs[:5]
+
+
+def test_graph_search_local_kernel_bit_identical(spark):
+    """The broadcast beam-search kernel (one mapInPandas pass, graph +
+    vectors shipped as a broadcast — the HNSW serving shape) must return
+    the EXACT same (query_id, neighbor_id, rank) rows with bit-identical
+    float64 cosines as the iterative join plan it replaces: same salted
+    entry buckets, same per-round frontier and tie-breaks, same
+    fixed-point cosine arithmetic."""
+    from lucene_spark.pipeline import graph_ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").filter(
+        F.col("vec_id") < 1500
+    )
+    queries = emb.filter(F.col("vec_id") < 48)
+    graph = graph_ann.build_knn_graph(
+        emb, id_col="vec_id", k_graph=8, dim=64, rounds=1
+    ).localCheckpoint()
+    kw = dict(id_col="vec_id", k=10, beam=16, iters=4, dim=64)
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in graph_ann.graph_search_topk(
+            graph, emb, queries, local_kernel=True, **kw
+        ).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in graph_ann.graph_search_topk(
+            graph, emb, queries, local_kernel=False, **kw
+        ).collect()
+    }
+    assert a == b
+    assert len({q for q, _ in a}) == 48
