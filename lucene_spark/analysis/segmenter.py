@@ -57,10 +57,24 @@ class DictionarySegmenter:
     words: frozenset[str] = field(default_factory=frozenset)
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
     stopwords: frozenset[str] = field(default_factory=frozenset)
+    #: scripts that segment by dictionary instead of by the base
+    #: tokenizer — a regex CHARACTER CLASS body (no brackets). The CJK
+    #: default covers the kuromoji/nori role; ICUTokenizer's
+    #: dictionary-break scripts add their ranges here, e.g.
+    #: ``extra_scripts="฀-๿"`` for Thai (ICUTokenizer.java:49 breaks
+    #: Thai/Lao/Khmer/Myanmar with a dictionary, not rules)
+    extra_scripts: str = ""
 
     def __post_init__(self):
         self.words = frozenset(java_lower(w) for w in self.words)
         self._max_word = max((len(w) for w in self.words), default=1)
+        self._run = (
+            re.compile(
+                _CJK_RUN.pattern[:-2] + self.extra_scripts + "]+"
+            )
+            if self.extra_scripts
+            else _CJK_RUN
+        )
         self._base = StandardAnalyzer(
             max_token_length=self.max_token_length, stopwords=frozenset()
         )
@@ -96,7 +110,7 @@ class DictionarySegmenter:
         lowered = java_lower(text)
         out: list[tuple[str, int, int]] = []
         last = 0
-        for m in _CJK_RUN.finditer(lowered):
+        for m in self._run.finditer(lowered):
             if m.start() > last:
                 seg = lowered[last : m.start()]
                 out.extend(

@@ -312,3 +312,25 @@ def test_lattice_keeps_per_rid_states_not_per_position():
     conn = {(2, 3): 100, (1, 3): 0, (1, 1): 0}
     s = LatticeSegmenter(entries=entries, connections=conn)
     assert s.terms("東京都") == ["東", "京", "都"]
+
+
+def test_extra_scripts_thai_dictionary_break():
+    """ICUTokenizer.java:49 breaks Thai/Lao/Khmer/Myanmar with a
+    DICTIONARY, not rules — extra_scripts adds those ranges to the
+    dictionary-segmented run class (both greedy and lattice modes)."""
+    from lucene_spark.analysis.segmenter import LatticeSegmenter
+
+    s = DictionarySegmenter(
+        words=frozenset({"สวัสดี", "ครับ", "ภาษา", "ไทย"}), extra_scripts="฀-๿"
+    )
+    assert s.terms("สวัสดีครับ hello ภาษาไทย") == [
+        "สวัสดี", "ครับ", "hello", "ภาษา", "ไทย"
+    ]
+    lat_s = LatticeSegmenter(
+        entries={"สวัสดี": (0, 1, 1), "ครับ": (0, 1, 1)}, extra_scripts="฀-๿"
+    )
+    assert lat_s.terms("สวัสดีครับ") == ["สวัสดี", "ครับ"]
+    # the default run class is untouched
+    assert DictionarySegmenter(words=frozenset({"東京"})).terms("東京 ok") == [
+        "東京", "ok"
+    ]
