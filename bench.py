@@ -298,6 +298,45 @@ def run_pipeline_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from lucene_spark.pipeline.curate import curate_corpus
 
     q("curation_pipeline", lambda: curate_corpus(docs, text_col="text"))
+
+    # percolation: a 2,000-standing-query Monitor matched against a
+    # 200-doc microbatch (the streaming shape — percolation sees doc
+    # BATCHES, not the corpus; the 10^4-10^5 standing-query sweep lives
+    # in scripts/percolator_bench.py)
+    from lucene_spark.search import query as Q
+    from lucene_spark.streaming.monitor import Monitor
+
+    vocab = [
+        "table", "merge", "query", "scan", "join", "filter", "sort",
+        "group", "window", "stream", "batch", "hash", "value", "column",
+    ]
+    mon = Monitor()
+    for i in range(2000):
+        a = vocab[i % len(vocab)]
+        b = vocab[(i // len(vocab)) % len(vocab)]
+        kind = i % 4
+        if kind == 0:
+            mq = Q.TermQuery("text", a)
+        elif kind == 1:
+            mq = Q.BooleanQuery.of(
+                must=[Q.TermQuery("text", a), Q.TermQuery("text", b)]
+            )
+        elif kind == 2:
+            mq = Q.PhraseQuery("text", (a, b))
+        else:
+            mq = Q.PrefixQuery("text", a[:3])
+        mon.register(f"q{i}", mq)
+    # aggregate to one row: the op is the match join, not shipping ~1M
+    # (query, doc) pairs through the driver
+    batch = docs.limit(200).persist()
+    batch.count()
+    q(
+        "percolate_2k",
+        lambda: mon.match_batch(batch, text_col="text")
+        .groupBy()
+        .count(),
+    )
+    batch.unpersist()
     return timings
 
 
