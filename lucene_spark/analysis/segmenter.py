@@ -3,12 +3,18 @@ the reference fills with kuromoji / nori / smartcn
 (``analysis/kuromoji/.../JapaneseTokenizer.java:96``,
 ``analysis/nori/.../KoreanTokenizer.java``): those tokenizers consult a
 bundled word dictionary to split unspaced CJK text into words instead of
-single ideographs. This module supplies that ROLE as an analyzer-level
-hook — a greedy longest-match segmenter over an externally supplied word
-table — without porting the Viterbi lattice or the MeCab dictionaries
-(documented fence: longest-match is the standard dictionary-segmentation
-fallback; the hook accepts ANY word list, so a real lexicon drops in as a
-data file, exactly like hunspell's .dic in ``analysis/hunspell.py``).
+single ideographs. This module supplies that role at two tiers:
+
+- :class:`DictionarySegmenter` — greedy longest-match over an externally
+  supplied word table (the standard no-cost fallback);
+- :class:`LatticeSegmenter` — the MeCab cost model those tokenizers
+  actually decode with: per-entry word costs + (left_id, right_id)
+  connection classes, a connection matrix, minimum-total-cost Viterbi
+  over (position, right_id) lattice nodes, single-char unknown-word
+  nodes. ``parse_mecab_csv`` / ``parse_mecab_matrix`` read the published
+  MeCab dictionary formats, so a real compiled lexicon drops in as data,
+  exactly like hunspell's .dic in ``analysis/hunspell.py``. The
+  DICTIONARIES themselves stay external data (not bundled).
 
 Spark integration mirrors the rest of the analysis chain: the dictionary
 is DRIVER-side data shipped to executors inside the analyzer object (a
@@ -298,3 +304,52 @@ class LatticeSegmenter(DictionarySegmenter):
             j, rid = i, prev_rid
         out.reverse()
         return out
+
+
+def parse_mecab_csv(csv_text: str) -> dict:
+    """MeCab dictionary CSV rows -> LatticeSegmenter ``entries``.
+
+    The published format kuromoji/nori's dictionaries compile from
+    (surface,left_id,right_id,word_cost,features...): only the first four
+    columns drive segmentation; feature columns (POS, readings) are
+    ignored here. Duplicate surfaces keep the CHEAPEST entry — the
+    single-entry-per-word simplification this lattice uses (a full
+    homograph lattice would key nodes by dictionary entry, not surface;
+    the cheapest entry dominates any min-cost path that ignores
+    feature-level distinctions with a symmetric connection matrix).
+    """
+    entries: dict = {}
+    for line in csv_text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(",")
+        if len(parts) < 4:
+            raise ValueError(f"mecab csv: need 4+ columns in {line!r}")
+        surface = parts[0]
+        cost_tuple = (int(parts[3]), int(parts[1]), int(parts[2]))
+        if surface not in entries or cost_tuple < entries[surface]:
+            entries[surface] = cost_tuple
+    return entries
+
+
+def parse_mecab_matrix(matrix_text: str) -> dict:
+    """MeCab matrix.def -> LatticeSegmenter ``connections``.
+
+    First line is the 'L R' size header; each following line is
+    'right_id left_id cost' (the cost of a word with class right_id
+    followed by a word with class left_id). Zero-cost rows are dropped
+    (the lattice treats missing pairs as 0).
+    """
+    conn: dict = {}
+    lines = [ln for ln in matrix_text.splitlines() if ln.strip()]
+    if not lines:
+        return conn
+    for ln in lines[1:]:
+        parts = ln.split()
+        if len(parts) != 3:
+            raise ValueError(f"mecab matrix: need 3 fields in {ln!r}")
+        r, l, c = int(parts[0]), int(parts[1]), int(parts[2])
+        if c != 0:
+            conn[(r, l)] = c
+    return conn

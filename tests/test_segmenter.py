@@ -334,3 +334,44 @@ def test_extra_scripts_thai_dictionary_break():
     assert DictionarySegmenter(words=frozenset({"東京"})).terms("東京 ok") == [
         "東京", "ok"
     ]
+
+
+def test_mecab_format_loaders():
+    """A dictionary in the published MeCab CSV/matrix.def format drops
+    straight into the lattice — the data path kuromoji/nori compile
+    their dictionaries from."""
+    from lucene_spark.analysis.segmenter import (
+        LatticeSegmenter,
+        parse_mecab_csv,
+        parse_mecab_matrix,
+    )
+
+    csv = """
+日本,1,1,0,名詞
+人参,1,1,0,名詞
+日本人,1,1,100,名詞
+参,1,1,100,名詞
+参,1,1,50,接尾
+"""
+    matrix = """2 2
+0 0 0
+1 1 10
+"""
+    entries = parse_mecab_csv(csv)
+    assert entries["参"] == (50, 1, 1)  # cheapest homograph kept
+    conn = parse_mecab_matrix(matrix)
+    assert conn == {(1, 1): 10}
+    s = LatticeSegmenter(entries=entries, connections=conn)
+    assert s.terms("日本人参") == ["日本", "人参"]
+
+
+def test_mecab_loader_errors():
+    from lucene_spark.analysis.segmenter import (
+        parse_mecab_csv,
+        parse_mecab_matrix,
+    )
+
+    with pytest.raises(ValueError):
+        parse_mecab_csv("word,1,2")  # too few columns
+    with pytest.raises(ValueError):
+        parse_mecab_matrix("1 1\n0 0")  # bad row arity
