@@ -3415,3 +3415,68 @@ sc AS (
 
 
 _register_translit()
+
+
+# ---- Geo3D polygon (spatial3d/.../Geo3DPoint.java:38, ------------------------
+# GeoPolygonFactory) — spherical winding, no dateline special case
+
+#: dateline-crossing spherical polygon (lon runs 165 -> -165 across 180)
+_G3D_POLY = [(12.0, 165.0), (12.0, -165.0), (-12.0, -165.0), (-12.0, 165.0)]
+
+
+def _g3d_bearing_sql(vlat: float, vlon: float) -> str:
+    """DuckDB twin of geo3d._bearing: initial bearing from the customer
+    point to the fixed vertex."""
+    return (
+        f"atan2(sin(radians({vlon}) - radians(lon)) * cos(radians({vlat})), "
+        f"cos(radians(lat)) * sin(radians({vlat})) "
+        f"- sin(radians(lat)) * cos(radians({vlat})) "
+        f"* cos(radians({vlon}) - radians(lon)))"
+    )
+
+
+def _g3d_winding_sql() -> str:
+    two_pi = "6.283185307179586"
+    terms = []
+    n = len(_G3D_POLY)
+    for i in range(n):
+        a = _g3d_bearing_sql(*_G3D_POLY[i])
+        b = _g3d_bearing_sql(*_G3D_POLY[(i + 1) % n])
+        d = f"(({b}) - ({a}))"
+        terms.append(
+            f"({d} - {two_pi} * floor(({d} + pi()) / {two_pi}))"
+        )
+    return " + ".join(terms)
+
+
+def _register_geo3d() -> None:
+    @register(
+        "geo3d_polygon_query",
+        f"""WITH pts AS (
+  SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer
+)
+SELECT c_custkey FROM pts
+WHERE abs({_g3d_winding_sql()}) > pi()
+ORDER BY c_custkey ASC""",
+    )
+    def geo3d_polygon_query(spark, sf_dir):
+        """Spherical polygon membership (the spatial3d role,
+        Geo3DPoint.java:38 / GeoPolygonFactory): the polygon crosses the
+        DATELINE (lon 165 -> -165) — the case the planar LatLon path must
+        split into two boxes/polygons, and the 3D model handles with no
+        special case because the winding test is intrinsic to the
+        sphere. Pure sin/cos/atan2 Column expressions inside whole-stage
+        codegen; the oracle replays the identical winding sum in DuckDB
+        (the boolean is ulp-robust: off-edge points wind to ~0 or ~2pi,
+        the pi threshold is maximally far from both)."""
+        from lucene_spark.search import geo3d
+
+        pts = _geo_points(spark, sf_dir)
+        return (
+            pts.filter(geo3d.polygon_contains(_G3D_POLY))
+            .select("c_custkey")
+            .orderBy(F.asc("c_custkey"))
+        )
+
+
+_register_geo3d()

@@ -1107,7 +1107,7 @@ _PRIORITY = [
     "beider_morse_query",
     "multimodal_image_meta",
     "id_version_seek_exact",
-    "multimodal_audio_meta",
+    "geo3d_polygon_query",
 ]
 
 

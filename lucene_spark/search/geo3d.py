@@ -1,0 +1,218 @@
+"""Spherical (3D) geo predicates — the reference's spatial3d role
+(``spatial3d/.../Geo3DPoint.java:38``, ``GeoStandardCircle``,
+``GeoStandardPath``, ``GeoPolygonFactory``): points live on the unit
+sphere as (x, y, z) and every predicate is spherical-geometry math, so
+the dateline and the poles need NO special cases — the reason the
+reference keeps a 3D module next to the planar LatLon one (whose box
+splitting and planar polygon tests this package's ``geo.py`` mirrors).
+
+PlanetModel: SPHERE (the reference's ``PlanetModel.SPHERE``; the WGS84
+ellipsoid model is a documented fence — its deltas are <0.35% of
+distance, and every published geo3d predicate has the same shape on the
+sphere). Mean radius matches ``geo.py``'s haversine (6371008.7714 m).
+
+Everything is a Column expression (sin/cos/atan2 inside whole-stage
+codegen — no Python at query time), so predicates push into the scan
+stage like the planar ones, and the DuckDB oracles replay the same
+formulas:
+
+- ``arc_distance_m``: great-circle distance via the atan2 form
+  (numerically stable at antipodes where acos saturates);
+- ``circle_filter``: GeoStandardCircle membership = distance <= radius;
+- ``polygon_contains``: spherical winding number — the sum of wrapped
+  initial-bearing deltas from the test point to the polygon's vertices
+  is ±2π inside and 0 outside. Valid for simple (non-self-crossing)
+  polygons whose interior does not contain the test point's antipode;
+  vertices in either orientation (the |sum| test is orientation-free).
+- ``path_distance_m``: GeoStandardPath's distance to a polyline of
+  great-circle segments — cross-track distance where the projection
+  falls inside a segment, else the nearer endpoint arc.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "EARTH_RADIUS_M",
+    "arc_distance_m",
+    "circle_filter",
+    "polygon_contains",
+    "path_distance_m",
+    "path_filter",
+]
+
+EARTH_RADIUS_M = 6371008.7714
+
+
+def _rad(c) -> Column:
+    return F.radians(c) if not isinstance(c, (int, float)) else F.lit(math.radians(c))
+
+
+def arc_distance_m(lat1, lon1, lat2, lon2) -> Column:
+    """Great-circle distance in meters, atan2 form: stable everywhere
+    incl. near-antipodal pairs (acos'ing a dot product is not)."""
+    p1, l1, p2, l2 = _rad(lat1), _rad(lon1), _rad(lat2), _rad(lon2)
+    dl = l2 - l1
+    y = F.sqrt(
+        F.pow(F.cos(p2) * F.sin(dl), F.lit(2.0))
+        + F.pow(
+            F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl),
+            F.lit(2.0),
+        )
+    )
+    x = F.sin(p1) * F.sin(p2) + F.cos(p1) * F.cos(p2) * F.cos(dl)
+    return F.atan2(y, x) * F.lit(EARTH_RADIUS_M)
+
+
+def circle_filter(
+    df: DataFrame,
+    center_lat: float,
+    center_lon: float,
+    radius_m: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """GeoStandardCircle membership (spatial3d's distance query)."""
+    d = arc_distance_m(F.col(lat_col), F.col(lon_col), center_lat, center_lon)
+    if dist_col is not None:
+        df = df.withColumn(dist_col, d)
+        return df.filter(F.col(dist_col) <= F.lit(radius_m))
+    return df.filter(d <= F.lit(radius_m))
+
+
+def _bearing(lat_c, lon_c, vlat: float, vlon: float) -> Column:
+    """Initial great-circle bearing FROM the (column) point TO the fixed
+    vertex, in radians in (-pi, pi]."""
+    p1, l1 = _rad(lat_c), _rad(lon_c)
+    p2, l2 = math.radians(vlat), math.radians(vlon)
+    dl = F.lit(l2) - l1
+    y = F.sin(dl) * F.lit(math.cos(p2))
+    x = F.cos(p1) * F.lit(math.sin(p2)) - F.sin(p1) * F.lit(math.cos(p2)) * F.cos(dl)
+    return F.atan2(y, x)
+
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _wrap(a: Column) -> Column:
+    """Wrap an angle difference into (-pi, pi]."""
+    return a - F.lit(_TWO_PI) * F.floor((a + F.lit(math.pi)) / F.lit(_TWO_PI))
+
+
+def polygon_contains(
+    vertices: list[tuple[float, float]],
+    lat_col="lat",
+    lon_col="lon",
+) -> Column:
+    """Boolean Column: point inside the simple spherical polygon.
+
+    Winding test: sum over edges of the wrapped change in initial
+    bearing from the point to consecutive vertices — |sum| ≈ 2π inside,
+    ≈ 0 outside (threshold π, maximally far from both). No dateline or
+    pole special-casing: bearings are intrinsic to the sphere."""
+    if len(vertices) < 3:
+        raise ValueError("polygon needs >= 3 vertices")
+    lat_c, lon_c = F.col(lat_col), F.col(lon_col)
+    bearings = [_bearing(lat_c, lon_c, vlat, vlon) for vlat, vlon in vertices]
+    total = None
+    for i in range(len(bearings)):
+        step = _wrap(bearings[(i + 1) % len(bearings)] - bearings[i])
+        total = step if total is None else total + step
+    return F.abs(total) > F.lit(math.pi)
+
+
+def path_distance_m(
+    points: list[tuple[float, float]],
+    lat_col="lat",
+    lon_col="lon",
+) -> Column:
+    """Distance in meters from the (column) point to a polyline of
+    great-circle segments (GeoStandardPath's metric): per segment the
+    cross-track distance |asin(sin(d13) * sin(b13 - b12))| when the
+    along-track projection falls inside the segment, else the nearer
+    endpoint arc; the path distance is the minimum over segments."""
+    if len(points) < 2:
+        raise ValueError("path needs >= 2 points")
+    lat_c, lon_c = F.col(lat_col), F.col(lon_col)
+    best = None
+    for (alat, alon), (blat, blon) in zip(points, points[1:]):
+        d_ap = arc_distance_m(F.lit(alat), F.lit(alon), lat_c, lon_c) / F.lit(
+            EARTH_RADIUS_M
+        )  # radians from segment start A to the point
+        d_bp = arc_distance_m(F.lit(blat), F.lit(blon), lat_c, lon_c)
+        d_ab = math.radians(
+            _arc_deg(alat, alon, blat, blon)
+        )  # segment length, radians (python float)
+        # bearings FROM A: to the point and to B
+        b_ap = _bearing_from_fixed(alat, alon, lat_c, lon_c)
+        b_ab = math.radians(_bearing_deg(alat, alon, blat, blon))
+        xt = F.asin(F.sin(d_ap) * F.sin(b_ap - F.lit(b_ab)))  # cross-track
+        at = F.acos(
+            F.greatest(
+                F.lit(-1.0), F.least(F.lit(1.0), F.cos(d_ap) / F.cos(xt))
+            )
+        )  # along-track
+        seg = F.when(
+            (F.cos(b_ap - F.lit(b_ab)) > F.lit(0.0)) & (at <= F.lit(d_ab)),
+            F.abs(xt) * F.lit(EARTH_RADIUS_M),
+        ).otherwise(
+            F.least(d_ap * F.lit(EARTH_RADIUS_M), d_bp)
+        )
+        best = seg if best is None else F.least(best, seg)
+    return best
+
+
+def path_filter(
+    df: DataFrame,
+    points: list[tuple[float, float]],
+    width_m: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Geo3DPoint.newPathQuery: points within ``width_m`` of the path."""
+    d = path_distance_m(points, lat_col, lon_col)
+    if dist_col is not None:
+        df = df.withColumn(dist_col, d)
+        return df.filter(F.col(dist_col) <= F.lit(width_m))
+    return df.filter(d <= F.lit(width_m))
+
+
+# ------------------------------------------------- python-float helpers
+
+
+def _arc_deg(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    """Great-circle arc between two FIXED points, in DEGREES (callers
+    convert back with math.radians — keeps the two fixed-point helpers
+    symmetric)."""
+    p1, l1, p2, l2 = map(math.radians, (lat1, lon1, lat2, lon2))
+    dl = l2 - l1
+    y = math.sqrt(
+        (math.cos(p2) * math.sin(dl)) ** 2
+        + (math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl))
+        ** 2
+    )
+    x = math.sin(p1) * math.sin(p2) + math.cos(p1) * math.cos(p2) * math.cos(dl)
+    return math.degrees(math.atan2(y, x))
+
+
+def _bearing_deg(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    p1, l1, p2, l2 = map(math.radians, (lat1, lon1, lat2, lon2))
+    dl = l2 - l1
+    y = math.sin(dl) * math.cos(p2)
+    x = math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl)
+    return math.degrees(math.atan2(y, x))
+
+
+def _bearing_from_fixed(alat: float, alon: float, lat_c, lon_c) -> Column:
+    """Initial bearing FROM the fixed point A TO the (column) point."""
+    p1, l1 = math.radians(alat), math.radians(alon)
+    p2, l2 = _rad(lat_c), _rad(lon_c)
+    dl = l2 - F.lit(l1)
+    y = F.sin(dl) * F.cos(p2)
+    x = F.lit(math.cos(p1)) * F.sin(p2) - F.lit(math.sin(p1)) * F.cos(p2) * F.cos(dl)
+    return F.atan2(y, x)
