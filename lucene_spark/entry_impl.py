@@ -1096,7 +1096,7 @@ _PRIORITY = [
     "ann_brute_force_topk",
     "ann_lsh_bucketed_topk",
     "classify_knn",
-    "dedup_exact",
+    "text_repetition_scores",
     "curation_pipeline",
     "dedup_duplicate_clusters",
     "shape_point_intersects",

@@ -1001,3 +1001,74 @@ def curation_pipeline(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return curate_corpus(docs, text_col="text", quality_threshold=0.7)
+
+
+# ---- Gopher repetition filters (training-data curation; ---------------------
+# Rae et al. 2021 §A1.1 — the rule family C4/RefinedWeb/Dolma reuse)
+
+def _rep_gram_cte(name: str, n: int) -> str:
+    """CTE pair: per-(doc, gram) counts and the per-doc rollup for one n."""
+    return f"""g{name} AS (
+  SELECT b.doc_id, b.total_chars,
+         array_to_string(b.t[i.i : i.i + {n - 1}], ' ') AS gram,
+         list_sum(list_transform(b.t[i.i : i.i + {n - 1}], x -> length(x))) AS gchars
+  FROM rep_base b, unnest(generate_series(1, greatest(len(b.t) - {n - 1}, 0))) AS i(i)
+  WHERE len(b.t) >= {n}
+),
+a{name} AS (
+  SELECT doc_id, gram, count(*) AS cnt,
+         first(gchars) AS gchars, first(total_chars) AS tc
+  FROM g{name} GROUP BY doc_id, gram
+),
+r{name} AS (
+  SELECT doc_id,
+         max(cnt * gchars) AS top_chars,
+         sum(CASE WHEN cnt > 1 THEN cnt * gchars ELSE 0 END) AS dup_chars,
+         first(tc) AS tc
+  FROM a{name} GROUP BY doc_id
+)"""
+
+
+@register(
+    "text_repetition_scores",
+    f"""WITH rep_base AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[a-z0-9_]+') AS t,
+         coalesce(list_sum(list_transform(regexp_extract_all(text, '[a-z0-9_]+'),
+                                          x -> length(x))), 0) AS total_chars
+  FROM documents
+),
+{_rep_gram_cte('2', 2)},
+{_rep_gram_cte('5', 5)},
+rep_lines AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, chr(10)), x -> x <> '')) AS n_lines,
+         len(list_distinct(list_filter(string_split(text, chr(10)), x -> x <> ''))) AS n_distinct
+  FROM documents
+)
+SELECT b.doc_id,
+       CASE WHEN coalesce(r2.tc, 0) > 0
+            THEN coalesce(r2.top_chars, 0)::DOUBLE / r2.tc ELSE 0.0 END AS top2_frac,
+       CASE WHEN coalesce(r5.tc, 0) > 0
+            THEN coalesce(r5.dup_chars, 0)::DOUBLE / r5.tc ELSE 0.0 END AS dup5_frac,
+       CASE WHEN l.n_lines > 0
+            THEN (l.n_lines - l.n_distinct)::DOUBLE / l.n_lines ELSE 0.0 END AS dup_line_frac
+FROM rep_base b
+LEFT JOIN r2 USING (doc_id)
+LEFT JOIN r5 USING (doc_id)
+JOIN rep_lines l USING (doc_id)
+ORDER BY b.doc_id""",
+)
+def text_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per doc,
+    the characters covered by the most frequent word 2-gram and by all
+    duplicated 5-grams as fractions of total token characters
+    (overlap-counting variant), plus the duplicate-line fraction. One
+    explode + two doc-keyed groupBys; integer counts with one final
+    double division, so the DuckDB oracle reproduces the fractions
+    bit-for-bit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = text.repetition_scores(docs, text_col="text", top_ns=(2,), dup_ns=(5,))
+    return rep.select(
+        "doc_id", "top2_frac", "dup5_frac", "dup_line_frac"
+    ).orderBy(F.asc("doc_id"))

@@ -170,3 +170,130 @@ def fingerprints(
         .join(fp, "doc_id", "left")
         .select("doc_id", F.coalesce("fingerprint", F.lit(0)).alias("fingerprint"))
     )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6),
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the rule
+    family C4/RefinedWeb/Dolma re-use): per document,
+
+    - ``top{n}_frac`` for n in ``top_ns``: characters covered by the
+      single MOST FREQUENT word n-gram, as a fraction of total token
+      characters (gram chars = sum of its tokens' lengths, occurrences
+      counted with overlap; ties broken toward the larger covered-char
+      product — deterministic);
+    - ``dup{n}_frac`` for n in ``dup_ns``: characters covered by all
+      n-grams occurring MORE THAN ONCE (each occurrence counted — the
+      overlap-counting variant, documented because implementations
+      differ here; like the published counting variants, values can
+      exceed 1.0 on pathologically repetitive text — threshold filters,
+      the consumer of these numbers, are unaffected);
+    - ``dup_line_frac``: fraction of newline-separated lines that are
+      exact duplicates of an earlier line (0 for single-line text).
+
+    Shape at scale: one explode keyed by doc_id over all requested n at
+    once, one partial-aggregating groupBy per (doc, n, gram), one
+    per-(doc, n) rollup — every shuffle keyed by doc_id so AQE coalesces
+    and nothing is quadratic in document count. All arithmetic is
+    integer counts + one final double division (engine-exact), so a
+    DuckDB oracle reproduces the fractions bit-for-bit.
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = _toks(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+    )
+
+    # one row per (doc, n, gram-start): gram char weight = sum of token
+    # lengths in the window (join-free: computed inside the array)
+    gram_rows = None
+    for n in all_ns:
+        g = base.select(
+            "doc_id",
+            "total_chars",
+            F.lit(n).alias("n"),
+            F.explode(
+                # sequence(1, 0) DESCENDS in Spark, so short docs need an
+                # explicit empty-array branch instead of a greatest() clamp
+                F.expr(
+                    f"CASE WHEN size(toks) >= {n} THEN "
+                    f"transform(sequence(1, size(toks) - {n - 1}), "
+                    f"i -> struct(array_join(slice(toks, i, {n}), ' ') AS gram, "
+                    f"aggregate(slice(toks, i, {n}), 0L, (a, t) -> a + length(t)) AS gchars)) "
+                    f"ELSE array() END"
+                )
+            ).alias("g"),
+        ).select("doc_id", "total_chars", "n", "g.gram", "g.gchars")
+        gram_rows = g if gram_rows is None else gram_rows.unionByName(g)
+
+    per_gram = gram_rows.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.first("gchars").alias("gchars"),
+        F.first("total_chars").alias("total_chars"),
+    )
+    per_doc_n = per_gram.groupBy("doc_id", "n").agg(
+        F.max(F.col("cnt") * F.col("gchars")).alias("top_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.col("gchars")).otherwise(
+                F.lit(0)
+            )
+        ).alias("dup_chars"),
+        F.first("total_chars").alias("total_chars"),
+    )
+    frac = lambda c: F.when(
+        F.col("total_chars") > 0,
+        c.cast("double") / F.col("total_chars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    wide = per_doc_n.groupBy("doc_id").agg(
+        F.first("total_chars").alias("total_chars"),
+        *[
+            F.max(
+                F.when(F.col("n") == n, F.col("top_chars")).otherwise(F.lit(None))
+            ).alias(f"_top{n}")
+            for n in top_ns
+        ],
+        *[
+            F.max(
+                F.when(F.col("n") == n, F.col("dup_chars")).otherwise(F.lit(None))
+            ).alias(f"_dup{n}")
+            for n in dup_ns
+        ],
+    )
+
+    lines = F.expr(f"filter(split({text_col}, '\\n'), x -> x <> '')")
+    line_side = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+    )
+    # docs too short for ANY n-gram have no `wide` row — anchor on the
+    # full doc set and coalesce their fractions to 0
+    out = line_side.join(wide, "doc_id", "left")
+    cols = [F.col("doc_id")]
+    cols += [
+        F.coalesce(frac(F.col(f"_top{n}")), F.lit(0.0)).alias(f"top{n}_frac")
+        for n in top_ns
+    ]
+    cols += [
+        F.coalesce(frac(F.col(f"_dup{n}")), F.lit(0.0)).alias(f"dup{n}_frac")
+        for n in dup_ns
+    ]
+    cols.append(
+        F.when(
+            F.col("n_lines") > 0,
+            (F.col("n_lines") - F.col("n_distinct_lines")).cast("double")
+            / F.col("n_lines").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac")
+    )
+    return out.select(*cols)

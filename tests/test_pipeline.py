@@ -590,3 +590,30 @@ def test_graph_search_local_kernel_bit_identical(spark):
     }
     assert a == b
     assert len({q for q, _ in a}) == 48
+
+
+def test_repetition_scores_hand_computed(spark):
+    """Gopher repetition rules on hand-checkable docs: top-2-gram and
+    duplicated-2-gram char fractions (overlap-counting variant) and the
+    duplicate-line fraction."""
+    from lucene_spark.pipeline.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # "a b" x3 overlapping; 6 chars total
+            (1, "x y z w q r"),          # all grams unique
+            (2, "l1\nl2\nl1\nl1"),       # 4 lines, 2 distinct
+            (3, ""),                      # empty: all zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_scores(docs, top_ns=(2,), dup_ns=(2,)).collect()
+    }
+    assert got[0]["top2_frac"] == pytest.approx(6 / 6)        # 3 * 2 chars
+    assert got[0]["dup2_frac"] == pytest.approx((3 + 2) * 2 / 6)
+    assert got[1]["top2_frac"] == pytest.approx(2 / 6)
+    assert got[1]["dup2_frac"] == 0.0
+    assert got[2]["dup_line_frac"] == pytest.approx(0.5)
+    assert got[3]["top2_frac"] == 0.0 and got[3]["dup_line_frac"] == 0.0
