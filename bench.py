@@ -294,6 +294,12 @@ def run_pipeline_bench(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     )
     g.unpersist()
     q("quality_score", lambda: textops.quality_scores(docs, text_col="text"))
+    q(
+        "repetition_score",
+        lambda: textops.repetition_scores(
+            docs, text_col="text", top_ns=(2,), dup_ns=(5,)
+        ),
+    )
 
     from lucene_spark.pipeline.curate import curate_corpus
 
