@@ -129,3 +129,49 @@ def test_path_cross_track_value(spark):
     d = df.select(geo3d.path_distance_m(path).alias("d")).collect()[0]["d"]
     one_deg = math.radians(1.0) * geo3d.EARTH_RADIUS_M
     assert d == pytest.approx(one_deg, rel=1e-6)
+
+
+def test_vincenty_published_vectors():
+    """WGS84 geodesic against the canonical published values: Vincenty's
+    own test line (Flinders Peak -> Buninyong, 54,972.271 m), one degree
+    of equatorial longitude (a*pi/180), the meridian degree at the
+    equator (~110,574.4 m), and coincident points."""
+    from lucene_spark.search.geo3d import WGS84_A, vincenty_np
+
+    def dms(d, m, s):
+        return d + m / 60 + s / 3600
+
+    fl = (-dms(37, 57, 3.72030), dms(144, 25, 29.52440))
+    bu = (-dms(37, 39, 10.15610), dms(143, 55, 35.38390))
+    d = vincenty_np([fl[0]], [fl[1]], [bu[0]], [bu[1]])[0]
+    assert d == pytest.approx(54972.271, abs=1e-3)
+    eq = vincenty_np([0.0], [0.0], [0.0], [1.0])[0]
+    assert eq == pytest.approx(WGS84_A * math.pi / 180.0, abs=1e-4)
+    mer = vincenty_np([0.0], [0.0], [1.0], [0.0])[0]
+    assert mer == pytest.approx(110574.4, abs=0.5)
+    assert vincenty_np([10.0], [20.0], [10.0], [20.0])[0] == 0.0
+
+
+def test_vincenty_udf_on_dataframe(spark):
+    from lucene_spark.search.geo3d import vincenty_distance_udf, vincenty_np
+
+    df = _pts(spark, [(0, 48.8566, 2.3522), (1, -33.8688, 151.2093)])
+    d = vincenty_distance_udf()
+    got = {
+        r["pid"]: r["d"]
+        for r in df.select(
+            "pid",
+            d(F.col("lat"), F.col("lon"), F.lit(40.7128), F.lit(-74.006)).alias("d"),
+        ).collect()
+    }
+    exp = vincenty_np(
+        [48.8566, -33.8688], [2.3522, 151.2093], [40.7128] * 2, [-74.006] * 2
+    )
+    assert got[0] == pytest.approx(exp[0], rel=1e-12)
+    assert got[1] == pytest.approx(exp[1], rel=1e-12)
+    # sanity: the WGS84 geodesic sits within the documented <0.35% band
+    # of the mean-radius spherical distance (Paris-NYC: 5,852.9 km vs
+    # 5,837.2 km spherical, +0.27%)
+    spherical = 5_837_248.94
+    assert abs(got[0] - spherical) / spherical < 0.0035
+    assert got[0] > spherical  # mid-latitude geodesics run long
