@@ -3480,3 +3480,148 @@ ORDER BY c_custkey ASC""",
 
 
 _register_geo3d()
+
+
+# ---- Lattice (Viterbi) CJK segmentation pair --------------------------------
+# (kuromoji/nori decoding model, JapaneseTokenizer.java:96; MeCab lattice)
+
+#: fixture costed lexicon over the hiragana digit alphabet: adjacent-digit
+#: pairs are free, singles cost 7, the compound trap costs 40 with an
+#: expensive exit class — so the DP genuinely chooses between pair
+#: coverage, single fallbacks and the compound per string
+_LAT_ENTRIES = {
+    "あい": (0, 1, 1), "いう": (0, 1, 1), "うえ": (0, 1, 1), "えお": (0, 1, 1),
+    "おか": (0, 1, 1), "かき": (0, 1, 1), "きく": (0, 1, 1), "くけ": (0, 1, 1),
+    "けこ": (0, 1, 1), "こあ": (0, 1, 1),
+    "おかき": (40, 2, 2),
+    "あ": (7, 1, 1), "い": (7, 1, 1), "う": (7, 1, 1), "え": (7, 1, 1),
+    "お": (7, 1, 1), "か": (7, 1, 1), "き": (7, 1, 1), "く": (7, 1, 1),
+    "け": (7, 1, 1), "こ": (7, 1, 1),
+}
+_LAT_CONN = {(2, 1): 30}
+_LAT_MAXLEN = 10  # corpus strings are <= 7 chars at sf0.1; unrolled DP bound
+_LAT_UNK = 10000
+
+
+def _lattice_dp_sql() -> str:
+    """Unrolled Viterbi DP over positions 1.._LAT_MAXLEN: pj(doc_id, s,
+    rid, cost) = min path cost covering s[1..j] whose last word has
+    connection class rid (the string rides along in the state so the
+    source relation is scanned exactly ONCE). The unknown single-char
+    transition is allowed at EVERY position (it can never beat a
+    dictionary word while connection costs stay below its 10000 cost, so
+    the minimum is unchanged)."""
+    words = ", ".join(
+        f"('{w}', {c}, {l}, {r}, {len(w)})"
+        for w, (c, l, r) in sorted(_LAT_ENTRIES.items())
+    )
+    conn = ", ".join(f"({r}, {l}, {c})" for (r, l), c in _LAT_CONN.items())
+    ctes = [
+        f"lwords(w, wcost, lid, rid, ln) AS (VALUES {words})",
+        f"lconn(r, l, c) AS (VALUES {conn})",
+        "p0 AS (SELECT doc_id, s, 0 AS rid, 0 AS cost FROM lsrc)",
+    ]
+    for j in range(1, _LAT_MAXLEN + 1):
+        branches = []
+        for ln in (1, 2, 3):
+            if j - ln < 0:
+                continue
+            branches.append(f"""
+  SELECT p.doc_id, p.s, w.rid, p.cost + w.wcost + coalesce(c.c, 0) AS cost
+  FROM p{j - ln} p
+  JOIN lwords w ON w.ln = {ln} AND substr(p.s, {j - ln + 1}, {ln}) = w.w
+  LEFT JOIN lconn c ON c.r = p.rid AND c.l = w.lid
+  WHERE length(p.s) >= {j}""")
+        branches.append(f"""
+  SELECT p.doc_id, p.s, 0 AS rid, p.cost + {_LAT_UNK} AS cost
+  FROM p{j - 1} p WHERE length(p.s) >= {j}""")
+        union = "\n  UNION ALL\n".join(branches)
+        # MATERIALIZED: each pj is referenced by up to three later
+        # positions — without it DuckDB inlines the whole subtree per
+        # reference and the plan grows exponentially in _LAT_MAXLEN
+        ctes.append(
+            f"p{j} AS MATERIALIZED (\n  SELECT doc_id, min(s) AS s, rid, min(cost) AS cost FROM (\n{union}\n) GROUP BY doc_id, rid)"
+        )
+    finals = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, s, cost, {j} AS j FROM p{j}"
+        for j in range(1, _LAT_MAXLEN + 1)
+    )
+    ctes.append(
+        f"lfinal AS (\n  SELECT doc_id, min(cost) AS path_cost\n"
+        f"  FROM (\n{finals}\n) f\n"
+        f"  WHERE f.j = length(f.s) GROUP BY doc_id)"
+    )
+    return ",\n".join(ctes)
+
+
+def _register_cjk_lattice() -> None:
+    @register(
+        "cjk_lattice_min_cost",
+        f"""WITH lsrc AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS doc_id,
+         translate(CAST(s_suppkey * 7919 + 12345 AS VARCHAR),
+                   '0123456789', 'あいうえおかきくけこ') AS s
+  FROM supplier
+),
+{_lattice_dp_sql()}
+SELECT doc_id, CAST(path_cost AS BIGINT) AS path_cost
+FROM lfinal ORDER BY doc_id ASC""",
+    )
+    def cjk_lattice_min_cost(spark, sf_dir):
+        """Viterbi lattice segmentation end-to-end (the kuromoji/nori
+        DECODING model, JapaneseTokenizer.java:96 — MeCab word costs +
+        connection classes): each supplier string decodes through
+        LatticeSegmenter inside an Arrow batch, and the query returns
+        the TOTAL COST of the emitted path (entry costs + connection
+        costs, recomputed from the emitted tokens). The oracle computes
+        the true DP minimum with an UNROLLED per-position dynamic
+        program in SQL (one CTE per position, states keyed by
+        (doc, right_id)) — a hash match proves per document that the
+        engine's decoded path achieves the optimal lattice cost, which
+        is exactly Viterbi's contract."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from lucene_spark.analysis.segmenter import LatticeSegmenter
+        from lucene_spark.entry_impl import _docs
+
+        sup = _docs(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").cast("long").alias("doc_id"),
+            F.expr(
+                "translate(CAST(s_suppkey * 7919 + 12345 AS STRING), "
+                "'0123456789', 'あいうえおかきくけこ')"
+            ).alias("s"),
+        )
+        entries, conn = _LAT_ENTRIES, _LAT_CONN
+
+        def run(batches):
+            import pandas as pd
+
+            an = LatticeSegmenter(entries=entries, connections=conn)
+            for pdf in batches:
+                costs = []
+                for s in pdf["s"]:
+                    path = an._segment_run(s, 0)
+                    cost, rid = 0, an.unknown_id
+                    for w, _, _ in path:
+                        e = an.entries.get(w)
+                        wc, lid, rid2 = (
+                            e if e is not None
+                            else (an.unknown_cost, an.unknown_id, an.unknown_id)
+                        )
+                        cost += wc + conn.get((rid, lid), 0)
+                        rid = rid2
+                    costs.append(cost)
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "path_cost": costs}
+                )
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("path_cost", LongType()),
+            ]
+        )
+        return sup.mapInPandas(run, schema).orderBy(F.asc("doc_id"))
+
+
+_register_cjk_lattice()

@@ -1081,7 +1081,7 @@ _PRIORITY = [
     "icu_transform_query",
     "block_join_parent",
     "query_time_join_scored",
-    "classic_similarity_query",
+    "cjk_lattice_min_cost",
     "cjk_segment_query",
     "more_like_this",
     "function_score_query",
