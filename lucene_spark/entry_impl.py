@@ -1105,7 +1105,7 @@ _PRIORITY = [
     "lm_dirichlet_query",
     "fuzzy_like_this_query",
     "beider_morse_query",
-    "multimodal_image_meta",
+    "multimodal_color_jpeg",
     "id_version_seek_exact",
     "geo3d_polygon_query",
 ]

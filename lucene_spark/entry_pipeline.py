@@ -882,6 +882,89 @@ def multimodal_image_meta(spark, sf_dir):
     return multimodal.image_meta(media)
 
 
+# color-JPEG twin: the payload is a REAL chroma-subsampled (4:2:0)
+# three-component baseline JPEG per doc (jpeg.py encodes it; image_meta
+# Huffman-decodes the interleaved MCUs, IDCTs, upsamples and converts
+# YCbCr->RGB).  Dimensions/frames are md5-exact; the decoded mean is
+# lossy, so the pair checks it against the closed-form SOURCE mean with a
+# 0.02 tolerance (measured max deviation over the banded-constant
+# generator is ~0.005 — every 8x8 block is constant, so only DC
+# quantization error survives), and the oracle emits the same exact
+# dims + an always-1 flag.
+_MMC_CTE = f"""
+mmc AS (
+  SELECT doc_id, {_H("coalesce(text, '')")} AS h FROM documents
+),
+mmc_dims AS (
+  SELECT doc_id,
+         (16 + h % 240)::INTEGER AS width,
+         (16 + (h // 256) % 240)::INTEGER AS height,
+         (1 + (h // 65536) % 8)::INTEGER AS n_frames
+  FROM mmc
+)
+""".strip()
+
+
+@register(
+    "multimodal_color_jpeg",
+    f"WITH {_MMC_CTE}\n"
+    "SELECT doc_id, width, height, n_frames, 1 AS mean_ok "
+    "FROM mmc_dims ORDER BY doc_id",
+)
+def multimodal_color_jpeg(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.attach_payload(docs, text_col="text", fmt="jpeg420")
+    meta = multimodal.image_meta(media)
+    # closed-form SOURCE mean from the deterministic generator: rows are
+    # banded in runs of 16 alternating colors c1/c2 (bits 32.. / 44.. of
+    # the md5-derived h), so mean = (n1*sum(c1) + (h-n1)*sum(c2)) / (3h*255)
+    src = docs.select(
+        F.col("doc_id").alias("src_doc_id"),
+        F.conv(F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).select(
+        "src_doc_id",
+        (F.lit(16) + F.shiftright("h", 8) % 240).alias("src_height"),
+        (
+            F.shiftright("h", 32) % 256
+            + F.shiftright("h", 36) % 256
+            + F.shiftright("h", 40) % 256
+        ).alias("s1"),
+        (
+            F.shiftright("h", 44) % 256
+            + F.shiftright("h", 48) % 256
+            + F.shiftright("h", 52) % 256
+        ).alias("s2"),
+    ).select(
+        "src_doc_id",
+        (
+            (
+                ((F.col("src_height") / 32).cast("long") * 16
+                 + F.least(F.col("src_height") % 32, F.lit(16))) * F.col("s1")
+                + (
+                    F.col("src_height")
+                    - ((F.col("src_height") / 32).cast("long") * 16
+                       + F.least(F.col("src_height") % 32, F.lit(16)))
+                ) * F.col("s2")
+            )
+            / (F.lit(3.0) * F.col("src_height") * F.lit(255.0))
+        ).alias("src_mean"),
+    )
+    return (
+        meta.join(F.broadcast(src), meta.doc_id == src.src_doc_id)
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "n_frames",
+            (F.abs(F.col("mean_intensity") - F.col("src_mean")) <= 0.02)
+            .cast("int")
+            .alias("mean_ok"),
+        )
+    )
+
+
 # mirrors multimodal._make_audio_payload + the REAL RIFF/WAVE decode:
 # sample rate / block length k / repeats m / amplitudes are md5-derived;
 # samples are m repeats of (k * a1, k * -a2), so n_samples = 2*k*m,

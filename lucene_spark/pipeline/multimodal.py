@@ -52,6 +52,7 @@ __all__ = [
     "encode_bmp",
     "encode_png",
     "encode_jpeg",
+    "encode_jpeg_color",
     "decode_image",
     "decode_container",
     "image_meta",
@@ -126,6 +127,23 @@ def encode_jpeg(width: int, height: int, row_values: list[int]) -> bytes:
         axis=1,
     )
     return jpeg.encode_jpeg_pixels(px)
+
+
+def encode_jpeg_color(
+    width: int, height: int, row_colors: list[tuple[int, int, int]]
+) -> bytes:
+    """Baseline color JFIF with 4:2:0 chroma subsampling; row y is the
+    constant RGB color ``row_colors[y]``. Real YCbCr conversion + DCT +
+    interleaved-MCU Huffman coding (``jpeg.py``) — lossy like the
+    grayscale twin, exact on dimensions."""
+    from lucene_spark.pipeline import jpeg
+
+    px = np.repeat(
+        np.array([row_colors[y] for y in range(height)], dtype=np.uint8)[:, None, :],
+        width,
+        axis=1,
+    )
+    return jpeg.encode_jpeg_pixels(px, subsampling="4:2:0")
 
 
 def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
@@ -265,6 +283,16 @@ def _make_payload(text: str, fmt: str = "bmp") -> bytes:
     width = 16 + h % 240
     height = 16 + (h // 256) % 240
     n_frames = 1 + (h // 65536) % 8
+    if fmt == "jpeg420":
+        # color twin: rows banded in runs of 16 alternating two md5-derived
+        # RGB colors — every 8x8 luma block and (at 4:2:0) every chroma
+        # block is constant, so quantization error stays within a couple of
+        # intensity levels and the closed-form source mean is a tight bound
+        c1 = tuple((h >> s) % 256 for s in (32, 36, 40))
+        c2 = tuple((h >> s) % 256 for s in (44, 48, 52))
+        colors = [c1 if (y // 16) % 2 == 0 else c2 for y in range(height)]
+        frame = encode_jpeg_color(width, height, colors)
+        return _MAGIC + struct.pack("<I", n_frames) + frame * n_frames
     v1 = h % 256
     v2 = (h // 16777216) % 256
     rows = [v1 if y % 2 == 0 else v2 for y in range(height)]
@@ -296,8 +324,10 @@ def attach_payload(
     quantization error for jpeg). A production pipeline reads
     ``binaryFile`` sources or Iceberg binary columns into the same
     schema."""
-    if fmt not in ("bmp", "png", "jpeg"):
-        raise ValueError(f"fmt must be 'bmp', 'png' or 'jpeg', got {fmt!r}")
+    if fmt not in ("bmp", "png", "jpeg", "jpeg420"):
+        raise ValueError(
+            f"fmt must be 'bmp', 'png', 'jpeg' or 'jpeg420', got {fmt!r}"
+        )
     mime = f"video/x-lsmf-{fmt}"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

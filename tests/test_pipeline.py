@@ -329,6 +329,112 @@ def test_jpeg_payload_meta_close_to_bmp(docs):
     assert mimes == {"video/x-lsmf-jpeg"}
 
 
+def test_color_jpeg_entropy_layer_is_lossless():
+    """Three-component extension of the grayscale contract:
+    decode(encode(rgb, subsampling)) equals the subsample→quantize→
+    dequantize→IDCT→upsample→YCbCr→RGB reconstruction computed directly
+    in numpy (reconstruct_rgb), bit for bit, at 4:4:4, 4:2:2 and 4:2:0
+    and across non-MCU-multiple dimensions — the Huffman/interleaved-MCU
+    layer is exact, only subsampling + quantization are lossy."""
+    from lucene_spark.pipeline import jpeg
+
+    rng = np.random.default_rng(7)
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
+        for shape in [(16, 16), (37, 53), (8, 8), (1, 1), (31, 64)]:
+            img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+            dec = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_pixels(img, subsampling=sub))
+            ref = jpeg.reconstruct_rgb(img, subsampling=sub)
+            assert dec.shape == (*shape, 3), (sub, shape)
+            assert np.array_equal(dec, ref), (sub, shape)
+
+
+def test_color_jpeg_is_close_on_smooth_images():
+    """End-to-end perceptual sanity: a smooth color image survives the
+    full 4:2:0 pipeline within a few intensity levels per channel."""
+    from lucene_spark.pipeline import jpeg
+
+    yy, xx = np.mgrid[0:64, 0:96]
+    img = np.stack(
+        [
+            (128 + 60 * np.sin(xx / 13)).astype(np.uint8),
+            (128 + 60 * np.cos(yy / 17)).astype(np.uint8),
+            ((xx + yy) % 128 + 64).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    dec = jpeg.decode_jpeg_pixels(jpeg.encode_jpeg_pixels(img, subsampling="4:2:0"))
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 8.0
+
+
+def test_jpeg_restart_intervals():
+    """DRI/RSTn round trip (gray + color), plus the decoder's marker
+    discipline: a wrong RST sequence number raises, and predictors reset
+    at each boundary (verified by bit-identity with the no-restart
+    reconstruction — restarts change the byte stream, not the pixels)."""
+    from lucene_spark.pipeline import jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    ref = jpeg.reconstruct_rgb(img, "4:2:0")
+    for ri in (1, 3):
+        enc = jpeg.encode_jpeg_pixels(img, subsampling="4:2:0", restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI segment present
+        assert np.array_equal(jpeg.decode_jpeg_pixels(enc), ref)
+    g = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    enc = jpeg.encode_jpeg_pixels(g, restart_interval=2)
+    blocks, h, w = jpeg.quantized_blocks(g)
+    assert np.array_equal(
+        jpeg.decode_jpeg_pixels(enc), jpeg.dequantize_reconstruct(blocks, h, w)
+    )
+    # corrupt the first RST marker's sequence number -> loud raise
+    bad = bytearray(enc)
+    i = bad.index(b"\xff\xd0")
+    bad[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="RST sequence"):
+        jpeg.decode_jpeg_pixels(bytes(bad))
+
+
+def test_color_jpeg_foreign_shapes():
+    """Decoder generality beyond this encoder's output: 4-component
+    frames raise at the documented seam; fractional upsampling ratios
+    raise; grayscale output stays 2-D while color is (h, w, 3)."""
+    from lucene_spark.pipeline import jpeg
+
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    enc = bytearray(jpeg.encode_jpeg_pixels(img, subsampling="4:2:0"))
+    sof = enc.index(b"\xff\xc0")
+    enc[sof + 9] = 4  # claim 4 components
+    with pytest.raises(NotImplementedError, match="YCbCr"):
+        jpeg.decode_jpeg_pixels(bytes(enc))
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg.encode_jpeg_pixels(img, subsampling="4:1:1")
+    assert jpeg.decode_jpeg_pixels(
+        jpeg.encode_jpeg_pixels(np.full((9, 9), 7, dtype=np.uint8))
+    ).ndim == 2
+
+
+def test_color_jpeg_payload_plumbing(docs):
+    """attach_payload(fmt='jpeg420') rides the same Spark plumbing: dims
+    and frame counts are md5-exact, and the decoded (lossy, chroma-
+    subsampled) mean tracks the closed-form source mean within 0.02."""
+    media = multimodal.attach_payload(docs, text_col="text", fmt="jpeg420")
+    meta = {r["doc_id"]: r for r in multimodal.image_meta(media).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert set(meta) == set(texts)
+    for d, text in texts.items():
+        h = multimodal._h60((text or "").encode("utf-8"))
+        H = 16 + (h // 256) % 240
+        assert meta[d]["width"] == 16 + h % 240
+        assert meta[d]["height"] == H
+        s1 = sum((h >> s) % 256 for s in (32, 36, 40))
+        s2 = sum((h >> s) % 256 for s in (44, 48, 52))
+        n1 = (H // 32) * 16 + min(H % 32, 16)
+        src = (n1 * s1 + (H - n1) * s2) / (3.0 * H * 255.0)
+        assert abs(meta[d]["mean_intensity"] - src) <= 0.02, d
+    mimes = {r["mime"] for r in media.select("mime").distinct().collect()}
+    assert mimes == {"video/x-lsmf-jpeg420"}
+
+
 def test_png_payload_meta_matches_bmp(docs):
     """attach_payload(fmt='png') rides the same Spark plumbing and decodes
     to the same metadata as the BMP payloads (grayscale stores each row
