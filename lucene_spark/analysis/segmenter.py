@@ -85,15 +85,25 @@ class DictionarySegmenter:
             max_token_length=self.max_token_length, stopwords=frozenset()
         )
 
+    #: enforced dictionary bound for from_dataframe — real lexicons fit
+    #: comfortably (JMdict-scale is ~200k entries, the same budget
+    #: hunspell's broadcast .dic uses); pointing this at a term table
+    #: should fail loudly, not OOM the driver.
+    MAX_DICT_ENTRIES = 2_000_000
+
     @classmethod
     def from_dataframe(cls, df, word_col: str = "word", **kw):
-        """Collect a word-dictionary table to the driver (dictionaries are
-        bounded — JMdict-scale is ~200k entries, the same budget
-        hunspell's broadcast .dic uses)."""
-        return cls(
-            words=frozenset(r[word_col] for r in df.select(word_col).collect()),
-            **kw,
-        )
+        """Collect a word-dictionary table to the driver, guarded by
+        ``MAX_DICT_ENTRIES`` so the bound is enforced rather than
+        asserted."""
+        rows = df.select(word_col).limit(cls.MAX_DICT_ENTRIES + 1).collect()
+        if len(rows) > cls.MAX_DICT_ENTRIES:
+            raise ValueError(
+                f"from_dataframe: dictionary table exceeds "
+                f"{cls.MAX_DICT_ENTRIES} entries — this collects to the "
+                "driver; a table this size is not a word dictionary"
+            )
+        return cls(words=frozenset(r[word_col] for r in rows), **kw)
 
     # ---------------------------------------------------------------- core
 

@@ -27,6 +27,12 @@ __all__ = [
 
 F32 = np.float32
 
+#: BooleanQuery.TooManyClauses bound (default 1024) — the same guard the
+#: complexPhrase/surround expansions enforce: scored_term_set collects the
+#: term column to the driver to build an isin pushdown, so an unbounded
+#: terms_df would be a driver-side collect of arbitrary size.
+MAX_TERM_SET = 1024
+
 
 def suggest(
     searcher: IndexSearcher, prefix: str, n: int = 10, field: str | None = None
@@ -61,7 +67,14 @@ def scored_term_set(
     join instead of a thousand-way union.
     """
     field = field or searcher.index.config.field_name
-    terms = [r["term"] for r in terms_df.select("term").collect()]
+    rows = terms_df.select("term").limit(MAX_TERM_SET + 1).collect()
+    if len(rows) > MAX_TERM_SET:
+        raise ValueError(
+            f"scored_term_set: terms_df holds more than {MAX_TERM_SET} "
+            "terms (TooManyClauses semantics) — pre-rank and limit the "
+            "expansion (e.g. by df or weight) before scoring"
+        )
+    terms = [r["term"] for r in rows]
     d = searcher._decoded(field, F.col("term").isin(terms))
     joined = d.join(F.broadcast(terms_df), "term")
     inv = F.element_at(

@@ -847,3 +847,48 @@ def test_positions_cache_identity(built):
     assert rows(IV.matches(plain, src)) == rows(IV.matches(cached, src))
     cp = '"th* if"~1'
     assert rows(CP.execute(plain, cp, k=10)) == rows(CP.execute(cached, cp, k=10))
+
+
+def test_scored_term_set_caps_driver_collect(built, spark):
+    """scored_term_set collects its term column to the driver for an isin
+    pushdown — an over-broad terms_df must raise the TooManyClauses-style
+    guard (MAX_TERM_SET), not silently collect; bounded inputs still work
+    (more_like_this rides it at max_terms=8)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.search import extras
+
+    idx, s, _ = built
+    wide = spark.range(extras.MAX_TERM_SET + 5).select(
+        F.concat(F.lit("t"), F.col("id")).alias("term"),
+        F.lit(1.0).cast("float").alias("weight"),
+    )
+    with pytest.raises(ValueError, match="TooManyClauses"):
+        extras.scored_term_set(s, wide)
+    small = spark.createDataFrame(
+        [("the", 0.5), ("if", 1.5)], "term string, weight float"
+    )
+    assert extras.scored_term_set(s, small).count() > 0
+    mlt = extras.more_like_this(s, doc_id=0, max_terms=8, k=5)
+    assert mlt.count() > 0
+
+
+def test_dictionary_segmenter_from_dataframe_guard(spark):
+    """from_dataframe enforces MAX_DICT_ENTRIES with limit(N+1) + raise
+    instead of asserting the bound in a comment."""
+    from lucene_spark.analysis import segmenter as seg
+
+    orig = seg.DictionarySegmenter.MAX_DICT_ENTRIES
+    try:
+        seg.DictionarySegmenter.MAX_DICT_ENTRIES = 10
+        from pyspark.sql import functions as F
+
+        big = spark.range(25).select(
+            F.concat(F.lit("w"), F.col("id")).alias("word")
+        )
+        with pytest.raises(ValueError, match="not a word dictionary"):
+            seg.DictionarySegmenter.from_dataframe(big)
+        ok = seg.DictionarySegmenter.from_dataframe(big.limit(5))
+        assert len(ok.words) == 5
+    finally:
+        seg.DictionarySegmenter.MAX_DICT_ENTRIES = orig
