@@ -1103,7 +1103,7 @@ _PRIORITY = [
     "bloom_term_lookup",
     "shape_polygon_intersects",
     "lm_dirichlet_query",
-    "fuzzy_like_this_query",
+    "decontaminate_13gram",
     "beider_morse_query",
     "multimodal_color_jpeg",
     "id_version_seek_exact",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from lucene_spark.entry_impl import register
-from lucene_spark.pipeline import dedup, multimodal, similarity, text
+from lucene_spark.pipeline import decontam, dedup, multimodal, similarity, text
 
 # DuckDB mirror of dedup.h60
 def _H(s: str) -> str:
@@ -841,6 +841,65 @@ FROM documents d LEFT JOIN fp USING (doc_id) ORDER BY d.doc_id""",
 def text_fingerprints(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return text.fingerprints(docs, text_col="text")
+
+
+# ---- benchmark decontamination (GPT-3/Gopher 13-gram protocol) -------------
+
+# benchmark table = every 37th doc (a held-out eval sample drawn from the
+# same distribution); the oracle rebuilds the full 13-gram overlap join in
+# SQL.  Self-contained: a benchmark doc trivially contaminates itself, and
+# true near-verbatim duplicates of benchmark docs get flagged too.
+_DCN_CTES = f"""
+dcn_toks AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9_]+') AS tk FROM documents),
+dcn_g AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 13
+              THEN list_transform(generate_series(1, len(tk)-12),
+                                  i -> array_to_string(tk[i:i+12], ' '))
+              ELSE [array_to_string(tk, ' ')] END AS gs
+  FROM dcn_toks
+),
+dcn_ex AS (SELECT doc_id, unnest(gs) AS g FROM dcn_g),
+dcn_h AS (SELECT DISTINCT doc_id, {_H("g")} AS gh FROM dcn_ex),
+dcn_bench AS (SELECT doc_id AS bench_id, gh FROM dcn_h WHERE doc_id % 37 = 0),
+dcn_hits AS (
+  SELECT t.doc_id,
+         count(DISTINCT t.gh) AS n_hits,
+         count(DISTINCT b.bench_id) AS n_bench_docs
+  FROM dcn_h t JOIN dcn_bench b USING (gh)
+  GROUP BY t.doc_id
+)
+""".strip()
+
+
+@register(
+    "decontaminate_13gram",
+    f"""WITH {_DCN_CTES}
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_bench_docs, 0) AS n_bench_docs,
+       (CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS keep
+FROM documents d LEFT JOIN dcn_hits h USING (doc_id) ORDER BY d.doc_id""",
+)
+def decontaminate_13gram(spark, sf_dir):
+    """13-gram exact-match decontamination (the GPT-3/Gopher protocol):
+    benchmark-side grams broadcast, training grams never shuffle; the
+    per-doc report left-joins back so every doc carries its keep flag."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    rep = decontam.contamination_report(docs, bench, text_col="text", n=13)
+    return (
+        docs.select("doc_id")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce(F.col("n_bench_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_bench_docs"),
+            F.when(F.col("n_hits").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )
 
 
 # ---- multimodal plumbing ---------------------------------------------------

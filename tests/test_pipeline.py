@@ -723,3 +723,64 @@ def test_repetition_scores_hand_computed(spark):
     assert got[1]["dup2_frac"] == 0.0
     assert got[2]["dup_line_frac"] == pytest.approx(0.5)
     assert got[3]["top2_frac"] == 0.0 and got[3]["dup_line_frac"] == 0.0
+
+
+def test_decontaminate_13gram_flags_verbatim_overlap(spark):
+    """GPT-3/Gopher protocol micro-case: a training doc sharing a verbatim
+    13-gram with a benchmark doc is flagged and removed; paraphrases and
+    sub-13-token overlaps survive; short docs (<13 tokens) match on their
+    whole token stream; broadcast and sort-merge paths agree."""
+    from lucene_spark.pipeline import decontam
+
+    gram = " ".join(f"w{i}" for i in range(13))  # exactly 13 tokens
+    train = spark.createDataFrame(
+        [
+            (0, f"prefix text {gram} suffix text"),  # verbatim leak
+            (1, "a completely different document about other things entirely"),
+            (2, " ".join(f"w{i}" for i in range(12))),  # only 12 shared tokens
+            (3, "tiny answer"),  # short doc, matches bench short doc
+            (4, gram),  # the gram alone
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"question context {gram} more context"), (101, "tiny answer")],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in decontam.contamination_report(train, bench).collect()
+    }
+    assert set(rep) == {0, 3, 4}
+    assert rep[0]["n_hits"] == 1 and rep[0]["n_bench_docs"] == 1
+    assert rep[3]["n_bench_docs"] == 1
+    kept = sorted(
+        r["doc_id"] for r in decontam.decontaminate(train, bench).collect()
+    )
+    assert kept == [1, 2]
+    # doc 2's 12-gram prefix must NOT match (the protocol is exact-13)
+    assert 2 not in rep
+    # sort-merge path (broadcast=False) is semantically identical
+    rep2 = {
+        r["doc_id"]: (r["n_hits"], r["n_bench_docs"])
+        for r in decontam.contamination_report(
+            train, bench, broadcast=False
+        ).collect()
+    }
+    assert rep2 == {d: (r["n_hits"], r["n_bench_docs"]) for d, r in rep.items()}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """Scale shape: with broadcast=True (default) the bench-gram join is a
+    BroadcastHashJoin — the training n-gram stream never shuffles."""
+    from lucene_spark.pipeline import decontam
+
+    train = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    bench = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        decontam.contamination_report(train, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
