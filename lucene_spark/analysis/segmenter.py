@@ -49,6 +49,43 @@ _CJK_RUN = re.compile(
 )
 
 
+#: grouped unknown runs are capped like the reference's tokenizer buffers
+#: (JapaneseTokenizer caps unknown words at MAX_UNKNOWN_WORD_LENGTH=1024)
+MAX_UNKNOWN_LENGTH = 1024
+
+
+@dataclass
+class UnknownCharClass:
+    """One unknown-word character class — the MeCab char.def/unk.def model
+    the reference's tokenizers decode unknowns with
+    (``analysis/kuromoji/.../dict/UnknownDictionary.java``,
+    ``dict/CharacterDefinition.java``): characters map to a class, and the
+    class says how to build unknown-word lattice candidates.
+
+    - ``chars``:  regex character-class BODY (no brackets) defining
+      membership, e.g. ``"゠-ヿㇰ-ㇿ"`` for katakana;
+    - ``cost`` / ``left_id`` / ``right_id``: the unknown entry this class
+      contributes (unk.def keeps the cheapest row per class, like
+      :func:`parse_mecab_csv`);
+    - ``invoke``: generate unknown candidates even when dictionary words
+      start at the position (char.def INVOKE flag — 0 means unknowns only
+      fire where the dictionary is silent);
+    - ``group``: emit ONE candidate spanning the maximal same-class run
+      (char.def GROUP flag — this is what makes an unseen katakana
+      loanword come out as a word, not per-char confetti);
+    - ``length``: additionally emit candidates of 1..length chars
+      (char.def's third number; 0 = none beyond the grouped run).
+    """
+
+    chars: str
+    cost: int = 10_000
+    left_id: int = 0
+    right_id: int = 0
+    invoke: bool = False
+    group: bool = True
+    length: int = 0
+
+
 @dataclass
 class DictionarySegmenter:
     """StandardAnalyzer with dictionary longest-match over CJK runs.
@@ -228,11 +265,20 @@ class LatticeSegmenter(DictionarySegmenter):
     unknown_cost: int = 10_000
     #: connection class of unknown nodes and of the run boundaries
     unknown_id: int = 0
+    #: unknown-word character classes (name -> :class:`UnknownCharClass`),
+    #: the char.def/unk.def model: a character's FIRST matching class (in
+    #: insertion order, like MeCab's code-point table) decides how unknown
+    #: runs become candidates. Empty = the flat single-char fallback.
+    unknown_classes: dict = field(default_factory=dict)
 
     def __post_init__(self):
         self.entries = {
             java_lower(w): tuple(v) for w, v in dict(self.entries).items()
         }
+        self._unk = [
+            (name, re.compile(f"[{c.chars}]"), c)
+            for name, c in dict(self.unknown_classes).items()
+        ]
         # DictionarySegmenter's machinery (run splitting, Standard
         # delegation, token surface) keys off `words`; the lattice only
         # changes HOW a run splits.
@@ -260,6 +306,50 @@ class LatticeSegmenter(DictionarySegmenter):
             **kw,
         )
 
+    def _unknown_candidates(
+        self, run: str, i: int, has_dict: bool
+    ) -> list[tuple[str, int, int, int]]:
+        """Unknown-word lattice candidates at position ``i``.
+
+        With ``unknown_classes`` configured this is the reference's
+        UnknownDictionary behavior (kuromoji ``JapaneseTokenizer.java:96``
+        unknown-word branch): the character's first matching class decides
+        whether unknowns fire at dictionary positions (invoke), whether
+        the maximal same-class run becomes ONE candidate (group), and
+        which extra 1..length prefixes join the lattice.  Without classes,
+        the original flat single-char fallback keeps decoding total.
+        """
+        ch = run[i]
+        n = len(run)
+        for _name, rx, cls in self._unk:
+            if not rx.match(ch):
+                continue
+            if has_dict and not cls.invoke:
+                return []
+            # maximal same-class run from i (capped like the reference)
+            j = i + 1
+            while j < n and j - i < MAX_UNKNOWN_LENGTH and rx.match(run[j]):
+                j += 1
+            run_len = j - i
+            out = []
+            if cls.group:
+                out.append(
+                    (run[i:j], cls.cost, cls.left_id, cls.right_id)
+                )
+            for ln in range(1, min(cls.length, run_len) + 1):
+                if cls.group and ln == run_len:
+                    continue  # the grouped candidate already covers it
+                out.append(
+                    (run[i : i + ln], cls.cost, cls.left_id, cls.right_id)
+                )
+            if not out and not has_dict:
+                # a group=False/length=0 class must not strand the lattice
+                out.append((ch, cls.cost, cls.left_id, cls.right_id))
+            return out
+        if ch not in self.entries:
+            return [(ch, self.unknown_cost, self.unknown_id, self.unknown_id)]
+        return []
+
     def _segment_run(self, run: str, base: int) -> list[tuple[str, int, int]]:
         """Viterbi over one CJK run -> (word, start, end) min-cost path.
 
@@ -284,11 +374,7 @@ class LatticeSegmenter(DictionarySegmenter):
                 e = self.entries.get(w)
                 if e is not None:
                     cands.append((w, e[0], e[1], e[2]))
-            ch = run[i]
-            if ch not in self.entries:
-                cands.append(
-                    (ch, self.unknown_cost, self.unknown_id, self.unknown_id)
-                )
+            cands.extend(self._unknown_candidates(run, i, bool(cands)))
             for rid_i, (c_i, _, _, _) in best[i].items():
                 for w, wcost, lid, rid in cands:
                     j = i + len(w)
@@ -363,3 +449,77 @@ def parse_mecab_matrix(matrix_text: str) -> dict:
         if c != 0:
             conn[(r, l)] = c
     return conn
+
+
+def parse_mecab_char_def(char_text: str) -> dict:
+    """MeCab char.def -> {class_name: :class:`UnknownCharClass`} (costs
+    left at defaults until :func:`apply_mecab_unk_csv` merges unk.def).
+
+    The published format the reference's dictionaries compile from
+    (``kuromoji/.../dict/CharacterDefinition.java`` reads the compiled
+    twin): category lines are ``NAME invoke group length``; mapping lines
+    are ``0xXXXX[..0xYYYY] NAME [NAME2 ...]`` (only the first/primary
+    category is used here, like the decoder's char->class table).
+    Comments (#) and blanks are skipped.  Mapping ranges accumulate into
+    each class's regex character-class body.
+    """
+    classes: dict[str, UnknownCharClass] = {}
+    ranges: dict[str, list[str]] = {}
+    for line in char_text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        if parts[0].startswith("0x"):
+            lo, _, hi = parts[0].partition("..")
+            name = parts[1]
+            a = int(lo, 16)
+            b = int(hi, 16) if hi else a
+            ranges.setdefault(name, []).append(
+                chr(a) if a == b else f"{chr(a)}-{chr(b)}"
+            )
+        else:
+            if len(parts) < 4:
+                raise ValueError(f"char.def: need 'NAME invoke group length' in {line!r}")
+            classes[parts[0]] = UnknownCharClass(
+                chars="",
+                invoke=bool(int(parts[1])),
+                group=bool(int(parts[2])),
+                length=int(parts[3]),
+            )
+    out = {}
+    for name, cls in classes.items():
+        body = "".join(ranges.get(name, []))
+        if not body:
+            continue  # DEFAULT et al with no explicit mapping: fallback tier
+        cls.chars = body
+        out[name] = cls
+    return out
+
+
+def apply_mecab_unk_csv(classes: dict, unk_text: str) -> dict:
+    """Merge unk.def rows into :func:`parse_mecab_char_def` output.
+
+    unk.def shares the dictionary CSV shape with the class name as the
+    surface: ``CLASS,left_id,right_id,cost,features...``.  Multiple rows
+    per class keep the cheapest (same policy as :func:`parse_mecab_csv`);
+    classes without a row keep their defaults.  Returns ``classes``.
+    """
+    best: dict[str, tuple[int, int, int]] = {}
+    for line in unk_text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(",")
+        if len(parts) < 4:
+            raise ValueError(f"unk.def: need 4+ columns in {line!r}")
+        name = parts[0]
+        t = (int(parts[3]), int(parts[1]), int(parts[2]))
+        if name not in best or t < best[name]:
+            best[name] = t
+    for name, (cost, lid, rid) in best.items():
+        if name in classes:
+            classes[name].cost = cost
+            classes[name].left_id = lid
+            classes[name].right_id = rid
+    return classes

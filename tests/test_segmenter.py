@@ -375,3 +375,140 @@ def test_mecab_loader_errors():
         parse_mecab_csv("word,1,2")  # too few columns
     with pytest.raises(ValueError):
         parse_mecab_matrix("1 1\n0 0")  # bad row arity
+
+
+def test_unknown_katakana_runs_group_as_words():
+    """The reference's UnknownDictionary behavior (kuromoji
+    JapaneseTokenizer.java:96 + dict/CharacterDefinition.java): an unseen
+    katakana loanword decodes as ONE token spanning the same-class run,
+    not per-char confetti; the flat legacy fallback (no classes) still
+    emits per-char nodes so existing decodes are unchanged."""
+    from lucene_spark.analysis.segmenter import (
+        LatticeSegmenter,
+        UnknownCharClass,
+    )
+
+    entries = {"の": (100, 5, 5), "学生": (200, 3, 3), "大学": (150, 2, 2)}
+    kat = UnknownCharClass(
+        chars="゠-ヿㇰ-ㇿ", cost=3000, left_id=7, right_id=7, group=True
+    )
+    seg = LatticeSegmenter(entries=entries, unknown_classes={"KATAKANA": kat})
+    assert seg.terms("大学のコンピュータ学生") == [
+        "大学", "の", "コンピュータ", "学生",
+    ]
+    legacy = LatticeSegmenter(entries=entries)
+    assert legacy.terms("大学のコンピュータ学生") == [
+        "大学", "の", "コ", "ン", "ピ", "ュ", "ー", "タ", "学生",
+    ]
+
+
+def test_unknown_class_invoke_and_length_flags():
+    """invoke=0 keeps unknowns out of dictionary positions; invoke=1
+    lets a cheap grouped unknown beat an expensive dictionary split;
+    length=n adds sub-run candidates so the lattice can stop a group
+    where a good dictionary word resumes."""
+    from lucene_spark.analysis.segmenter import (
+        LatticeSegmenter,
+        UnknownCharClass,
+    )
+
+    # dictionary knows ミルク only; invoke=1 + group lets the whole run win
+    entries = {"ミルク": (8000, 1, 1)}
+    kat_invoke = UnknownCharClass(
+        chars="゠-ヿㇰ-ㇿ", cost=3000, invoke=True, group=True
+    )
+    seg = LatticeSegmenter(
+        entries=entries, unknown_classes={"KATAKANA": kat_invoke}
+    )
+    assert seg.terms("ミルクセーキ") == ["ミルクセーキ"]
+    # invoke=0: the dictionary word fires first, unknown covers the tail
+    kat_quiet = UnknownCharClass(
+        chars="゠-ヿㇰ-ㇿ", cost=3000, invoke=False, group=True
+    )
+    seg2 = LatticeSegmenter(
+        entries=entries, unknown_classes={"KATAKANA": kat_quiet}
+    )
+    assert seg2.terms("ミルクセーキ") == ["ミルク", "セーキ"]
+    # length candidates: group=False, length=2 decodes in <=2-char pieces
+    kat_len = UnknownCharClass(
+        chars="゠-ヿㇰ-ㇿ", cost=3000, invoke=False, group=False, length=2
+    )
+    seg3 = LatticeSegmenter(entries={}, unknown_classes={"KATAKANA": kat_len})
+    out = seg3.terms("セーキ")
+    assert out in (["セー", "キ"], ["セ", "ーキ"])
+    assert all(len(t) <= 2 for t in out)
+
+
+def test_char_def_unk_def_loaders_and_rank_identity(spark):
+    """parse_mecab_char_def + apply_mecab_unk_csv read the published
+    formats; a mixed known/unknown corpus indexed with the class-aware
+    lattice is rank-identical between the Spark build and the pure-Python
+    analyzer (same analyzer object both sides)."""
+    from pyspark.sql import functions as F
+
+    from lucene_spark.analysis.segmenter import (
+        LatticeSegmenter,
+        apply_mecab_unk_csv,
+        parse_mecab_char_def,
+        parse_mecab_csv,
+    )
+    from lucene_spark.index.build import IndexConfig, build_index
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.searcher import IndexSearcher
+
+    char_def = """
+DEFAULT 0 1 0
+KATAKANA 1 1 2
+HIRAGANA 0 1 2
+KANJI 0 0 0
+0x30A1..0x30FA KATAKANA
+0x30FC KATAKANA
+0x3041..0x3096 HIRAGANA
+0x4E00..0x9FFF KANJI
+"""
+    unk = """
+KATAKANA,7,7,3000,名詞
+KATAKANA,8,8,4500,名詞
+HIRAGANA,5,5,6000,助詞
+KANJI,9,9,11000,名詞
+"""
+    classes = apply_mecab_unk_csv(parse_mecab_char_def(char_def), unk)
+    assert classes["KATAKANA"].cost == 3000  # cheapest row kept
+    assert classes["KATAKANA"].invoke and classes["KATAKANA"].group
+    assert "DEFAULT" not in classes  # no mapped ranges -> fallback tier
+    entries = parse_mecab_csv("大学,2,2,150,名詞\n学生,3,3,200,名詞\nの,5,5,100,助詞")
+    seg = LatticeSegmenter(entries=entries, unknown_classes=classes)
+    texts = [
+        "大学のコンピュータ学生",
+        "ミルクセーキの大学",
+        "データベース学生",
+        "大学の学生",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    idx = build_index(
+        spark,
+        docs,
+        IndexConfig(
+            text_col="text", field_name="text", doc_id_col="doc_id",
+            analyzer=seg,
+        ),
+    )
+    # the grouped unknown term is a real indexed term
+    terms = {r["term"] for r in idx.termstats.select("term").collect()}
+    assert "コンピュータ" in terms and "ミルクセーキ" in terms
+    s = IndexSearcher(idx)
+    hits = s.search(Q.TermQuery("text", "コンピュータ"), k=5).collect()
+    assert [r["doc_id"] for r in hits] == [0]
+    # rank identity vs the pure-Python side: same analyzer tokenizes the
+    # corpus identically, so df/length stats agree
+    py_lengths = {i: len(seg.terms(t)) for i, t in enumerate(texts)}
+    spark_lengths = {
+        r["doc_id"]: r["field_len"]
+        for r in idx.docs.select(
+            "doc_id", F.size(F.col("_terms")).alias("field_len")
+        ).collect()
+    } if "_terms" in idx.docs.columns else None
+    if spark_lengths is not None:
+        assert spark_lengths == py_lengths
