@@ -45,6 +45,7 @@ __all__ = [
     "Ordered",
     "Unordered",
     "Phrase",
+    "FixField",
     "MaxGaps",
     "MaxWidth",
     "MaxEnd",
@@ -87,6 +88,20 @@ class Phrase(IntervalsSource):
 
     def __init__(self, *terms: str):
         object.__setattr__(self, "terms", tuple(terms))
+
+
+@dataclass(frozen=True)
+class FixField(IntervalsSource):
+    """Intervals.fixField(field, source)
+    (queries/intervals/Intervals.java): reads the wrapped source's
+    intervals from ``field`` instead of the field the enclosing
+    query/matches call runs over, letting one interval tree combine
+    sources across fields (position streams are comparable because both
+    fields index the same document with the same position counter
+    semantics)."""
+
+    field: str
+    source: IntervalsSource
 
 
 @dataclass(frozen=True)
@@ -271,8 +286,8 @@ def _minimalize(df: DataFrame) -> DataFrame:
     )
 
 
-def _term_df(searcher, term: str) -> DataFrame:
-    field = searcher.index.config.field_name
+def _term_df(searcher, term: str, field: str | None = None) -> DataFrame:
+    field = field or searcher.index.config.field_name
     return (
         searcher._decoded(field, F.col("term") == term, with_positions=True)
         .select("doc_id", F.explode("positions").alias("p"))
@@ -285,10 +300,10 @@ def _term_df(searcher, term: str) -> DataFrame:
     )
 
 
-def _multi_term_df(searcher, term_pred) -> DataFrame:
+def _multi_term_df(searcher, term_pred, field: str | None = None) -> DataFrame:
     """One-position intervals of every dictionary term matching the
     predicate (the multi-term interval sources)."""
-    field = searcher.index.config.field_name
+    field = field or searcher.index.config.field_name
     return (
         searcher._decoded(field, term_pred, with_positions=True)
         .select("doc_id", F.explode("positions").alias("p"))
@@ -392,22 +407,28 @@ def _unordered_nary(parts: list[DataFrame]) -> DataFrame:
     return _minimalize(cand)
 
 
-def _build(searcher, src: IntervalsSource) -> DataFrame:
+def _build(searcher, src: IntervalsSource, field: str | None = None) -> DataFrame:
     if isinstance(src, Term):
-        return _term_df(searcher, src.term)
+        return _term_df(searcher, src.term, field=field)
     if isinstance(src, Phrase):
         return _build(
             searcher,
             MaxGaps(0, Ordered(*[Term(t) for t in src.terms])),
+            field=field,
         )
+    if isinstance(src, FixField):
+        # Intervals.fixField (queries/intervals/Intervals.java): read the
+        # wrapped source's intervals from src.field regardless of the
+        # field the enclosing query runs over — the cross-field source.
+        return _build(searcher, src.source, field=src.field)
     if isinstance(src, Ordered):
-        parts = [_build(searcher, s) for s in src.sources]
+        parts = [_build(searcher, s, field=field) for s in src.sources]
         out = parts[0]
         for p in parts[1:]:
             out = _ordered2(out, p)
         return out
     if isinstance(src, Unordered):
-        parts = [_build(searcher, s) for s in src.sources]
+        parts = [_build(searcher, s, field=field) for s in src.sources]
         if len(parts) <= 2:
             out = parts[0]
             for p in parts[1:]:
@@ -415,23 +436,23 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             return out
         return _unordered_nary(parts)
     if isinstance(src, MaxGaps):
-        inner = _build(searcher, src.source)
+        inner = _build(searcher, src.source, field=field)
         gaps = (F.col("end") - F.col("start") + 1) - F.col("wmatch")
         return inner.filter(gaps <= src.max_gaps)
     if isinstance(src, MaxWidth):
-        inner = _build(searcher, src.source)
+        inner = _build(searcher, src.source, field=field)
         return inner.filter(F.col("end") - F.col("start") + 1 <= src.max_width)
     if isinstance(src, MaxEnd):
-        inner = _build(searcher, src.source)
+        inner = _build(searcher, src.source, field=field)
         return inner.filter(F.col("end") < src.end)
     if isinstance(src, PositionRange):
-        inner = _build(searcher, src.source)
+        inner = _build(searcher, src.source, field=field)
         return inner.filter(
             (F.col("start") >= src.start) & (F.col("end") < src.end)
         )
     if isinstance(src, Containing):
-        big = _build(searcher, src.big)
-        small = _build(searcher, src.small).select(
+        big = _build(searcher, src.big, field=field)
+        small = _build(searcher, src.small, field=field).select(
             "doc_id", F.col("start").alias("ss"), F.col("end").alias("se")
         )
         return big.join(
@@ -442,8 +463,8 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             "left_semi",
         )
     if isinstance(src, ContainedBy):
-        small = _build(searcher, src.small)
-        big = _build(searcher, src.big).select(
+        small = _build(searcher, src.small, field=field)
+        big = _build(searcher, src.big, field=field).select(
             F.col("doc_id").alias("doc_id"),
             F.col("start").alias("bs"),
             F.col("end").alias("be"),
@@ -466,17 +487,17 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
         parts: list[DataFrame] = []
         if len(term_children) > 1:
             terms = sorted({t.term for t in term_children})
-            parts.append(_multi_term_df(searcher, F.col("term").isin(terms)))
+            parts.append(_multi_term_df(searcher, F.col("term").isin(terms), field=field))
         elif term_children:
-            parts.append(_term_df(searcher, term_children[0].term))
-        parts.extend(_build(searcher, s) for s in other)
+            parts.append(_term_df(searcher, term_children[0].term, field=field))
+        parts.extend(_build(searcher, s, field=field) for s in other)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return _minimalize(out)
     if isinstance(src, NonOverlapping):
-        minu = _build(searcher, src.minuend)
-        sub = _build(searcher, src.subtrahend).select(
+        minu = _build(searcher, src.minuend, field=field)
+        sub = _build(searcher, src.subtrahend, field=field).select(
             "doc_id", F.col("start").alias("xs"), F.col("end").alias("xe")
         )
         # anti-join on overlap: [start,end] ∩ [xs,xe] ≠ ∅
@@ -488,8 +509,8 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             "left_anti",
         )
     if isinstance(src, NotContaining):
-        minu = _build(searcher, src.minuend)
-        sub = _build(searcher, src.subtrahend).select(
+        minu = _build(searcher, src.minuend, field=field)
+        sub = _build(searcher, src.subtrahend, field=field).select(
             "doc_id", F.col("start").alias("xs"), F.col("end").alias("xe")
         )
         return minu.join(
@@ -500,8 +521,8 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             "left_anti",
         )
     if isinstance(src, NotContainedBy):
-        small = _build(searcher, src.small)
-        big = _build(searcher, src.big).select(
+        small = _build(searcher, src.small, field=field)
+        big = _build(searcher, src.big, field=field).select(
             "doc_id", F.col("start").alias("xs"), F.col("end").alias("xe")
         )
         return small.join(
@@ -512,8 +533,8 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             "left_anti",
         )
     if isinstance(src, Before):
-        a = _build(searcher, src.source)
-        ref = _build(searcher, src.reference).select(
+        a = _build(searcher, src.source, field=field)
+        ref = _build(searcher, src.reference, field=field).select(
             "doc_id", F.col("start").alias("xs")
         )
         return a.join(
@@ -522,8 +543,8 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             "left_semi",
         )
     if isinstance(src, After):
-        a = _build(searcher, src.source)
-        ref = _build(searcher, src.reference).select(
+        a = _build(searcher, src.source, field=field)
+        ref = _build(searcher, src.reference, field=field).select(
             "doc_id", F.col("end").alias("xe")
         )
         return a.join(
@@ -532,8 +553,8 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             "left_semi",
         )
     if isinstance(src, Overlapping):
-        a = _build(searcher, src.source)
-        ref = _build(searcher, src.reference).select(
+        a = _build(searcher, src.source, field=field)
+        ref = _build(searcher, src.reference, field=field).select(
             "doc_id", F.col("start").alias("xs"), F.col("end").alias("xe")
         )
         return a.join(
@@ -544,7 +565,7 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             "left_semi",
         )
     if isinstance(src, Extend):
-        inner = _build(searcher, src.source)
+        inner = _build(searcher, src.source, field=field)
         return inner.select(
             "doc_id",
             F.greatest(F.lit(0), F.col("start") - src.before).alias("start"),
@@ -558,9 +579,9 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
         if not (1 <= n <= len(subs)):
             raise ValueError("atLeast: need 1 <= min_match <= len(sources)")
         if n == 1:
-            return _build(searcher, Or(*subs))
+            return _build(searcher, Or(*subs), field=field)
         parts = [
-            _build(searcher, Unordered(*combo))
+            _build(searcher, Unordered(*combo), field=field)
             for combo in combinations(subs, n)
         ]
         out = parts[0]
@@ -569,7 +590,7 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
         return _minimalize(out)
     if isinstance(src, Prefix):
         return _multi_term_df(
-            searcher, F.col("term").startswith(src.prefix)
+            searcher, F.col("term").startswith(src.prefix), field=field
         )
     if isinstance(src, Wildcard):
         import re as _re
@@ -579,14 +600,14 @@ def _build(searcher, src: IntervalsSource) -> DataFrame:
             + _re.escape(src.pattern).replace("\\*", ".*").replace("\\?", ".")
             + "$"
         )
-        return _multi_term_df(searcher, F.col("term").rlike(rx))
+        return _multi_term_df(searcher, F.col("term").rlike(rx), field=field)
     raise NotImplementedError(type(src).__name__)
 
 
-def matches(searcher, source: IntervalsSource) -> DataFrame:
+def matches(searcher, source: IntervalsSource, field: str | None = None) -> DataFrame:
     """(doc_id, start, end, wmatch) minimal intervals of `source`,
     live docs only (deletes anti-joined, like searcher.matches)."""
-    return searcher._live(_build(searcher, source))
+    return searcher._live(_build(searcher, source, field=field))
 
 
 def count_intervals(searcher, source: IntervalsSource) -> DataFrame:
