@@ -133,6 +133,62 @@ def more_like_this(
     )
 
 
+def like_this_query(
+    searcher: IndexSearcher,
+    text: str,
+    max_query_terms: int = 20,
+    min_term_freq: int = 1,
+    percent_terms_to_match: float = 0.3,
+) -> Q.Query:
+    """MoreLikeThisQuery built from free TEXT (queries/mlt/
+    MoreLikeThisQuery.java:38, the CorePlus ``<LikeThisQuery>`` element's
+    target): analyze the text, keep terms with tf >= min_term_freq that
+    exist in the index, rank (tf desc, df asc, term asc) like
+    :func:`interesting_terms`, take ``max_query_terms``, and return a
+    SHOULD boolean with minimumNumberShouldMatch =
+    ``percent_terms_to_match * n_terms`` (MoreLikeThisQuery.java:66).
+    Scoring is the engine's BM25 SHOULD sum — the reference's unboosted
+    MoreLikeThis default."""
+    from collections import Counter
+
+    an = searcher.index.config.analyzer
+    tf = Counter(an.terms(text) if an else _std_terms(text))
+    cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+    if not cand:
+        return Q.MatchNoDocsQuery()
+    if len(cand) > MAX_TERM_SET:
+        raise ValueError(
+            f"like_this_query: text yields {len(cand)} candidate terms "
+            f"(cap {MAX_TERM_SET}) — trim the input"
+        )
+    stats = (
+        searcher.index.termstats.filter(
+            (F.col("field") == searcher.index.config.field_name)
+            & F.col("term").isin(cand)
+        )
+        .select("term", "df")
+        .collect()
+    )
+    ranked = sorted(
+        ((-tf[r["term"]], r["df"], r["term"]) for r in stats),
+    )[:max_query_terms]
+    sel = [t for _, _, t in ranked]
+    if not sel:
+        return Q.MatchNoDocsQuery()
+    msm = int(len(sel) * percent_terms_to_match)
+    f = searcher.index.config.field_name
+    return Q.BooleanQuery.of(
+        should=tuple(Q.TermQuery(f, t) for t in sel),
+        minimum_should_match=msm,
+    )
+
+
+def _std_terms(text: str) -> list[str]:
+    from lucene_spark.analysis.tokenizer import StandardAnalyzer
+
+    return StandardAnalyzer().terms(text)
+
+
 def function_score(
     searcher: IndexSearcher, query: Q.Query, expr: str
 ) -> DataFrame:

@@ -91,10 +91,20 @@ class QueryParser:
         default_field: str,
         analyzer: StandardAnalyzer | None = None,
         default_operator: str = "OR",
+        extensions: dict | None = None,
     ):
         self.field = default_field
         self.analyzer = analyzer or StandardAnalyzer()
         self.default_operator = default_operator
+        #: queryparser/ext ExtendableQueryParser's extension registry:
+        #: {key: callable(field, raw_text) -> Query}. Syntax
+        #: ``field:key:value`` routes ``value`` (term or quoted) to the
+        #: registered key's builder with ``field``; ``key:value`` with a
+        #: registered key uses the default field (the reference encodes
+        #: the key into the field symbol with an escaped delimiter —
+        #: plain-colon spelling here, registered keys take precedence
+        #: over same-named fields, documented divergence).
+        self.extensions = dict(extensions or {})
 
     # grammar: expr := clause ((AND|OR)? clause)* with +/-/NOT prefixes
     def parse(self, text: str) -> Q.Query:
@@ -152,6 +162,17 @@ class QueryParser:
             toks,
         )
 
+    def _ext_clause(self, field: str, key: str, toks: list):
+        """Consume the value token, invoke the extension, honor ^boost."""
+        t = toks[0]
+        raw = t.m.group("qbody") if t.kind == "quoted" else t.text
+        node = self.extensions[key](field, raw)
+        toks = toks[1:]
+        if toks and toks[0].kind == "carat":
+            node = Q.BoostQuery(node, float(toks[0].m.group("boostv")))
+            toks = toks[1:]
+        return node, toks
+
     def _field_query(self, field: str, body: str, slop: int) -> Q.Query:
         """Quoted-text factory (the reference's overridable
         ``QueryParser.getFieldQuery(String, String, int)`` — the
@@ -177,6 +198,19 @@ class QueryParser:
             toks = toks[2:]
             if not toks:
                 raise QueryParseError(f"dangling field '{field}:'")
+            # ext hook (queryparser/ext/ExtendableQueryParser.java):
+            # key:value with a registered key -> extension on the default
+            # field; field:key:value -> extension on the named field
+            if field in self.extensions and toks[0].kind in ("term", "quoted"):
+                return self._ext_clause(self.field, field, toks)
+            if (
+                len(toks) >= 3
+                and toks[0].kind == "term"
+                and toks[0].text in self.extensions
+                and toks[1].kind == "colon"
+                and toks[2].kind in ("term", "quoted")
+            ):
+                return self._ext_clause(field, toks[0].text, toks[2:])
             t = toks[0]
         if t.kind == "lparen":
             inner, rest = self._parse_expr(toks[1:])

@@ -32,9 +32,26 @@ declarations are rejected (External-Entity resolving unsupported,
 CoreParser's DisallowDoctypeDecl handler) — ``xml.etree`` refuses entity
 expansion by design and we reject ``<!DOCTYPE`` explicitly.
 
-Out of scope (the CorePlus*Parser extras, documented fence):
-BoostingQuery, FuzzyLikeThisQuery, LikeThisQuery — their roles exist as
-``extras.more_like_this`` and the fuzzy/boolean surfaces.
+CorePlus extras (``queryparser/xml/CorePlusQueriesParser.java`` /
+``CorePlusExtensionsParser.java`` — round-5 closes the fence):
+
+- ``<BoostingQuery>`` with ``<Query>`` + ``<BoostQuery boost=..>``
+  children (BoostingQueryBuilder): matches the main query; docs also
+  matching the context query have their score multiplied by ``boost``
+  (default 0.01 — a demotion, never an exclusion);
+- ``<FuzzyLikeThisQuery maxNumTerms minSimilarity prefixLength
+  ignoreTF>`` with ``<Field fieldName=..>text</Field>`` children
+  (FuzzyLikeThisQueryBuilder) -> ``extras.fuzzy_like_this`` per field,
+  scores summed across fields;
+- ``<LikeThisQuery maxQueryTerms minTermFrequency percentTermsToMatch>``
+  free text (LikeThisQueryBuilder) -> ``extras.like_this_query``'s
+  SHOULD-with-msm boolean resolved against the index at execution time
+  (term selection needs df stats, exactly why the reference defers to
+  rewrite()).
+
+``minSimilarity`` maps to edit distance like FuzzyQuery's float-to-edits
+ramp: >= 0.5 -> 1 edit, < 0.5 -> 2 (documented simplification of the
+length-scaled formula).
 """
 
 from __future__ import annotations
@@ -174,6 +191,66 @@ def _build_query(el: ET.Element, field: str | None, analyzer) -> Q.Query:
         if not f:
             raise XmlParseError("<UserQuery> needs a field")
         return _boost(el, QueryParser(f, analyzer).parse(_text(el)))
+    if tag == "BoostingQuery":
+        main_el = boost_el = None
+        for c in _children(el):
+            if c.tag == "Query":
+                main_el = c
+            elif c.tag == "BoostQuery":
+                boost_el = c
+        if main_el is None or boost_el is None:
+            raise XmlParseError(
+                "BoostingQuery needs <Query> and <BoostQuery> children"
+            )
+        f = el.get("fieldName") or field
+        main_subs = _children(main_el)
+        ctx_subs = _children(boost_el)
+        if len(main_subs) != 1 or len(ctx_subs) != 1:
+            raise XmlParseError(
+                "BoostingQuery's <Query>/<BoostQuery> need one child each"
+            )
+        return _boost(
+            el,
+            _BoostingWrapper(
+                _build_query(main_subs[0], f, analyzer),
+                _build_query(ctx_subs[0], f, analyzer),
+                float(boost_el.get("boost", "0.01")),
+            ),
+        )
+    if tag == "FuzzyLikeThisQuery":
+        fields = []
+        for c in _children(el):
+            if c.tag != "Field":
+                raise XmlParseError(
+                    f"FuzzyLikeThisQuery child <{c.tag}> != Field"
+                )
+            fields.append((_field(c, field), _text(c)))
+        if not fields:
+            raise XmlParseError("FuzzyLikeThisQuery needs >= 1 <Field>")
+        min_sim = float(el.get("minSimilarity", "0.5"))
+        return _boost(
+            el,
+            _FuzzyLikeThisWrapper(
+                tuple(fields),
+                max_num_terms=int(el.get("maxNumTerms", "50")),
+                max_edits=1 if min_sim >= 0.5 else 2,
+                prefix_length=int(el.get("prefixLength", "0")),
+                ignore_tf=el.get("ignoreTF", "false") == "true",
+            ),
+        )
+    if tag == "LikeThisQuery":
+        return _boost(
+            el,
+            _LikeThisWrapper(
+                el.get("fieldNames") or field,
+                _text(el),
+                max_query_terms=int(el.get("maxQueryTerms", "20")),
+                min_term_freq=int(el.get("minTermFrequency", "1")),
+                percent_terms_to_match=float(
+                    el.get("percentTermsToMatch", "0.3")
+                ),
+            ),
+        )
     if tag in _SPAN_TAGS:
         # span query used in scoring position -> execute() handles it
         return _SpanWrapper(
@@ -189,6 +266,42 @@ class _SpanWrapper(Q.Query):
     def __init__(self, field: str, span: SP.SpanQuery):
         self.field = field
         self.span = span
+
+
+class _BoostingWrapper(Q.Query):
+    """queries/BoostingQuery semantics deferred to the executor: match
+    set and base score from ``main``; docs also matching ``context``
+    multiply their score by ``boost`` (a demotion for boost < 1)."""
+
+    def __init__(self, main: Q.Query, context: Q.Query, boost: float):
+        self.main = main
+        self.context = context
+        self.boost = boost
+
+
+class _FuzzyLikeThisWrapper(Q.Query):
+    """FuzzyLikeThisQuery element deferred to the executor (variant
+    discovery needs the term dictionary)."""
+
+    def __init__(self, fields, max_num_terms, max_edits, prefix_length, ignore_tf):
+        self.fields = fields
+        self.max_num_terms = max_num_terms
+        self.max_edits = max_edits
+        self.prefix_length = prefix_length
+        self.ignore_tf = ignore_tf
+
+
+class _LikeThisWrapper(Q.Query):
+    """LikeThisQuery element deferred to the executor (term selection
+    needs df stats — the reference's MoreLikeThisQuery.rewrite role)."""
+
+    def __init__(self, field, text, max_query_terms, min_term_freq,
+                 percent_terms_to_match):
+        self.field = field
+        self.text = text
+        self.max_query_terms = max_query_terms
+        self.min_term_freq = min_term_freq
+        self.percent_terms_to_match = percent_terms_to_match
 
 
 _SPAN_TAGS = {
@@ -277,6 +390,60 @@ def _exec(searchers, q: Q.Query, default_field: str | None) -> DataFrame:
         s = _searcher_for(searchers, q.field)
         return SP.span_count(s, q.span).select(
             "doc_id", F.col("n_spans").cast("double").alias("score")
+        )
+    if isinstance(q, _BoostingWrapper):
+        main = _exec(searchers, q.main, default_field)
+        ctx = _exec(searchers, q.context, default_field).select("doc_id")
+        # left join: context matches DEMOTE (multiply), never exclude
+        return (
+            main.alias("m")
+            .join(ctx.withColumn("_hit", F.lit(1)).alias("c"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_hit").isNotNull(),
+                       F.col("score") * F.lit(q.boost))
+                .otherwise(F.col("score"))
+                .alias("score"),
+            )
+        )
+    if isinstance(q, _FuzzyLikeThisWrapper):
+        from lucene_spark.search.extras import fuzzy_like_this
+
+        parts = []
+        for f, text in q.fields:
+            s = _searcher_for(searchers, f or default_field)
+            parts.append(
+                fuzzy_like_this(
+                    s,
+                    text,
+                    k=1 << 30,
+                    max_edits=q.max_edits,
+                    prefix_length=q.prefix_length,
+                    max_num_terms=q.max_num_terms,
+                    ignore_tf=q.ignore_tf,
+                ).select("doc_id", F.col("score").cast("double").alias("score"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    if isinstance(q, _LikeThisWrapper):
+        from lucene_spark.search.extras import like_this_query
+
+        s = _searcher_for(searchers, q.field or default_field)
+        resolved = like_this_query(
+            s,
+            q.text,
+            max_query_terms=q.max_query_terms,
+            min_term_freq=q.min_term_freq,
+            percent_terms_to_match=q.percent_terms_to_match,
+        )
+        if isinstance(resolved, Q.MatchNoDocsQuery):
+            return s.index.docs.select(
+                "doc_id", F.lit(0.0).alias("score")
+            ).limit(0)
+        return s.search(resolved, k=1 << 30).select(
+            "doc_id", F.col("score").cast("double").alias("score")
         )
     if isinstance(q, (Q.BoostQuery, Q.ConstantScoreQuery)):
         b = float(getattr(q, "boost", 1.0))

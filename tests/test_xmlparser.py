@@ -144,3 +144,87 @@ def test_guards(searchers):
         XP.parse('<SpanNear fieldName="contents"><SpanTerm>a</SpanTerm></SpanNear>')
     with pytest.raises(XP.XmlParseError):
         XP.parse("<NoSuchElement/>")
+
+
+def test_core_plus_boosting_query(searchers):
+    """CorePlusQueriesParser's BoostingQuery (BoostingQueryBuilder.java):
+    docs matching the context query stay in the result but score lower by
+    the boost factor; docs not matching it keep their base score."""
+    xml = """
+<BoostingQuery>
+  <Query><TermQuery fieldName="contents">bank</TermQuery></Query>
+  <BoostQuery boost="0.01">
+    <TermQuery fieldName="contents">sumitomo</TermQuery>
+  </BoostQuery>
+</BoostingQuery>"""
+    df = XP.execute(searchers, xml, k=10, default_field="contents")
+    rows = {int(r["doc_id"]): float(r["score"]) for r in df.collect()}
+    assert set(rows) == {1, 2, 6}  # demoted, not excluded
+    assert rows[2] < rows[1] and rows[2] < rows[6]
+    # demotion is multiplicative: doc 2's score ~= base * 0.01
+    base = {
+        int(r["doc_id"]): float(r["score"])
+        for r in XP.execute(
+            searchers,
+            '<TermQuery fieldName="contents">bank</TermQuery>',
+            k=10,
+            default_field="contents",
+        ).collect()
+    }
+    assert rows[2] == pytest.approx(base[2] * 0.01, rel=1e-6)
+
+
+def test_core_plus_fuzzy_like_this(searchers):
+    """FuzzyLikeThisQueryBuilder: a misspelled term still finds its docs
+    through the fuzzified variant expansion."""
+    xml = """
+<FuzzyLikeThisQuery maxNumTerms="10" minSimilarity="0.5">
+  <Field fieldName="contents">mergor</Field>
+</FuzzyLikeThisQuery>"""
+    assert _ids(searchers, xml) >= {2, 3}
+
+
+def test_core_plus_like_this_query(searchers):
+    """LikeThisQueryBuilder: free text selects interesting index terms
+    and matches similar docs with percentTermsToMatch as msm."""
+    xml = (
+        '<LikeThisQuery fieldNames="contents" maxQueryTerms="6" '
+        'percentTermsToMatch="0.3">workers killed in a mine</LikeThisQuery>'
+    )
+    got = _ids(searchers, xml)
+    assert 5 in got  # the near-duplicate doc
+    assert got <= {3, 4, 5}
+    with pytest.raises(XP.XmlParseError):
+        XP.parse("<BoostingQuery><Query/></BoostingQuery>")
+
+
+def test_classic_parser_ext_syntax(searchers):
+    """queryparser/ext ExtendableQueryParser: field:key:value routes the
+    value to the registered extension builder; unregistered keys keep the
+    plain field:term parse; ^boost applies to the extension's query."""
+    from lucene_spark.search import query as Q
+    from lucene_spark.search.queryparser import QueryParser
+
+    calls = []
+
+    def lit_ext(field, raw):
+        calls.append((field, raw))
+        return Q.TermQuery(field, raw.lower())
+
+    p = QueryParser("contents", extensions={"lit": lit_ext})
+    q = p.parse("contents:lit:SUMITOMO")
+    assert isinstance(q, Q.TermQuery) and q.term == "sumitomo"
+    assert calls == [("contents", "SUMITOMO")]
+    # key on the default field
+    q2 = p.parse("lit:Bank")
+    assert isinstance(q2, Q.TermQuery) and q2.field == "contents"
+    assert q2.term == "bank"
+    # boost suffix wraps the extension query
+    q3 = p.parse("contents:lit:bank^2.5")
+    assert isinstance(q3, Q.BoostQuery) and q3.boost == 2.5
+    # unregistered key: plain field:term behavior unchanged
+    q4 = QueryParser("contents").parse("contents:bank")
+    assert isinstance(q4, Q.TermQuery) and q4.term == "bank"
+    # quoted values reach the extension raw
+    q5 = p.parse('contents:lit:"Bank Rates"')
+    assert q5.term == "bank rates"
