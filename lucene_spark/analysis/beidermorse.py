@@ -359,3 +359,88 @@ def beider_morse_terms(term: str, rule_type: str = "approx") -> list[str]:
     ``([^()|-]+)`` matcher emits them."""
     return [m.group(1) for m in
             re.finditer(r"([^()|-]+)", beider_morse(term, rule_type))]
+
+
+# --------------------------------------------------------------------------
+# commons-codec bm file-format loaders — the data seam: the published BMPM
+# tables (org/apache/commons/codec/language/bm/*.txt) load through these
+# verbatim.  Formats per the commons-codec sources' documented syntax:
+#
+# - rules files: one rule per line as four quoted strings
+#   ``"pattern" "lcontext" "rcontext" "phoneme"``; ``//`` comments
+#   (whole-line or trailing); ``#include <resource>`` splices another
+#   rules file at that point (Rule.java's parsePhoneticRules include
+#   handling); blank lines skipped; ``/* ... */`` block comments.
+# - lang files: one guess rule per line, three whitespace-separated
+#   fields ``pattern languages true|false`` with ``+``-joined language
+#   sets (Lang.java's loadFromResource format).
+# - languages files: one language name per line.
+# --------------------------------------------------------------------------
+
+
+def _strip_bm_comments(text: str) -> list[str]:
+    text = re.sub(r"/\*.*?\*/", "", text, flags=re.S)
+    out = []
+    for line in text.splitlines():
+        line = line.split("//", 1)[0].strip()
+        if line:
+            out.append(line)
+    return out
+
+
+def parse_bm_lang(text: str) -> tuple:
+    """lang.X file text -> tuple[Lang] (file order)."""
+    rules = []
+    for line in _strip_bm_comments(text):
+        parts = line.split()
+        if len(parts) != 3 or parts[2] not in ("true", "false"):
+            raise ValueError(f"bm lang file: need 'pattern langs bool' in {line!r}")
+        rules.append(
+            Lang(parts[0], frozenset(parts[1].split("+")), parts[2] == "true")
+        )
+    return tuple(rules)
+
+
+def parse_bm_languages(text: str) -> frozenset:
+    """languages.X file text -> the language universe."""
+    return frozenset(_strip_bm_comments(text))
+
+
+_BM_RULE_RX = re.compile(
+    r'^"((?:[^"\\]|\\.)*)"\s+"((?:[^"\\]|\\.)*)"\s+'
+    r'"((?:[^"\\]|\\.)*)"\s+"((?:[^"\\]|\\.)*)"$'
+)
+
+
+def parse_bm_rules(text: str, include_resolver=None) -> tuple:
+    """rules.X file text -> tuple[Rule] (file order).
+
+    ``include_resolver(name) -> str`` supplies the text of
+    ``#include name`` references (commons-codec resolves them against the
+    classpath; here the caller maps names to file contents)."""
+    rules = []
+    for line in _strip_bm_comments(text):
+        if line.startswith("#include"):
+            name = line[len("#include"):].strip()
+            if include_resolver is None:
+                raise ValueError(
+                    f"bm rules: '#include {name}' needs an include_resolver"
+                )
+            rules.extend(parse_bm_rules(include_resolver(name), include_resolver))
+            continue
+        m = _BM_RULE_RX.match(line)
+        if m is None:
+            raise ValueError(f"bm rules: need four quoted fields in {line!r}")
+        pat, lc, rc, ph = (g.replace('\\"', '"') for g in m.groups())
+        rules.append(Rule(pat, lc, rc, ph))
+    return tuple(rules)
+
+
+def format_bm_rules(rules) -> str:
+    """Inverse of :func:`parse_bm_rules` — serialize Rule tuples into the
+    commons-codec file syntax (used by the format round-trip tests; also
+    handy for exporting a Ruleset as drop-in files)."""
+    return "\n".join(
+        f'"{r.pattern}" "{r.lcontext}" "{r.rcontext}" "{r.phoneme}"'
+        for r in rules
+    )

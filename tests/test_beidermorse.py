@@ -95,3 +95,47 @@ def test_overlay_filter_injects_phonemes_at_position():
         by_pos.setdefault(p, set()).add(t)
     # the two spellings now share an indexed phoneme at their positions
     assert by_pos[0] & by_pos[1]
+
+
+def test_bm_file_format_loaders_round_trip():
+    """The commons-codec bm data seam: a full ruleset loads from files in
+    the published syntax (quoted 4-tuples, //-comments, /*...*/ blocks,
+    #include splicing, lang triples) and the assembled Ruleset encodes
+    IDENTICALLY to the in-code engine over a name list — proving the
+    published tables drop in as data."""
+    import os
+
+    from lucene_spark.analysis import beidermorse as bm
+
+    d = os.path.join(os.path.dirname(__file__), "data", "bm")
+
+    def rd(name):
+        return open(os.path.join(d, name), encoding="utf-8").read()
+
+    rules = bm.parse_bm_rules(
+        rd("ash_rules_any.txt"), include_resolver=lambda n: rd(n)
+    )
+    assert len(rules) == len(bm._RULES)  # include splices in order
+    assert [r.pattern for r in rules] == [r.pattern for r in bm._RULES]
+    rs = bm.Ruleset(
+        languages=bm.parse_bm_languages(rd("languages.txt")),
+        lang_rules=bm.parse_bm_lang(rd("lang.txt")),
+        rules=rules,
+        final_common={
+            "approx": bm.parse_bm_rules(rd("ash_approx_any.txt")),
+            "exact": (),
+        },
+        final_by_lang={"approx": {}, "exact": {}},
+    )
+    eng_file = bm.PhoneticEngine(rs, rule_type="approx")
+    eng_code = bm.PhoneticEngine(bm.DEFAULT_RULES, rule_type="approx")
+    for name in ["schwarz", "shvarts", "weiss", "vais", "tchaikovsky",
+                 "czajkowski", "jablonski", "giordano", "quint"]:
+        assert eng_file.encode(name) == eng_code.encode(name), name
+    # error contracts
+    with pytest.raises(ValueError, match="include_resolver"):
+        bm.parse_bm_rules("#include missing.txt")
+    with pytest.raises(ValueError, match="four quoted fields"):
+        bm.parse_bm_rules('"a" "b" "c"')
+    with pytest.raises(ValueError, match="pattern langs bool"):
+        bm.parse_bm_lang("tsch german maybe")

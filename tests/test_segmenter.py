@@ -512,3 +512,42 @@ KANJI,9,9,11000,名詞
     } if "_terms" in idx.docs.columns else None
     if spark_lengths is not None:
         assert spark_lengths == py_lengths
+
+
+def test_mecab_full_format_fixture_decode():
+    """All four published MeCab file formats through the loaders at once
+    (entries CSV with feature columns, matrix.def with a size header and
+    negative costs, char.def categories + code-point mappings, unk.def
+    with homograph rows), then a realistic decode: dictionary homograph
+    resolution (東京大学 as one entry beats 東京+大学 via costs), particle
+    attachment, and a grouped unknown katakana run in the same sentence."""
+    import os
+
+    from lucene_spark.analysis.segmenter import (
+        LatticeSegmenter,
+        apply_mecab_unk_csv,
+        parse_mecab_char_def,
+        parse_mecab_csv,
+        parse_mecab_matrix,
+    )
+
+    d = os.path.join(os.path.dirname(__file__), "data", "mecab")
+
+    def rd(name):
+        return open(os.path.join(d, name), encoding="utf-8").read()
+
+    entries = parse_mecab_csv(rd("entries.csv"))
+    conn = parse_mecab_matrix(rd("matrix.def"))
+    classes = apply_mecab_unk_csv(parse_mecab_char_def(rd("char.def")), rd("unk.def"))
+    assert entries["東京大学"] == (6012, 1288, 1288)
+    assert conn[(1285, 1299)] == -310  # negative connection costs survive
+    assert classes["KATAKANA"].cost == 9461  # cheapest unk row kept
+    seg = LatticeSegmenter(
+        entries=entries, connections=conn, unknown_classes=classes
+    )
+    # 東京大学 (6012) beats 東京+大学 (3003+120+4052=7175)
+    assert seg.terms("東京大学の学生") == ["東京大学", "の", "学生"]
+    # unknown katakana loanword groups; known words still resolve around it
+    assert seg.terms("コンピュータの学生") == ["コンピュータ", "の", "学生"]
+    # homograph surface 人参 vs 日本人+参: composed word wins on cost
+    assert "人参" in seg.terms("人参が")

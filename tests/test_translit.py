@@ -105,3 +105,42 @@ def test_as_token_filter_in_index(spark):
     ]
     assert got == oracle.top_k(oracle.term_scores("kwikk"), 5)
     assert [d for d, _ in got] == [0]
+
+
+def test_iso9_cyrillic_latin_published_ruleset():
+    """A genuinely published full-alphabet ruleset (ISO 9:1995 system A)
+    through the transform grammar: Russian + Ukrainian + Serbian letters,
+    both cases, reversibility (the standard's defining property — every
+    Cyrillic letter maps to a distinct Latin form)."""
+    import os
+
+    from lucene_spark.analysis.translit import Transliterator
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "cyrillic_latin_iso9.txt"
+    )
+    t = Transliterator(open(path, encoding="utf-8").read())
+    cases = {
+        "Москва": "Moskva",
+        "Щёлково": "Ŝëlkovo",
+        "Чайковский": "Čajkovskij",
+        "журнал": "žurnal",
+        "Київ": "Kiïv",
+        "Ђоковић": "Đoković",
+        "объём": "obʺëm",
+    }
+    for src, want in cases.items():
+        assert t(src) == want, (src, t(src))
+    # reversibility: distinct Cyrillic letters -> distinct outputs
+    import re as _re
+
+    rules = open(path, encoding="utf-8").read()
+    pairs = _re.findall(r"(\S+)\s*>\s*(\S+)\s*;", rules)
+    # reversible per the standard: distinct outputs within each case tier
+    # (the hard/soft signs map to CASELESS modifier letters ʺ/ʹ for both
+    # cases — the one place ISO 9 folds case, by design)
+    lower = [o for s, o in pairs if s.lower() == s]
+    upper = [o for s, o in pairs if s.upper() == s and s.lower() != s]
+    assert len(lower) == len(set(lower)), "ISO 9 must be reversible"
+    assert len(upper) == len(set(upper)), "ISO 9 must be reversible"
+    assert len(pairs) >= 90  # full-alphabet scale, both cases
