@@ -3482,6 +3482,78 @@ ORDER BY c_custkey ASC""",
 _register_geo3d()
 
 
+#: mid-latitude polygon for the WGS84 membership pair — where the
+#: geodetic->reduced latitude shift peaks (~0.096 deg at 45), so the
+#: ellipsoid and sphere answers genuinely differ in a boundary band
+_G3D_POLY_W = [(38.0, -10.0), (38.0, 25.0), (52.0, 25.0), (52.0, -10.0)]
+
+_ONE_MINUS_F = 1.0 - 1.0 / 298.257223563
+
+
+def _g3d_bearing_wgs84_sql(vlat: float, vlon: float) -> str:
+    """DuckDB twin of geo3d._bearing at REDUCED latitudes: the point's
+    geodetic lat moves by atan2((1-f) sin phi, cos phi); the vertex's
+    reduced latitude is folded in as a constant."""
+    from lucene_spark.search.geo3d import _reduced_lat_deg
+
+    import math as _math
+
+    p2 = _math.radians(_reduced_lat_deg(vlat))
+    p1 = f"atan2({_ONE_MINUS_F!r} * sin(radians(lat)), cos(radians(lat)))"
+    dl = f"(radians({vlon}) - radians(lon))"
+    return (
+        f"atan2(sin({dl}) * {_math.cos(p2)!r}, "
+        f"cos({p1}) * {_math.sin(p2)!r} "
+        f"- sin({p1}) * {_math.cos(p2)!r} * cos({dl}))"
+    )
+
+
+def _g3d_winding_wgs84_sql() -> str:
+    two_pi = "6.283185307179586"
+    terms = []
+    n = len(_G3D_POLY_W)
+    for i in range(n):
+        a = _g3d_bearing_wgs84_sql(*_G3D_POLY_W[i])
+        b = _g3d_bearing_wgs84_sql(*_G3D_POLY_W[(i + 1) % n])
+        d = f"(({b}) - ({a}))"
+        terms.append(f"({d} - {two_pi} * floor(({d} + pi()) / {two_pi}))")
+    return " + ".join(terms)
+
+
+def _register_geo3d_wgs84() -> None:
+    @register(
+        "geo3d_polygon_wgs84",
+        f"""WITH pts AS (
+  SELECT c_custkey, {_GEO_LAT} AS lat, {_GEO_LON} AS lon FROM customer
+)
+SELECT c_custkey FROM pts
+WHERE abs({_g3d_winding_wgs84_sql()}) > pi()
+ORDER BY c_custkey ASC""",
+    )
+    def geo3d_polygon_wgs84(spark, sf_dir):
+        """Ellipsoid polygon membership (the reference's WGS84
+        PlanetModel role, spatial3d/.../PlanetModel.java): the winding
+        test runs at reduced latitude — the scaled space where the WGS84
+        surface becomes a sphere and the scaled-space edge planes become
+        great circles — so the former sphere-vs-ellipsoid boundary band
+        is now decided ON the ellipsoid. Mid-latitude polygon, where the
+        latitude shift peaks; the oracle replays the identical reduced-
+        latitude winding sum in DuckDB."""
+        from lucene_spark.search import geo3d
+
+        pts = _geo_points(spark, sf_dir)
+        return (
+            pts.filter(
+                geo3d.polygon_contains(_G3D_POLY_W, planet_model="wgs84")
+            )
+            .select("c_custkey")
+            .orderBy(F.asc("c_custkey"))
+        )
+
+
+_register_geo3d_wgs84()
+
+
 # ---- Lattice (Viterbi) CJK segmentation pair --------------------------------
 # (kuromoji/nori decoding model, JapaneseTokenizer.java:96; MeCab lattice)
 

@@ -12,9 +12,14 @@ shape on the sphere, and the ellipsoid deltas are <0.35% of distance).
 Mean radius matches ``geo.py``'s haversine (6371008.7714 m). For
 ellipsoid-exact DISTANCE, ``vincenty_np`` / ``vincenty_distance_udf``
 implement the published Vincenty inverse on WGS84 (validated against
-Vincenty's own test line to the millimeter) — the residual fence is
-only ellipsoid-aware membership SHAPES, whose sphere/ellipsoid
-disagreement is confined to a <0.35%-of-radius boundary band.
+Vincenty's own test line to the millimeter).  Membership SHAPES built
+from origin planes (polygons) need no ellipsoid variant at all — the
+scaled-space plane test is provably invariant under the z-scaling that
+maps the WGS84 surface to the sphere (``polygon_contains`` exposes the
+explicit ``planet_model="wgs84"`` reduced-latitude path and a test pins
+the sphere/ellipsoid agreement) — so the ONLY shapes where the
+ellipsoid genuinely changes answers are distance-based (circles,
+paths), where Vincenty supplies the exact geodesic.
 
 Everything is a Column expression (sin/cos/atan2 inside whole-stage
 codegen — no Python at query time), so predicates push into the scan
@@ -113,21 +118,64 @@ def _wrap(a: Column) -> Column:
     return a - F.lit(_TWO_PI) * F.floor((a + F.lit(math.pi)) / F.lit(_TWO_PI))
 
 
+def _reduced_lat(lat_col: Column) -> Column:
+    """Geodetic -> reduced (parametric) latitude on WGS84, degrees.
+
+    beta = atan2((1-f)*sin(phi), cos(phi)) — stable at the poles.  The
+    z-scaling that maps the WGS84 ellipsoid onto the sphere of radius a
+    (the reference's ``PlanetModel`` scaled space, ``spatial3d/.../
+    PlanetModel.java``) sends a geodetic surface point to exactly this
+    latitude, and planes through the origin map to planes, so
+    great-circle membership in reduced coordinates IS the ellipsoid
+    membership the scaled-space plane test computes."""
+    phi = _rad(lat_col)
+    return F.degrees(F.atan2(F.lit(1.0 - WGS84_F) * F.sin(phi), F.cos(phi)))
+
+
+def _reduced_lat_deg(lat: float) -> float:
+    phi = math.radians(lat)
+    return math.degrees(
+        math.atan2((1.0 - WGS84_F) * math.sin(phi), math.cos(phi))
+    )
+
+
 def polygon_contains(
     vertices: list[tuple[float, float]],
     lat_col="lat",
     lon_col="lon",
+    planet_model: str = "sphere",
 ) -> Column:
-    """Boolean Column: point inside the simple spherical polygon.
+    """Boolean Column: point inside the simple polygon.
 
     Winding test: sum over edges of the wrapped change in initial
     bearing from the point to consecutive vertices — |sum| ≈ 2π inside,
     ≈ 0 outside (threshold π, maximally far from both). No dateline or
-    pole special-casing: bearings are intrinsic to the sphere."""
+    pole special-casing: bearings are intrinsic to the sphere.
+
+    ``planet_model="sphere"`` (default) is the reference's
+    ``PlanetModel.SPHERE``.  ``"wgs84"`` evaluates membership ON THE
+    ELLIPSOID: both the point and the vertices move to reduced latitude
+    (the scaled space where the WGS84 surface becomes a sphere and the
+    scaled-space edge planes become great circles), then the same
+    winding test runs.  For origin-plane polygon membership the two
+    models provably AGREE everywhere — an origin-plane determinant with
+    rows (cos λ, sin λ, tan lat) scales one column uniformly under
+    tanβ = (1-f)tanφ, preserving its sign — which is exactly why the
+    reference gets identical polygon answers from ``PlanetModel.SPHERE``
+    and ``PlanetModel.WGS84`` (test-pinned); the ellipsoid genuinely
+    differs only for DISTANCE-based shapes (circles, paths), where
+    :func:`vincenty_np` supplies the exact geodesic.
+    """
     if len(vertices) < 3:
         raise ValueError("polygon needs >= 3 vertices")
+    if planet_model not in ("sphere", "wgs84"):
+        raise ValueError("planet_model must be 'sphere' or 'wgs84'")
     lat_c, lon_c = F.col(lat_col), F.col(lon_col)
-    bearings = [_bearing(lat_c, lon_c, vlat, vlon) for vlat, vlon in vertices]
+    verts = vertices
+    if planet_model == "wgs84":
+        lat_c = _reduced_lat(lat_c)
+        verts = [(_reduced_lat_deg(vlat), vlon) for vlat, vlon in vertices]
+    bearings = [_bearing(lat_c, lon_c, vlat, vlon) for vlat, vlon in verts]
     total = None
     for i in range(len(bearings)):
         step = _wrap(bearings[(i + 1) % len(bearings)] - bearings[i])

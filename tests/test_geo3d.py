@@ -175,3 +175,130 @@ def test_vincenty_udf_on_dataframe(spark):
     spherical = 5_837_248.94
     assert abs(got[0] - spherical) / spherical < 0.0035
     assert got[0] > spherical  # mid-latitude geodesics run long
+
+
+def _winding_inside(poly, lat, lon, reduced, omf):
+    import math
+
+    def red(la):
+        p = math.radians(la)
+        return math.atan2(omf * math.sin(p), math.cos(p))
+
+    def tr(la):
+        return red(la) if reduced else math.radians(la)
+
+    p1, l1 = tr(lat), math.radians(lon)
+    vr = [(tr(vl), math.radians(vn)) for vl, vn in poly]
+    bs = []
+    for p2, l2 in vr:
+        dl = l2 - l1
+        y = math.sin(dl) * math.cos(p2)
+        x = math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl)
+        bs.append(math.atan2(y, x))
+    tot = 0.0
+    for k in range(len(bs)):
+        d = bs[(k + 1) % len(bs)] - bs[k]
+        tot += d - 2 * math.pi * math.floor((d + math.pi) / (2 * math.pi))
+    return abs(tot) > math.pi
+
+
+def test_wgs84_polygon_membership_is_scale_invariant(spark):
+    """The scaled-space theorem behind the reference's PlanetModel design
+    (spatial3d/.../PlanetModel.java): an origin plane through two surface
+    points contains a third point iff det(v1,v2,v3)=0; writing rows as
+    (cos λ, sin λ, tan(lat)) and applying tanβ = (1-f)tanφ scales ONE
+    COLUMN uniformly by (1-f) > 0, so the determinant's sign — and hence
+    SidedPlane/polygon membership — is IDENTICAL on the sphere and on any
+    ellipsoid z-scaling. planet_model='wgs84' computes the membership
+    explicitly in reduced coordinates and must therefore agree with the
+    sphere path EVERYWHERE, including the edge-crest boundary where any
+    error would first show; the former 'sub-0.35% boundary band' fence
+    was conservative — for origin-plane polygon membership the band is
+    exactly zero (distance shapes — circles, paths — are where the
+    ellipsoid genuinely differs, handled by vincenty_np)."""
+    import numpy as np
+
+    from lucene_spark.search import geo3d
+
+    poly = [(38.0, -10.0), (38.0, 25.0), (52.0, 25.0), (52.0, -10.0)]
+    omf = 1.0 - geo3d.WGS84_F
+
+    # python replica: bisect the boundary under both models — equal to
+    # double precision (the lat-38 edge crests ~39.324 at mid-lon)
+    def boundary(reduced):
+        lo, hi = 39.0, 40.0  # outside at lo, inside at hi
+        for _ in range(60):
+            mid = (lo + hi) / 2
+            if _winding_inside(poly, mid, 7.5, reduced, omf):
+                hi = mid
+            else:
+                lo = mid
+        return (lo + hi) / 2
+
+    b_sph, b_ell = boundary(False), boundary(True)
+    assert abs(b_ell - b_sph) < 1e-12, (b_sph, b_ell)
+    assert 39.3 < b_sph < 39.35  # the edge genuinely bulges poleward
+
+    # Spark: dense ladder across the boundary + random cloud — the two
+    # model paths agree row for row
+    rng = np.random.default_rng(11)
+    pts = [(float(b_sph + d), 7.5) for d in np.linspace(-0.01, 0.01, 21)]
+    pts += [(float(30 + 30 * rng.random()), float(-20 + 55 * rng.random()))
+            for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+        "id long, lat double, lon double",
+    )
+    rows = df.select(
+        geo3d.polygon_contains(poly).alias("sph"),
+        geo3d.polygon_contains(poly, planet_model="wgs84").alias("ell"),
+    ).collect()
+    assert all(r["sph"] == r["ell"] for r in rows)
+    assert any(r["sph"] for r in rows) and not all(r["sph"] for r in rows)
+
+
+def test_wgs84_membership_matches_independent_numpy(spark):
+    """The Column-side reduced-latitude winding equals an independent
+    numpy recomputation (different substrate, same published math)."""
+    import math
+
+    import numpy as np
+
+    from lucene_spark.search import geo3d
+
+    poly = [(38.0, -10.0), (38.0, 25.0), (52.0, 25.0), (52.0, -10.0)]
+    rng = np.random.default_rng(5)
+    pts = [(float(37 + 16 * rng.random()), float(-12 + 40 * rng.random()))
+           for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+        "id long, lat double, lon double",
+    )
+    got = {
+        r["id"]: r["inside"]
+        for r in df.select(
+            "id",
+            geo3d.polygon_contains(poly, planet_model="wgs84").alias("inside"),
+        ).collect()
+    }
+    omf = 1.0 - geo3d.WGS84_F
+
+    def red(lat):
+        p = math.radians(lat)
+        return math.atan2(omf * math.sin(p), math.cos(p))
+
+    def bearing(p1, l1, p2, l2):
+        dl = l2 - l1
+        y = math.sin(dl) * math.cos(p2)
+        x = math.cos(p1) * math.sin(p2) - math.sin(p1) * math.cos(p2) * math.cos(dl)
+        return math.atan2(y, x)
+
+    vr = [(red(vl), math.radians(vn)) for vl, vn in poly]
+    for i, (la, lo) in enumerate(pts):
+        p1, l1 = red(la), math.radians(lo)
+        bs = [bearing(p1, l1, p2, l2) for p2, l2 in vr]
+        tot = 0.0
+        for k in range(len(bs)):
+            d = bs[(k + 1) % len(bs)] - bs[k]
+            tot += d - 2 * math.pi * math.floor((d + math.pi) / (2 * math.pi))
+        assert got[i] == (abs(tot) > math.pi), (la, lo)
