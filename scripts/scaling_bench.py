@@ -171,11 +171,18 @@ def run_once(cpus: int, input_dir: str) -> dict:
             Q.PhraseQuery("content", ("if", "return")),
             Q.PrefixQuery("content", "get"),
         ]
+        qnames = [
+            "term_rare", "term_hot", "bool_and", "bool_or", "phrase", "prefix",
+        ]
+        per_query: dict[str, float] = {}
         t1 = time.time()
         n_runs = 0
         for _ in range(2):
-            for q in queries:
+            for name, q in zip(qnames, queries):
+                tq = time.time()
                 searcher.search(q, k=10).collect()
+                dt = time.time() - tq
+                per_query[name] = min(per_query.get(name, float("inf")), dt)
                 n_runs += 1
         query_sec = time.time() - t1
         # batched serving: the same workload as ONE job per round via
@@ -205,9 +212,27 @@ def run_once(cpus: int, input_dir: str) -> dict:
             "n_batched": n_batched,
             "batched_sec": round(batched_sec, 2),
             "qps_batched": round(n_batched / batched_sec, 2),
+            "per_query_sec": {k: round(v, 3) for k, v in per_query.items()},
         }
     finally:
         spark.stop()
+
+
+def _per_query_table(r_lo: dict, r_hi: dict, lo: int, hi: int) -> str:
+    """Per-query serving walls at both levels (best-of-2) — the measured
+    point for the 'per-job latency vanishes into scan work' claim."""
+    pq_lo = r_lo.get("per_query_sec") or {}
+    pq_hi = r_hi.get("per_query_sec") or {}
+    if not pq_lo:
+        return ""
+    rows = "\n".join(
+        f"| {name} | {pq_lo.get(name, '-')} | {pq_hi.get(name, '-')} |"
+        for name in pq_lo
+    )
+    return (
+        f"\nPer-query serving walls (best of 2, seconds):\n\n"
+        f"| query | local[{lo}] | local[{hi}] |\n|---|---|---|\n{rows}\n"
+    )
 
 
 def main() -> None:
@@ -286,6 +311,9 @@ def main() -> None:
     }
     print(json.dumps(out))
 
+    if os.environ.get("SCALING_NO_BENCHMD"):  # JSON-only: keep BENCH.md
+        return
+
     # Preserve hand-written analysis sections (anything from the first
     # "## " heading onward) across regenerations.
     tail = ""
@@ -323,6 +351,7 @@ the 4N side brings its own cores, so this is the faithful analogy.
   On a real N→4N cluster each executor adds its own cores, memory
   bandwidth and GC heap, so the platform ceiling is ~1.0 there and the
   normalized figure is the decision-relevant one.
+{_per_query_table(r_lo, r_hi, lo, hi)}
 - Query scaling efficiency: {query_eff:.3f} sequential — each search is a
   handful of short Spark jobs, so fixed per-job driver overhead bounds
   sequential QPS scaling at this corpus size.
