@@ -270,6 +270,22 @@ class LatticeSegmenter(DictionarySegmenter):
     #: insertion order, like MeCab's code-point table) decides how unknown
     #: runs become candidates. Empty = the flat single-char fallback.
     unknown_classes: dict = field(default_factory=dict)
+    #: word -> feature tuple (IPADIC layout: POS1..POS4, conj-form,
+    #: conj-type, base, reading, pronunciation) — the token attributes
+    #: kuromoji's PartOfSpeechAttribute/ReadingAttribute expose; load
+    #: with :func:`parse_mecab_csv_features`
+    features: dict = field(default_factory=dict)
+    #: POS paths to DROP, matched against every '-'-joined prefix of the
+    #: word's POS levels (JapanesePartOfSpeechStopFilter role — the
+    #: reference matches the token's full POS string against stoptags,
+    #: which the published stoptags list at several depths; prefix
+    #: matching honors those multi-depth entries). Dropped tokens leave
+    #: a position hole, like stopwords.
+    pos_stoptags: frozenset = field(default_factory=frozenset)
+    #: feature index to emit INSTEAD of the surface form (the kuromoji
+    #: ReadingFormFilter role; IPADIC reading column = 7). None = off.
+    #: Unknown words (no features) keep their surface.
+    reading_index: int | None = None
 
     def __post_init__(self):
         self.entries = {
@@ -279,6 +295,10 @@ class LatticeSegmenter(DictionarySegmenter):
             (name, re.compile(f"[{c.chars}]"), c)
             for name, c in dict(self.unknown_classes).items()
         ]
+        self.features = {
+            java_lower(w): tuple(v) for w, v in dict(self.features).items()
+        }
+        self.pos_stoptags = frozenset(self.pos_stoptags)
         # DictionarySegmenter's machinery (run splitting, Standard
         # delegation, token surface) keys off `words`; the lattice only
         # changes HOW a run splits.
@@ -305,6 +325,41 @@ class LatticeSegmenter(DictionarySegmenter):
             },
             **kw,
         )
+
+    def tokens(self, text: str) -> list[Token]:
+        """DictionarySegmenter.tokens + the kuromoji attribute filters:
+        POS stop-filtering (drops leave position holes, exactly like
+        stopwords) and reading-form substitution (offsets keep pointing
+        at the surface text)."""
+        base = super().tokens(text)
+        if not self.pos_stoptags and self.reading_index is None:
+            return base
+        out: list[Token] = []
+        for t in base:
+            feats = self.features.get(t.term)
+            if self.pos_stoptags and feats and self._pos_dropped(feats):
+                continue
+            term = t.term
+            if (
+                self.reading_index is not None
+                and feats
+                and len(feats) > self.reading_index
+            ):
+                r = feats[self.reading_index]
+                if r and r != "*":
+                    term = java_lower(r)
+            out.append(Token(term, t.position, t.start_offset, t.end_offset))
+        return out
+
+    def _pos_dropped(self, feats: tuple) -> bool:
+        path = []
+        for f in feats[:4]:  # IPADIC POS hierarchy: first four columns
+            if not f or f == "*":
+                break
+            path.append(f)
+            if "-".join(path) in self.pos_stoptags:
+                return True
+        return False
 
     def _unknown_candidates(
         self, run: str, i: int, has_dict: bool
@@ -523,3 +578,26 @@ def apply_mecab_unk_csv(classes: dict, unk_text: str) -> dict:
             classes[name].left_id = lid
             classes[name].right_id = rid
     return classes
+
+
+def parse_mecab_csv_features(csv_text: str) -> dict:
+    """MeCab dictionary CSV rows -> {surface: feature tuple} for the SAME
+    rows :func:`parse_mecab_csv` keeps (cheapest entry per surface), so
+    the cost model and the attribute model stay consistent.  Features are
+    the columns after word_cost — IPADIC layout: POS1..POS4, conj-form,
+    conj-type, base form, reading, pronunciation."""
+    best: dict[str, tuple] = {}
+    feats: dict[str, tuple] = {}
+    for line in csv_text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(",")
+        if len(parts) < 4:
+            raise ValueError(f"mecab csv: need 4+ columns in {line!r}")
+        surface = parts[0]
+        cost_tuple = (int(parts[3]), int(parts[1]), int(parts[2]))
+        if surface not in best or cost_tuple < best[surface]:
+            best[surface] = cost_tuple
+            feats[surface] = tuple(parts[4:])
+    return feats

@@ -11,7 +11,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from lucene_spark.entry_impl import register
-from lucene_spark.pipeline import decontam, dedup, multimodal, similarity, text
+from lucene_spark.pipeline import (
+    decontam,
+    dedup,
+    mixing,
+    multimodal,
+    packing,
+    similarity,
+    text,
+)
 
 # DuckDB mirror of dedup.h60
 def _H(s: str) -> str:
@@ -900,6 +908,74 @@ def decontaminate_13gram(spark, sf_dir):
             F.when(F.col("n_hits").isNull(), 1).otherwise(0).alias("keep"),
         )
     )
+
+
+# ---- domain mixing + sequence packing --------------------------------------
+
+#: mixture rates for the driver pair: one subsampled source, one
+#: oversampled (2.25 epochs), everything else at the default 1.0
+_MIX_RATES = {"src3": 0.5, "src7": 2.25}
+
+
+@register(
+    "domain_mixture_sample",
+    f"""WITH mx AS (
+  SELECT doc_id, source,
+         {_H("doc_id || ':mix'")} AS h,
+         (CASE source WHEN 'src3' THEN 0.5 WHEN 'src7' THEN 2.25
+               ELSE 1.0 END) AS rate
+  FROM documents
+),
+mr AS (
+  SELECT doc_id, source,
+         (floor(rate)::BIGINT
+          + CASE WHEN h / 1152921504606846976.0 < rate - floor(rate)
+                 THEN 1 ELSE 0 END) AS n_rep
+  FROM mx
+)
+SELECT doc_id, source, unnest(generate_series(0, n_rep::INTEGER - 1))::INTEGER AS epoch
+FROM mr WHERE n_rep > 0 ORDER BY doc_id, epoch""",
+)
+def domain_mixture_sample(spark, sf_dir):
+    """Deterministic mixture sampling (Pile/GPT-3 mixture-weight role):
+    md5-derived uniforms decide subsample keeps and fractional epochs,
+    so the selection is reproducible across partitionings and the oracle
+    replays it in closed form. Map-side only (broadcast rate table +
+    explode) — the one training-order shuffle belongs to the caller."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixing.mix_sources(docs, _MIX_RATES).select(
+        "doc_id", "source", "epoch"
+    )
+
+
+@register(
+    "pack_sequences_128",
+    """WITH pt AS (
+  SELECT source AS "group", doc_id,
+         len(regexp_extract_all(text, '[a-z0-9_]+'))::BIGINT AS n_tokens
+  FROM documents
+),
+pc AS (
+  SELECT *,
+         coalesce(sum(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM pt
+)
+SELECT "group", doc_id, n_tokens, start_offset,
+       (start_offset // 128)::BIGINT AS seq_first,
+       ((start_offset + greatest(n_tokens - 1, 0)) // 128)::BIGINT AS seq_last,
+       ((start_offset + greatest(n_tokens - 1, 0)) // 128
+        - start_offset // 128 + 1)::BIGINT AS n_seqs
+FROM pc ORDER BY "group", doc_id""",
+)
+def pack_sequences_128(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style loader assignment):
+    one window cumsum per pack group (a single shuffle on the group
+    key), integer arithmetic end to end; the oracle is the identical
+    window in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing.pack_sequences(docs, seq_len=128, group_col="source")
 
 
 # ---- multimodal plumbing ---------------------------------------------------

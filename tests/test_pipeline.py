@@ -784,3 +784,69 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    """Domain mixing: rate<1 subsamples by md5 uniform (reproducible,
+    partition-independent), rate>=1 emits floor(rate) epochs plus a
+    fractional one; rate 0 drops the source; epochs are 0-based."""
+    from lucene_spark.pipeline import mixing
+
+    rows = [(i, f"doc {i}", "keep" if i % 3 == 0 else ("half" if i % 3 == 1 else "twice"))
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = mixing.mix_sources(
+        docs, {"half": 0.5, "twice": 2.0, "gone": 0.0}, default_rate=1.0
+    ).select("doc_id", "source", "epoch")
+    got = [(r["doc_id"], r["source"], r["epoch"]) for r in out.collect()]
+    by_source = {}
+    for d, s, e in got:
+        by_source.setdefault(s, []).append((d, e))
+    # default sources: exactly one epoch each
+    assert sorted(d for d, e in by_source["keep"]) == list(range(0, 300, 3))
+    assert all(e == 0 for _, e in by_source["keep"])
+    # rate 2.0: every doc exactly twice (integer rate, no fractional draw)
+    twice = by_source["twice"]
+    assert len(twice) == 2 * len({d for d, _ in twice})
+    assert {e for _, e in twice} == {0, 1}
+    # rate 0.5: a strict md5-decided subset, one epoch
+    half_ids = {d for d, _ in by_source["half"]}
+    assert 0 < len(half_ids) < 100
+    # determinism across partitionings
+    out2 = mixing.mix_sources(
+        docs.repartition(13), {"half": 0.5, "twice": 2.0, "gone": 0.0}
+    ).select("doc_id", "source", "epoch")
+    assert sorted(got) == sorted(
+        (r["doc_id"], r["source"], r["epoch"]) for r in out2.collect()
+    )
+    with pytest.raises(ValueError, match=">= 0"):
+        mixing.mix_sources(docs, {"half": -1.0})
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Sequence packing: running offsets are a per-group cumsum in doc_id
+    order; a doc spans sequences [start//L, (start+n-1)//L]; empty docs
+    sit at their boundary with one reported sequence."""
+    from lucene_spark.pipeline import packing
+
+    rows = [
+        (0, "a b c d e", "s1"),      # 5 tokens, offsets 0-4
+        (1, "f g h", "s1"),          # 3 tokens, offsets 5-7
+        (2, "", "s1"),               # empty
+        (3, " ".join(["x"] * 7), "s1"),  # 7 tokens, offsets 8-14 -> seqs 2,3
+        (4, "q r", "s2"),            # separate group restarts offsets
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in packing.pack_sequences(
+            docs, seq_len=4, group_col="source"
+        ).collect()
+    }
+    assert (out[0]["start_offset"], out[0]["seq_first"], out[0]["seq_last"]) == (0, 0, 1)
+    assert (out[1]["start_offset"], out[1]["seq_first"], out[1]["seq_last"]) == (5, 1, 1)
+    assert out[2]["n_tokens"] == 0 and out[2]["seq_first"] == out[2]["seq_last"] == 2
+    assert (out[3]["start_offset"], out[3]["seq_first"], out[3]["seq_last"], out[3]["n_seqs"]) == (8, 2, 3, 2)
+    assert (out[4]["group"], out[4]["start_offset"], out[4]["seq_first"]) == ("s2", 0, 0)
+    with pytest.raises(ValueError, match="positive"):
+        packing.pack_sequences(docs, seq_len=0)

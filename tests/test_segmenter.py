@@ -551,3 +551,60 @@ def test_mecab_full_format_fixture_decode():
     assert seg.terms("コンピュータの学生") == ["コンピュータ", "の", "学生"]
     # homograph surface 人参 vs 日本人+参: composed word wins on cost
     assert "人参" in seg.terms("人参が")
+
+
+def test_pos_stoptags_and_reading_form():
+    """kuromoji's token-attribute filters on the lattice: POS
+    stop-filtering (JapanesePartOfSpeechStopFilter — drops leave
+    position holes like stopwords, multi-depth stoptag paths match as
+    prefixes of the IPADIC POS hierarchy) and reading-form substitution
+    (ReadingFormFilter — the reading column replaces the surface term,
+    offsets still point at the surface text; unknowns keep surface)."""
+    from lucene_spark.analysis.segmenter import (
+        LatticeSegmenter,
+        UnknownCharClass,
+        parse_mecab_csv,
+        parse_mecab_csv_features,
+    )
+
+    csv = (
+        "東京,1288,1288,3003,名詞,固有名詞,地域,一般,*,*,東京,トウキョウ,トーキョー\n"
+        "の,1299,1299,-642,助詞,連体化,*,*,*,*,の,ノ,ノ\n"
+        "が,1301,1301,-840,助詞,格助詞,一般,*,*,*,が,ガ,ガ\n"
+        "学生,1285,1285,4356,名詞,一般,*,*,*,*,学生,ガクセイ,ガクセイ\n"
+    )
+    entries = parse_mecab_csv(csv)
+    feats = parse_mecab_csv_features(csv)
+    assert feats["東京"][0] == "名詞" and feats["東京"][7] == "トウキョウ"
+
+    # depth-1 stoptag drops every particle; holes preserved
+    seg = LatticeSegmenter(
+        entries=entries, features=feats, pos_stoptags=frozenset(["助詞"])
+    )
+    toks = seg.tokens("東京の学生が")
+    assert [(t.term, t.position) for t in toks] == [("東京", 0), ("学生", 2)]
+    # depth-2 stoptag drops only the case particle, keeps the adnominal
+    seg2 = LatticeSegmenter(
+        entries=entries, features=feats,
+        pos_stoptags=frozenset(["助詞-格助詞"]),
+    )
+    assert [t.term for t in seg2.tokens("東京の学生が")] == ["東京", "の", "学生"]
+
+    # reading form: IPADIC reading column (index 7)
+    seg3 = LatticeSegmenter(entries=entries, features=feats, reading_index=7)
+    assert [t.term for t in seg3.tokens("東京の学生")] == [
+        "トウキョウ", "ノ", "ガクセイ",
+    ]
+    # offsets still span the SURFACE text
+    t0 = seg3.tokens("東京の学生")[0]
+    assert (t0.start_offset, t0.end_offset) == (0, 2)
+    # unknown words carry no features: kept, surface form, never dropped
+    kat = UnknownCharClass(chars="゠-ヿㇰ-ㇿ", cost=3000, group=True)
+    seg4 = LatticeSegmenter(
+        entries=entries, features=feats, reading_index=7,
+        pos_stoptags=frozenset(["助詞"]),
+        unknown_classes={"KATAKANA": kat},
+    )
+    assert [t.term for t in seg4.tokens("東京のコンピュータ")] == [
+        "トウキョウ", "コンピュータ",
+    ]
