@@ -910,6 +910,54 @@ def decontaminate_13gram(spark, sf_dir):
     )
 
 
+# ---- PII scrubbing ----------------------------------------------------------
+
+# the synthetic corpus carries no PII, so the pair plants a deterministic
+# contact line per doc (both sides replicate the concat) and the scrub
+# must find + redact exactly those planted spans
+_PII_SUFFIX_SQL = (
+    "coalesce(text, '') || ' contact user' || doc_id "
+    "|| '@example.com or 10.0.' || (doc_id % 200) || '.7 now'"
+)
+
+
+@register(
+    "scrub_pii_counts",
+    f"""WITH pii_in AS (
+  SELECT doc_id, {_PII_SUFFIX_SQL} AS t FROM documents
+),
+pii_email AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<PII>', 'g') AS t2
+  FROM pii_in
+),
+pii_ip AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t2, '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b'))::BIGINT AS n_ipv4,
+         regexp_replace(t2, '\\b([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}\\b', '<PII>', 'g') AS t3
+  FROM pii_email
+)
+SELECT doc_id, t3 AS text_scrubbed, n_email, n_ipv4
+FROM pii_ip ORDER BY doc_id""",
+)
+def scrub_pii_counts(spark, sf_dir):
+    """C4-style PII redaction: planted emails + IPv4s are found, counted
+    and replaced entirely JVM-side (regexp codegen, no shuffle); the
+    oracle replays the same progressive scrub in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.expr(_PII_SUFFIX_SQL).alias("text"),
+    )
+    return text.scrub_pii(
+        docs,
+        patterns={
+            "email": text.PII_PATTERNS["email"],
+            "ipv4": text.PII_PATTERNS["ipv4"],
+        },
+    )
+
+
 # ---- domain mixing + sequence packing --------------------------------------
 
 #: mixture rates for the driver pair: one subsampled source, one

@@ -18,6 +18,9 @@ __all__ = [
     "LANG_PROFILES",
     "language_id",
     "fingerprints",
+    "repetition_scores",
+    "PII_PATTERNS",
+    "scrub_pii",
 ]
 
 # a BPE-ish subword pattern: letter runs, digit runs, or single other chars
@@ -297,3 +300,50 @@ def repetition_scores(
         .alias("dup_line_frac")
     )
     return out.select(*cols)
+
+
+#: C4/CCNet-style PII patterns — conservative, curation-grade (recall over
+#: precision is the published norm for scrub-before-train); portable
+#: between Spark's and DuckDB's regex engines
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+}
+
+
+def scrub_pii(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict | None = None,
+    replacement: str = "<PII>",
+):
+    """PII redaction (the C4-style scrub a pretraining pipeline runs
+    before tokenization): each pattern family is replaced by the
+    ``replacement`` token, and per-family hit counts are reported so the
+    curation report can audit redaction volume.
+
+    Entirely JVM-side (``regexp_replace`` / ``regexp_extract_all`` inside
+    whole-stage codegen — no Python, no shuffle: a pure map stage a
+    100 TB scan absorbs at scan cost). Patterns apply in dict order to
+    the PROGRESSIVELY scrubbed text, and each family's count is measured
+    against the same intermediate its replacement saw, so counts and
+    replacements always agree (an address inside an already-redacted
+    span can't double-count).
+    """
+    pats = patterns or PII_PATTERNS
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    count_cols = []
+    for name, rx in pats.items():
+        count_cols.append(
+            F.size(F.regexp_extract_all(cur, F.lit(rx), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, rx, replacement)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        cur.alias("text_scrubbed"),
+        *count_cols,
+    )

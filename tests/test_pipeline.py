@@ -850,3 +850,27 @@ def test_pack_sequences_concat_and_chunk(spark):
     assert (out[4]["group"], out[4]["start_offset"], out[4]["seq_first"]) == ("s2", 0, 0)
     with pytest.raises(ValueError, match="positive"):
         packing.pack_sequences(docs, seq_len=0)
+
+
+def test_scrub_pii_families_and_counts(spark):
+    """PII scrubbing: every family found + replaced, counts measured on
+    the intermediate each replacement saw (no double counting inside
+    already-redacted spans); clean docs untouched; null text safe."""
+    from lucene_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@test.org and 192.168.0.1 call +1 (555) 123-4567 ok"),
+            (1, "nothing sensitive here"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.scrub_pii(docs).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_ipv4"] == 1 and out[0]["n_phone"] == 1
+    s = out[0]["text_scrubbed"]
+    assert "test.org" not in s and "192.168" not in s and "555" not in s
+    assert s.count("<PII>") == 3
+    assert out[1]["text_scrubbed"] == "nothing sensitive here"
+    assert out[1]["n_email"] == out[1]["n_ipv4"] == out[1]["n_phone"] == 0
+    assert out[2]["text_scrubbed"] == ""
