@@ -910,6 +910,51 @@ def decontaminate_13gram(spark, sf_dir):
     )
 
 
+# ---- paragraph-level dedup --------------------------------------------------
+
+# the synthetic corpus is single-line; the pair plants paragraph breaks at
+# every ' table ' token (both sides replicate the replace), which yields
+# plenty of cross-document exact-duplicate paragraphs in the token soup
+_PARA_T_SQL = "replace(coalesce(text, ''), ' table ', chr(10) || chr(10))"
+
+
+@register(
+    "paragraph_dedup_firstseen",
+    f"""WITH pdoc AS (
+  SELECT doc_id, {_PARA_T_SQL} AS t FROM documents
+),
+px AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10) || chr(10))) AS para,
+         unnest(generate_series(1, len(string_split(t, chr(10) || chr(10))))) - 1 AS pos
+  FROM pdoc
+),
+pr AS (
+  SELECT doc_id, para, pos,
+         CASE WHEN len(trim(para)) >= 1
+              THEN row_number() OVER (PARTITION BY trim(para)
+                                      ORDER BY doc_id, pos)
+              ELSE 1 END AS rn
+  FROM px
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                           chr(10) || chr(10) ORDER BY pos), '') AS text_dedup,
+       count(*)::BIGINT AS n_paragraphs,
+       sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END)::BIGINT AS n_removed
+FROM pr GROUP BY doc_id ORDER BY doc_id""",
+)
+def paragraph_dedup_firstseen(spark, sf_dir):
+    """Sub-document exact dedup (the Gopher/RefinedWeb paragraph pass):
+    repeated paragraphs survive only at their corpus-wide first
+    (doc_id, pos) occurrence; one uniform-key shuffle elects winners.
+    The oracle replays the election with an independent window."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.expr(_PARA_T_SQL).alias("text")
+    )
+    return dedup.paragraph_dedup(docs, min_chars=1)
+
+
 # ---- PII scrubbing ----------------------------------------------------------
 
 # the synthetic corpus carries no PII, so the pair plants a deterministic

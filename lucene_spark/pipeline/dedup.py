@@ -33,6 +33,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "embedding_near_dup_pairs",
+    "duplicate_clusters",
+    "paragraph_dedup",
 ]
 
 TOKEN_RE = "[a-z0-9_]+"
@@ -468,4 +470,83 @@ def duplicate_clusters(
     edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Cross-document paragraph-level exact dedup (the Gopher /
+    RefinedWeb sub-document pass: a boilerplate paragraph repeated across
+    pages is removed EVERYWHERE except its first occurrence, while the
+    host documents survive).
+
+    Returns (doc_id, text_dedup, n_paragraphs, n_removed): each doc's
+    text rebuilt from the paragraphs that are the corpus-wide FIRST
+    occurrence of their content, in original order. "First" = smallest
+    (doc_id, position) over the md5 hash of the trimmed paragraph —
+    deterministic under any partitioning.  Paragraphs shorter than
+    ``min_chars`` after trim are kept unconditionally (droppable
+    whitespace fragments are not evidence of duplication).
+
+    Shape at scale: one explode (map-side), ONE shuffle — the groupBy on
+    the 60-bit paragraph hash that elects first occurrences (uniform
+    key, no skew) — then a broadcast-free re-aggregation keyed by doc_id.
+    No self-join: the winner election and the keep-filter ride the same
+    aggregation's output.
+    """
+    paras = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep))
+            ).alias("pos", "para"),
+        )
+        .withColumn("para_t", F.trim(F.col("para")))
+    )
+    hashed = paras.withColumn(
+        "ph",
+        F.when(F.length("para_t") >= min_chars, h60(F.col("para_t"))),
+    )
+    w_first = (
+        hashed.filter(F.col("ph").isNotNull())
+        .groupBy("ph")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    )
+    kept = hashed.join(w_first, "ph", "left").withColumn(
+        "keep",
+        F.col("ph").isNull()
+        | (
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("first.pos") == F.col("pos"))
+        ),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(F.col("keep"), F.struct("pos", "para"))
+                            )
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("text_dedup"),
+        )
+        .select("doc_id", "text_dedup", "n_paragraphs", "n_removed")
     )

@@ -874,3 +874,39 @@ def test_scrub_pii_families_and_counts(spark):
     assert out[1]["text_scrubbed"] == "nothing sensitive here"
     assert out[1]["n_email"] == out[1]["n_ipv4"] == out[1]["n_phone"] == 0
     assert out[2]["text_scrubbed"] == ""
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    """Sub-document dedup (Gopher/RefinedWeb pass): a paragraph repeated
+    across documents survives only at its corpus-wide first occurrence
+    (smallest doc_id, then position); order inside each doc preserved;
+    short fragments exempt; hosts never dropped."""
+    from lucene_spark.pipeline import dedup
+
+    boiler = "subscribe to our newsletter today"
+    rows = [
+        (0, f"unique intro\n\n{boiler}\n\nunique outro"),
+        (1, f"{boiler}\n\nfresh content here"),
+        (2, f"more fresh content\n\n{boiler}"),
+        (3, "x\n\ncompletely original doc"),  # 'x' short fragment
+        (4, f"x\n\n{boiler} with a twist"),   # not an exact repeat
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.paragraph_dedup(docs, min_chars=2).collect()
+    }
+    assert out[0]["text_dedup"] == rows[0][1]  # first occurrence keeps it
+    assert out[0]["n_removed"] == 0 and out[0]["n_paragraphs"] == 3
+    assert out[1]["text_dedup"] == "fresh content here"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["text_dedup"] == "more fresh content"
+    # short fragments ('x') are kept unconditionally in BOTH docs
+    assert out[3]["text_dedup"] == rows[3][1]
+    assert out[4]["text_dedup"] == rows[4][1] and out[4]["n_removed"] == 0
+    # determinism across partitionings
+    out2 = {
+        r["doc_id"]: r["text_dedup"]
+        for r in dedup.paragraph_dedup(docs.repartition(7), min_chars=2).collect()
+    }
+    assert out2 == {d: r["text_dedup"] for d, r in out.items()}
