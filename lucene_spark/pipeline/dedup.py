@@ -493,12 +493,16 @@ def paragraph_dedup(
     ``min_chars`` after trim are kept unconditionally (droppable
     whitespace fragments are not evidence of duplication).
 
-    Shape at scale: one explode (map-side), ONE shuffle — the groupBy on
-    the 60-bit paragraph hash that elects first occurrences (uniform
-    key, no skew) — then a broadcast-free re-aggregation keyed by doc_id.
-    No self-join: the winner election and the keep-filter ride the same
-    aggregation's output.
+    Shape at scale: one explode (map-side), then exactly TWO shuffles —
+    a window over the 60-bit paragraph hash elects first occurrences
+    (uniform key, no skew, and no self-join: the election IS the keep
+    flag), and the reconstruction groupBy keys on doc_id.  Hash-bucket
+    window partitions stay small because equal hashes are equal
+    paragraphs — the degenerate giant bucket is exactly the boilerplate
+    this pass exists to remove, and it reduces to one winner row.
     """
+    from pyspark.sql import Window
+
     paras = (
         spread(docs)
         .select(
@@ -513,18 +517,15 @@ def paragraph_dedup(
         "ph",
         F.when(F.length("para_t") >= min_chars, h60(F.col("para_t"))),
     )
-    w_first = (
-        hashed.filter(F.col("ph").isNotNull())
-        .groupBy("ph")
-        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    # exempt (null-ph) fragments get a unique surrogate key so they never
+    # pool into one null window partition — each is its own singleton
+    wkey = F.coalesce(
+        F.col("ph"),
+        -h60(F.concat_ws(":", F.col("doc_id"), F.col("pos"))) - F.lit(1),
     )
-    kept = hashed.join(w_first, "ph", "left").withColumn(
-        "keep",
-        F.col("ph").isNull()
-        | (
-            (F.col("first.doc_id") == F.col("doc_id"))
-            & (F.col("first.pos") == F.col("pos"))
-        ),
+    rn = F.row_number().over(Window.partitionBy(wkey).orderBy("doc_id", "pos"))
+    kept = hashed.withColumn(
+        "keep", F.col("ph").isNull() | (rn == 1)
     )
     return (
         kept.groupBy("doc_id")
