@@ -1060,7 +1060,7 @@ def _register_all() -> None:
 _PRIORITY = [
     "term_query",
     "hunspell_stem_query",
-    "text_fingerprints",
+    "scrub_pii_counts",
     "boolean_or_pruned",
     "boolean_and",
     "standard_parser_query",
@@ -1098,7 +1098,7 @@ _PRIORITY = [
     "classify_knn",
     "text_repetition_scores",
     "curation_pipeline",
-    "dedup_duplicate_clusters",
+    "paragraph_dedup_firstseen",
     "shape_point_intersects",
     "bloom_term_lookup",
     "shape_polygon_intersects",
