@@ -57,7 +57,29 @@ def main() -> None:
     print(f"docs: {n_in} -> exact-dedup {docs1.count()} -> near-dedup "
           f"{docs2.count()} -> quality-gate {n_kept}")
 
-    # 4. ANN neighbors over embeddings (graph ANN — the HNSW role):
+    # 4. round-5 curation stages: sub-document dedup, PII scrub,
+    #    benchmark decontamination, mixture weights, packing assignment
+    from lucene_spark.pipeline import decontam, dedup as dd, mixing, packing
+
+    para = dd.paragraph_dedup(kept, text_col="text")
+    n_para_removed = para.agg(F.sum("n_removed")).collect()[0][0]
+    scrubbed = textops.scrub_pii(kept, text_col="text")
+    n_pii = scrubbed.selectExpr(
+        "sum(n_email + n_ipv4 + n_phone)"
+    ).collect()[0][0]
+    bench = kept.filter(F.col("doc_id") % 37 == 0)
+    clean = decontam.decontaminate(kept, bench, text_col="text")
+    mixed = mixing.mix_sources(kept, {"src3": 0.5, "src7": 2.0})
+    packs = packing.pack_sequences(kept, seq_len=256, group_col="source")
+    n_seq = packs.agg(F.max("seq_last")).collect()[0][0]
+    print(
+        f"paragraph-dedup removed {n_para_removed} paragraphs; "
+        f"PII redactions {n_pii}; decontaminated {kept.count() - clean.count()} "
+        f"docs vs a {bench.count()}-doc benchmark; mixture rows {mixed.count()}; "
+        f"packed into ~{(n_seq or 0) + 1} sequences/group max"
+    )
+
+    # 5. ANN neighbors over embeddings (graph ANN — the HNSW role):
     #    index-time k-NN graph, then batched beam search for 4 queries
     emb = spark.read.parquet(emb_path)
     g = graph_ann.build_knn_graph(emb, id_col="vec_id", k_graph=8, dim=64)
